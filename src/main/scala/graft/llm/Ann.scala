@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Scale design:
+  *  - brute-force top-k is the exact baseline: one map stage (dot
+  *    products via zip_with/aggregate, codegen'd) + a TakeOrdered - no
+  *    shuffle of the full table, no collect.
+  *  - the LSH path buckets vectors by random-hyperplane sign bits;
+  *    queries only scan their own bucket (plus optional multi-probe
+  *    neighbors), so cluster-wide cost drops from O(N) per query to
+  *    O(N / 2^bits) - the standard SimHash-for-cosine scheme
+  *    (Charikar '02).
+  *  - pairwise near-dup joins only within buckets - never a crossJoin.
+  */
+object Ann {
+
+  /** Double-precision dot product of two array columns (float inputs are
+    * upcast first so accumulation is IEEE-double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact brute-force cosine top-k for one query vector. The plan is a
+    * single scan + TakeOrderedAndProject - the right baseline at any
+    * scale, and the verifier for the LSH path. */
+  def cosineTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = array(query.map(lit): _*)
+    embeddings
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (seeded) as literal arrays - tiny,
+    * so they inline into the expression tree and broadcast for free. */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id of a vector under the given hyperplanes. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+      acc + when(dot(vec, array(p.map(lit): _*)) > 0, shiftleft(lit(1L), i))
+        .otherwise(0L)
+    }
+
+  /** ANN top-k: restrict the exact scan to the query's LSH bucket.
+    * `bits` trades recall for speed (each bit halves the candidate set).
+    * Falls back to nothing gracefully: callers wanting guaranteed k
+    * should multi-probe (probe=1 flips each single bit). */
+  def annTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
+              dim: Int, bits: Int = 8, probe: Int = 1, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    // query bucket + optional 1-bit-flip probes, computed on the driver
+    val qBucket = planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      val d = p.zip(query).map { case (a, b) => a * b }.sum
+      if (d > 0) acc | (1L << i) else acc
+    }
+    val probes: Seq[Long] =
+      if (probe <= 0) Seq(qBucket)
+      else qBucket +: (0 until bits).map(b => qBucket ^ (1L << b))
+
+    val q = array(query.map(lit): _*)
+    embeddings
+      .withColumn("bucket", lshBucket(col(vecCol), planes))
+      .filter(col("bucket").isin(probes: _*)) // partition-prunable predicate
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join plus
+    * exact cosine verification within buckets. Vectors are L2-normalized
+    * BEFORE the join so the per-pair work is one dot product - norms are
+    * computed n times, not n^2 times. Each vector lives in exactly one
+    * bucket, so pairs are unique by construction (no dedupe pass). */
+  def cosineNearDupPairs(embeddings: DataFrame, dim: Int, threshold: Double = 0.95,
+                         bits: Int = 10, seed: Long = 42L,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val n = norm(col(vecCol))
+    val unit = when(n === 0, transform(col(vecCol), _ => lit(0.0)))
+      .otherwise(transform(col(vecCol), x => x.cast("double") / n))
+    val bucketed = embeddings.select(col(idCol).as("id"), unit.as("v"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** IVF-style coarse quantization: assign each vector to its nearest of
+    * `centroids` (tiny literal list, e.g. trained offline); queries scan
+    * only the closest `nprobe` cells. This is the scale path when LSH
+    * recall is insufficient. */
+  def ivfAssign(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                vecCol: String = "embedding"): DataFrame = {
+    val best = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col(vecCol), array(c.map(lit): _*)).as("sim"), lit(i).as("cell"))
+    }.reduce((a, b) => when(a.getField("sim") >= b.getField("sim"), a).otherwise(b))
+    embeddings.withColumn("ivf_cell", best.getField("cell"))
+  }
+}

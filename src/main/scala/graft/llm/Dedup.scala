@@ -1,0 +1,170 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design (the 100 TB contract):
+  *  - exact/normalized dedup: hash group-by - one shuffle on the content
+  *    hash, map-side partial aggregation, no row ever compared twice.
+  *  - MinHash/LSH and SimHash near-dup: candidate pairs come ONLY from
+  *    band-bucket equi-joins (shuffle on band hash). There is no
+  *    crossJoin and no driver-side collect anywhere in these plans; the
+  *    candidate count is bounded by bucket co-occupancy, the classic
+  *    MinHash-LSH bound (Broder '97; MMDS ch.3).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per identical text. */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Normalized (near-exact) dedup: identity on the md5 of
+    * lowercased/whitespace-collapsed text. */
+  def normalized(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    df.withColumn("norm_md5", md5(norm.cast("binary")))
+      .groupBy(col("norm_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+  }
+
+  /** Word shingles (n-grams) of the lowercased text as an array column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(lower(trim(text)), "\\W+", -1)
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash signature: k permutations approximated by k seeded xxhash64
+    * draws; position p of the signature is min over shingles of
+    * xxhash64(p, shingle). */
+  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      p => array_min(transform(shingleCol, s => xxhash64(p, s))))
+
+  /** Banded LSH self-join: docs sharing at least one (band, bandHash)
+    * bucket become candidate pairs; pairs are then verified by the
+    * signature-agreement estimate of Jaccard similarity.
+    *
+    * Scale guards, in order:
+    *  1. the join carries only (band, bandHash, id) - signatures are
+    *     re-attached AFTER pair dedupe, so the shuffle payload is thin;
+    *  2. buckets larger than `maxBucketSize` are dropped before the
+    *     self-join. An over-full bucket means a non-discriminative band
+    *     (boilerplate/common shingles); it contributes O(n^2) candidate
+    *     pairs and near-zero precision, and every pair of truly similar
+    *     docs still collides in their other bands. This bounds worst-case
+    *     cost at buckets*cap^2 regardless of data skew.
+    *
+    * @param bands  number of LSH bands (k must be divisible by bands)
+    * @param threshold  estimated-Jaccard cutoff for reporting a pair
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", k: Int = 64, bands: Int = 16,
+                      shingleN: Int = 3, threshold: Double = 0.7,
+                      maxBucketSize: Int = 100): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+
+    // explode to (id, band, bandHash); hash() digests the band slice
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+
+    // skew guard: drop non-discriminative oversized buckets
+    val wB = Window.partitionBy(col("band"), col("bandHash"))
+    val bounded = banded.withColumn("bSize", count(lit(1)).over(wB))
+      .filter(col("bSize") <= maxBucketSize).drop("bSize")
+
+    // bucket equi-join (the ONLY pair source - no crossJoin at any scale)
+    val left = bounded.select(col("band"), col("bandHash"), col("id").as("id_a"))
+    val right = bounded.select(col("band"), col("bandHash"), col("id").as("id_b"))
+    val candidates = left.join(right, Seq("band", "bandHash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+          x => x)).cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over the word multiset: per bit, sum +-1 weighted by
+    * token hash bits; the sign vector packs into one long. Computed
+    * entirely with higher-order array expressions (codegen'd, no UDF). */
+  def simhash(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\W+", -1)
+    val hashes = transform(toks, t => xxhash64(t))
+    // bit positions are a static range, so the fold happens at plan-build
+    // time (Scala ints feed shiftright's numBits) - one expression tree,
+    // still fully codegen'd
+    (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(
+        aggregate(hashes, lit(0L),
+          (s, h) => s + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          > 0,
+        lit(1L << b)).otherwise(0L)
+    }
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit chunks (any pair within
+    * Hamming distance 3 of a 64-bit hash agrees on at least one of 4
+    * chunks - pigeonhole), then verify with bit_count(xor). */
+  def simhashPairs(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val withHash = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val chunked = withHash.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
+
+    val l = chunked.select(col("chunk"), col("chunkVal"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("chunkVal"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("chunk", "chunkVal"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard between candidate pairs (joined by any blocking
+    * scheme); exposed for verification of LSH candidates. Expects
+    * columns sh_a/sh_b replaced by shingle arrays named a/b. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, 0.0)
+      .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+
+  /** N-gram-Jaccard near-dup: MinHash bands generate candidates, exact
+    * shingle Jaccard verifies - the full two-stage pipeline. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", shingleN: Int = 3,
+                        threshold: Double = 0.8): DataFrame = {
+    val withShingles = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val cands = minhashLshPairs(df, idCol, textCol, 64, 16, shingleN, threshold * 0.7)
+    cands
+      .join(withShingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withShingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, document
+  * fingerprinting. Everything is built from codegen'd built-in functions
+  * (no UDFs), so each stays inside whole-stage codegen and scales
+  * linearly - these run as pure map stages with zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column =
+    size(split(trim(text), "\\s+", -1))
+
+  /** BPE-ish token estimate: alphanumeric runs count as one token each,
+    * every non-alnum non-space character as one more (a cheap
+    * deterministic proxy for a real BPE vocabulary; lookaround-free so
+    * the same regex semantics hold in any RE2-class engine). */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(filter(split(text, "[^A-Za-z0-9]+", -1), t => t =!= "")) +
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+
+  /** Quality-scoring feature columns (length / punctuation / stopword
+    * ratios and friends). Returns the input plus feature columns; the
+    * composite `quality_score` is a simple monotone blend in [0,1]. */
+  def withQualityFeatures(df0: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    // tokenize once; the word-based features reuse the temp column
+    val df = df0.withColumn("__qwords", split(lower(trim(t)), "\\s+", -1))
+    val words = col("__qwords")
+    val nWords = size(words)
+    val stopwords = Array("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
+    val nStop = size(filter(words, w => w.isin(stopwords.map(lit(_)): _*)))
+    val nPunct = nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val nDigit = nChars - length(regexp_replace(t, "[0-9]", ""))
+    val nUpper = nChars - length(regexp_replace(t, "[A-Z]", ""))
+
+    df.withColumn("n_chars_calc", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("avg_word_len",
+        when(nWords > 0, (nChars - nWords + 1).cast("double") / nWords).otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(nChars > 0, nPunct.cast("double") / nChars).otherwise(0.0))
+      .withColumn("digit_ratio",
+        when(nChars > 0, nDigit.cast("double") / nChars).otherwise(0.0))
+      .withColumn("upper_ratio",
+        when(nChars > 0, nUpper.cast("double") / nChars).otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(nWords > 0, nStop.cast("double") / nWords).otherwise(0.0))
+      .withColumn("quality_score",
+        least(lit(1.0), greatest(lit(0.0),
+          lit(0.4) * least(col("stopword_ratio") * 4, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))) +
+          lit(0.3) * (lit(1.0) - least(col("digit_ratio") * 5, lit(1.0))))))
+      .drop("__qwords")
+  }
+
+  /** Language-ID heuristic: per-language stopword hit counts over the
+    * token set; the language with the most hits wins ("und" when no
+    * marker hits). Marker lists are tiny and inlined, so the whole
+    * classifier is one codegen'd expression - the same shape a character
+    * n-gram model compiles to. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "pour", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "que", "para", "con", "una"),
+    "it" -> Seq("il", "di", "che", "per", "con", "della", "sono", "una")
+  )
+
+  def withLangId(df0: DataFrame, textCol: String = "text"): DataFrame = {
+    // tokenize once into a temp column; the five marker filters reuse it
+    // (Catalyst does not CSE the regex split across expressions)
+    val df = df0.withColumn("__words", split(lower(trim(col(textCol))), "\\W+", -1))
+    val words = col("__words")
+    val scored = langMarkers.map { case (lang, markers) =>
+      (lang, size(filter(words, w => w.isin(markers.map(lit(_)): _*))))
+    }
+    val best = scored.tail.foldLeft(
+      struct(scored.head._2.as("score"), lit(scored.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"),
+          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    df.withColumn("lang_pred",
+        when(best.getField("score") > 0, best.getField("lang")).otherwise("und"))
+      .withColumn("lang_score", best.getField("score"))
+      .drop("__words")
+  }
+
+  /** Document fingerprint: 64-bit polynomial rolling hash over the
+    * normalized text (lowercased, whitespace collapsed) - a Rabin-style
+    * content fingerprint computed with `aggregate` over the character
+    * array, plus an md5 for exact-content identity. */
+  def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    // modular polynomial hash: accumulator stays < 1e9 so the multiply
+    // never overflows a long (Spark 4 runs ANSI mode - overflow throws)
+    val rolling = aggregate(
+      split(norm, "", -1),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + coalesce(ascii(c).cast("long"), lit(0L)),
+        lit(1000000007L)))
+    df.withColumn("fingerprint", rolling)
+      .withColumn("content_md5", md5(norm.cast("binary")))
+  }
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.{Species, XdbKeys}
+import graft.functions.Exprs
+
+/** The Alliance (AGR) flow: M5 gene-resolution cascade, S9 upsert-as-merge,
+  * A8 threshold-guarded stale delete, M6 curie QC, D6 symbol QC.
+  *
+  * The reference processes TSV lines in a parallel stream with synchronized
+  * per-line gene resolution and JDBC upserts with duplicate-key retry
+  * (AgrTsvLoader.java:142-206,306-393). Set-wise, resolution becomes a
+  * sequence of left joins with coalesce fallbacks, and the upsert becomes
+  * a full-outer merge keyed on (rgdId1, rgdId2, methodsMatched) - the
+  * retry loop disappears by construction.
+  */
+object Agr {
+
+  /** M5: resolve each Alliance curie to a gene rgd id via the 4-step
+    * cascade (AgrTsvLoader.java:306-393):
+    *  1. curie multimap (xdb_key=63), smallest rgd id wins (O3:
+    *     sorted list, first element - OrthologRelationDao.java:524-550)
+    *  2. species-specific id: rat "RGD:n" suffix; mouse via MGD xrefs;
+    *     human via HGNC xrefs (AgrTsvLoader.java:344-363)
+    *  3. active gene by symbol, smallest rgd id on ties
+    *     (OrthologRelationDao.java:595-619)
+    *  4. synthesize a brand-new gene - non-human/mouse/rat species only
+    *     (OrthologRelationDao.java:621-642)
+    *
+    * Input `curies`: (curie, geneSymbol, speciesTypeKey) distinct.
+    * Returns (curie, speciesTypeKey, rgdId, how) where `how` is the
+    * resolution step ("map"/"specialId"/"symbol"/"inserted"/null) and
+    * rgdId < 0 marks rows needing synthesized genes (assigned by caller).
+    */
+  def resolveCuries(curies: DataFrame, xrefs: DataFrame, genes: DataFrame,
+                    rgdIds: DataFrame): DataFrame = {
+
+    val in = curies.select(col("curie"), col("geneSymbol"), col("speciesTypeKey"))
+      .distinct()
+
+    // step 1: curie -> min rgd id over AGR_GENE xrefs (sorted-first = min)
+    val curieMap = xrefs.filter(col("xdbKey") === XdbKeys.AGR_GENE)
+      .groupBy(col("accId")).agg(min(col("rgdId")).as("mapRgdId"))
+      .withColumnRenamed("accId", "curie")
+
+    // step 2: special ids. The join is against the xref dimension for
+    // mouse (MGD) and human (HGNC); rat ids are parsed inline.
+    val mgd = xrefs.filter(col("xdbKey") === XdbKeys.MGD)
+      .groupBy(col("accId")).agg(min(col("rgdId")).as("mgdRgdId"))
+      .withColumnRenamed("accId", "curie")
+    val hgnc = xrefs.filter(col("xdbKey") === XdbKeys.HGNC)
+      .groupBy(col("accId")).agg(min(col("rgdId")).as("hgncRgdId"))
+      .withColumnRenamed("accId", "curie")
+
+    // rat: "RGD:12345" -> 12345, validated against the gene dimension
+    val ratIds = genes.select(col("rgdId").as("ratRgdId"))
+
+    // step 3: symbol -> active gene, min rgd id
+    val bySymbol = genes
+      .join(rgdIds.filter(col("objectStatus") === "ACTIVE").select(col("rgdId")),
+        Seq("rgdId"))
+      .groupBy(col("geneSymbol"), col("speciesTypeKey"))
+      .agg(min(col("rgdId")).as("symbolRgdId"))
+
+    val step12 = in
+      .join(curieMap, Seq("curie"), "left")
+      .join(mgd.filter(lit(true)), Seq("curie"), "left")
+      .join(hgnc, Seq("curie"), "left")
+      .withColumn("ratParsed",
+        when(col("speciesTypeKey") === Species.RAT && col("curie").startsWith("RGD:"),
+          Exprs.stripPrefixToInt(col("curie"), 4)))
+    val step2 = step12
+      .join(ratIds, col("ratParsed") === col("ratRgdId"), "left")
+      .withColumn("specialRgdId",
+        when(col("speciesTypeKey") === Species.RAT, col("ratRgdId"))
+          .when(col("speciesTypeKey") === Species.MOUSE, col("mgdRgdId"))
+          .when(col("speciesTypeKey") === Species.HUMAN, col("hgncRgdId")))
+
+    val step3 = step2.join(bySymbol, Seq("geneSymbol", "speciesTypeKey"), "left")
+
+    step3.select(
+      col("curie"), col("geneSymbol"), col("speciesTypeKey"),
+      coalesce(col("mapRgdId"), col("specialRgdId"), col("symbolRgdId")).as("rgdId"),
+      when(col("mapRgdId").isNotNull, "map")
+        .when(col("specialRgdId").isNotNull, "specialId")
+        .when(col("symbolRgdId").isNotNull, "symbol")
+        .when(!col("speciesTypeKey").isin(Species.HUMAN, Species.MOUSE, Species.RAT),
+          "insert")
+        .as("how"))
+  }
+
+  /** Assign new rgd ids to unresolved non-human/mouse/rat curies
+    * (how='insert'): deterministic surrogate ids above the current max
+    * (ref createRgdId sequence, OrthologRelationDao.java:621-642).
+    * Returns the resolution table with every resolvable curie bound. */
+  def assignNewGenes(resolved: DataFrame, maxExistingRgdId: Int): DataFrame = {
+    val w = Window.orderBy(col("curie"))
+    val inserts = resolved.filter(col("how") === "insert")
+      .withColumn("rgdId", (lit(maxExistingRgdId) + row_number().over(w)).cast("int"))
+    resolved.filter(col("how") =!= "insert" || col("how").isNull)
+      .unionByName(inserts)
+  }
+
+  /** S9: the AGR upsert re-expressed as a full-outer merge on
+    * (geneRgdId1, geneRgdId2, methodsMatched)
+    * (OrthologRelationDao.java:825-849). Incoming rows update
+    * confidence/flags/last_update_date; unmatched incoming rows insert;
+    * unmatched state rows keep their old timestamps (and become stale
+    * candidates for A8). The reference's ROWNUM<2 (O5) is unnecessary -
+    * the merge key is deduplicated set-wise. */
+  def upsertAgrOrthologs(incoming: DataFrame, state: DataFrame,
+                         runTs: java.sql.Timestamp): DataFrame = {
+    val key = Seq("geneRgdId1", "geneRgdId2", "methodsMatched")
+    // dedupe incoming on the upsert key (parallel retry races in the
+    // reference resolve arbitrarily; we take a deterministic first)
+    val w = Window.partitionBy(key.map(col): _*).orderBy(col("confidence"))
+    val inc = incoming.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .select(col("geneRgdId1"), col("geneRgdId2"), col("methodsMatched"),
+        col("confidence").as("incConfidence"),
+        col("isBestScore").as("incBest"),
+        col("isBestRevScore").as("incBestRev"))
+
+    state.join(inc, key, "full_outer")
+      .select(
+        col("geneRgdId1"), col("geneRgdId2"), col("methodsMatched"),
+        coalesce(col("incConfidence"), col("confidence")).as("confidence"),
+        coalesce(col("incBest"), col("isBestScore")).as("isBestScore"),
+        coalesce(col("incBestRev"), col("isBestRevScore")).as("isBestRevScore"),
+        coalesce(col("createdDate"), lit(runTs)).as("createdDate"),
+        when(col("incConfidence").isNotNull, lit(runTs))
+          .otherwise(col("lastUpdateDate")).as("lastUpdateDate"))
+  }
+
+  /** A8: threshold-guarded stale delete. Rows older than the cutoff are
+    * stale; if |new - initial| exceeds the threshold (e.g. "10%" of the
+    * current table) the delete is refused and the state is returned
+    * unchanged (AgrTsvLoader.java:273-304). The guard is a scalar count
+    * comparison - driver-side by design. */
+  def deleteStaleWithGuard(state: DataFrame, cutoff: java.sql.Timestamp,
+                           initialCount: Long, threshold: String): (DataFrame, Boolean) = {
+    val total = state.count()
+    val maxDeletable: Long = parseThreshold(threshold, total)
+    val staleCount = state.filter(col("lastUpdateDate") < lit(cutoff)).count()
+    val newCount = total - staleCount
+    if (math.abs(newCount - initialCount) > maxDeletable) {
+      (state, false) // refuse: circuit breaker tripped
+    } else {
+      (state.filter(!(col("lastUpdateDate") < lit(cutoff))), true)
+    }
+  }
+
+  /** X12: "10%" -> percent of current count; plain number -> absolute.
+    * Ref: AgrTsvLoader.java:283-289. */
+  def parseThreshold(threshold: String, total: Long): Long = {
+    val t = threshold.trim
+    if (t.endsWith("%")) t.dropRight(1).toInt * total / 100 else t.toLong
+  }
+
+  /** M6: curie QC sweep - touch every AGR_GENE xref seen this run, then
+    * drop the ones still older than the cutoff
+    * (OrthologRelationDao.java:658-670). */
+  def qcCuries(xrefs: DataFrame, seenCuries: DataFrame, cutoff: java.sql.Timestamp,
+               runTs: java.sql.Timestamp): DataFrame = {
+    val agr = col("xdbKey") === XdbKeys.AGR_GENE &&
+      col("srcPipeline") === "AgrOrtholog"
+    val touched = xrefs.join(seenCuries.select(col("curie").as("accId")).distinct(),
+      Seq("accId"), "left_semi")
+    val touchedKeys = touched.select(col("accXdbKey"))
+    xrefs
+      .join(touchedKeys.withColumnRenamed("accXdbKey", "tk"),
+        col("accXdbKey") === col("tk"), "left")
+      .withColumn("modificationDate",
+        when(col("tk").isNotNull && agr, lit(runTs)).otherwise(col("modificationDate")))
+      .drop("tk")
+      .filter(!(agr && col("modificationDate") < lit(cutoff)))
+  }
+
+  /** D6: human symbol QC - count Alliance symbols that match neither the
+    * RGD symbol nor the Ensembl symbol (case-insensitive)
+    * (AgrTsvLoader.java:395-435). Returns the mismatching rows. */
+  def qcHumanSymbols(lines: DataFrame, genes: DataFrame): DataFrame = {
+    val humanSide = lines
+      .filter(col("speciesTypeKey") === Species.HUMAN)
+      .select(col("curie"), col("geneSymbol"), col("rgdId"))
+    humanSide
+      .join(genes.select(col("rgdId"), col("geneSymbol").as("rgdSymbol"),
+        col("ensemblGeneSymbol")), Seq("rgdId"), "left")
+      .filter(!(lower(col("geneSymbol")) <=> lower(col("rgdSymbol"))) &&
+        !(lower(col("geneSymbol")) <=> lower(col("ensemblGeneSymbol"))))
+  }
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exprs
+
+/** W4 + W2: the 4-tier strong-ortholog cascade with conflict invalidation
+  * and the best-fit tie-break chain.
+  *
+  * Reference semantics (OrthologRelationLoader.java:454-578):
+  * per (group, srcSpecies, destSpecies) partition -
+  *   tier 4: manual orthologs (XREF_DATA_SRC='RGD') - >1 candidate in the
+  *           tier is a CONFLICT and yields NO pick (:468-471)
+  *   tier 3: Alliance mutual-best rows from AGR_ORTHOLOGS - same conflict
+  *           rule (:479-482)
+  *   tier 2: incoming HCOP (HGNC) relations, best-fit pick (:490-493)
+  *   tier 1: incoming NCBI relations, best-fit pick (:497-500)
+  *
+  * Best-fit tie-break chain (pickBestFitRelation, :537-578):
+  *   (0) singleton wins
+  *   (1) strictly-max evidence count wins
+  *   (2) else first relation whose dest symbol equals the src symbol
+  *       (case-insensitive)
+  *   (3) else minimum case-insensitive dest symbol
+  * Note rule (3) ranks over ALL candidates regardless of evidence count -
+  * a plain argmax window over (evidence, symbol) would be WRONG; the
+  * selection is therefore branch-specific on window aggregates.
+  *
+  * Everything is window functions over one hash partitioning of the
+  * candidate set - a single shuffle, no per-row lookups, skew-bounded by
+  * the fan-out of a single gene.
+  */
+object Cascade {
+
+  private val pk = Seq(col("groupId"), col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"))
+
+  /** Build the full candidate set: incoming relations tagged tier 2/1 plus
+    * manual (tier 4) and Alliance (tier 3) candidates joined from state.
+    *
+    * @param relations  post-complement relations with groupId
+    *                   (Grouping.withComplementaryRelations output)
+    * @param orthologs  current ortholog state (manual rows feed tier 4;
+    *                   ref OrthologRelationDao.java:58-71)
+    * @param agr        AGR_ORTHOLOGS state (tier 3; mutual-best only;
+    *                   ref OrthologRelationDao.java:898-946)
+    * @param genes      gene dimension (symbols for tie-breaks, species for
+    *                   the Alliance partner-species filter)
+    */
+  def candidates(relations: DataFrame, orthologs: DataFrame, agr: DataFrame,
+                 genes: DataFrame): DataFrame = {
+
+    val incoming = relations.select(
+      col("groupId"), col("srcRgdId"), col("destRgdId"),
+      col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
+      col("dataSource").as("xrefDataSrc"), col("dataSetName").as("xrefDataSet"),
+      when(col("dataSource") === "HGNC", 2).otherwise(1).as("tier"))
+
+    // distinct (group, src gene, species pair) keys the state lookups hang off
+    val keys = relations.select(
+      col("groupId"), col("srcRgdId"),
+      col("srcSpeciesTypeKey"), col("destSpeciesTypeKey")).distinct()
+
+    // tier 4: manual orthologs for (srcRgdId, destSpecies) - F9 filter
+    val manual = keys.join(
+      orthologs.filter(col("xrefDataSrc") === "RGD")
+        .select(col("srcRgdId"), col("destRgdId"),
+          col("destSpeciesTypeKey"), col("xrefDataSrc"), col("xrefDataSet")),
+      Seq("srcRgdId", "destSpeciesTypeKey"))
+      .select(col("groupId"), col("srcRgdId"), col("destRgdId"),
+        col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
+        col("xrefDataSrc"), col("xrefDataSet"), lit(4).as("tier"))
+
+    // tier 3: Alliance mutual-best (F10), both storage directions (J3/U4):
+    // symmetrize agr once, then a single equi-join + partner-species filter
+    val mutualBest = agr.filter(col("isBestScore") === "Y" && col("isBestRevScore") === "Y")
+    val agrSym = mutualBest.select(col("geneRgdId1").as("aSrc"),
+        col("geneRgdId2").as("aDest"), col("methodsMatched"))
+      .unionByName(mutualBest.select(col("geneRgdId2").as("aSrc"),
+        col("geneRgdId1").as("aDest"), col("methodsMatched")))
+
+    val alliance = keys
+      .join(agrSym, keys("srcRgdId") === agrSym("aSrc"))
+      .join(genes.select(col("rgdId"), col("speciesTypeKey").as("partnerSp")),
+        agrSym("aDest") === col("rgdId"))
+      .filter(col("partnerSp") === keys("destSpeciesTypeKey"))
+      .select(col("groupId"), col("srcRgdId"), col("aDest").as("destRgdId"),
+        col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
+        lit("Alliance").as("xrefDataSrc"), col("methodsMatched").as("xrefDataSet"),
+        lit(3).as("tier"))
+
+    incoming.unionByName(manual).unionByName(alliance)
+  }
+
+  /** Run the cascade over the candidate set; returns one pick per
+    * (group, species-pair) partition - or none on tier conflict - plus
+    * `tier` and `method` columns for the A6 source/method statistics
+    * (bestFitFromManual/Alliance/HCOP/NCBI x
+    * bestFitOneRel/LongestEvidence/SymbolMatch/ShortestSymbol,
+    * OrthologRelationLoader.java:425-435).
+    */
+  def pickStrongOrthologs(cands: DataFrame, genes: DataFrame): DataFrame = {
+
+    // symbols for tie-breaks; genes is the small dimension side -> broadcast
+    val symbols = broadcast(genes.select(col("rgdId"), col("geneSymbol")))
+    val withSyms = cands
+      .join(symbols.select(col("rgdId").as("srcRgdId"),
+        col("geneSymbol").as("srcSymbol")), Seq("srcRgdId"), "left")
+      .join(symbols.select(col("rgdId").as("destRgdId"),
+        col("geneSymbol").as("destSymbol")), Seq("destRgdId"), "left")
+      .withColumn("ev", Exprs.evidenceCount(col("xrefDataSet")))
+      .withColumn("symMatch",
+        when(Exprs.symbolMatches(col("srcSymbol"), col("destSymbol")), 1).otherwise(0))
+
+    val w = Window.partitionBy(pk: _*)
+    val topTier = max(col("tier")).over(w)
+
+    val top = withSyms
+      .withColumn("topTier", topTier)
+      .filter(col("tier") === col("topTier"))
+
+    // window aggregates over the winning tier only
+    val n = count(lit(1)).over(w)
+    val maxEv = max(col("ev")).over(w)
+    val cntAtMax = sum(when(col("ev") === maxEv, 1).otherwise(0)).over(w)
+    val anyMatch = max(col("symMatch")).over(w)
+    // rule-1 ordering (strict evidence argmax; deterministic residual order)
+    val rnEv = row_number().over(Window.partitionBy(pk: _*)
+      .orderBy(col("ev").desc, lower(col("destSymbol")).asc_nulls_last, col("destRgdId").asc))
+    // rule-2 ordering (symbol match first, then evidence - matches the
+    // reference's scan of the evidence-sorted list)
+    val rnSym = row_number().over(Window.partitionBy(pk: _*)
+      .orderBy(col("symMatch").desc, col("ev").desc,
+        lower(col("destSymbol")).asc_nulls_last, col("destRgdId").asc))
+    // rule-3 ordering (case-insensitive min symbol over ALL candidates)
+    val rnAlpha = row_number().over(Window.partitionBy(pk: _*)
+      .orderBy(lower(col("destSymbol")).asc_nulls_last, col("destRgdId").asc))
+
+    val annotated = top
+      .withColumn("n", n)
+      .withColumn("cntAtMax", cntAtMax)
+      .withColumn("anyMatch", anyMatch)
+      .withColumn("rnEv", rnEv)
+      .withColumn("rnSym", rnSym)
+      .withColumn("rnAlpha", rnAlpha)
+
+    val isBestFitTier = col("tier") <= 2
+    val picked = annotated.withColumn("method",
+      when(!isBestFitTier, when(col("n") === 1, lit("tierPick")).otherwise(lit("conflict")))
+        .when(col("n") === 1, "oneRel")
+        .when(col("cntAtMax") === 1, "longestEvidence")
+        .when(col("anyMatch") === 1, "symbolMatch")
+        .otherwise("shortestSymbol"))
+      .filter(
+        // manual/Alliance tiers: singleton or conflict-no-pick (W4)
+        (!isBestFitTier && col("n") === 1) ||
+        // best-fit tiers: branch-specific winner (W2)
+        (isBestFitTier && (
+          (col("n") === 1) ||
+          (col("cntAtMax") === 1 && col("rnEv") === 1) ||
+          (col("cntAtMax") > 1 && col("anyMatch") === 1 && col("rnSym") === 1) ||
+          (col("cntAtMax") > 1 && col("anyMatch") === 0 && col("rnAlpha") === 1))))
+
+    picked.select(
+      col("groupId"), col("srcRgdId"), col("destRgdId"),
+      col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
+      col("xrefDataSrc"), col("xrefDataSet"), col("tier"), col("method"))
+  }
+
+  /** Convenience: candidates + pick in one call. */
+  def run(relations: DataFrame, orthologs: DataFrame, agr: DataFrame,
+          genes: DataFrame): DataFrame =
+    pickStrongOrthologs(candidates(relations, orthologs, agr, genes), genes)
+}

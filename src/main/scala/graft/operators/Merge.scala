@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exprs
+
+/** M1/M2/W1/W3/F11/M3: reconcile incoming strong orthologs against the
+  * ortholog state table.
+  *
+  * The reference does this row-at-a-time with interleaved reads and
+  * writes (OrthologRelationLoader.java:591-672,
+  * OrthologRelationDao.java:73-159). Recast as a pure function
+  * `(incoming, state, runTs) => (newState, audit)`: all decisions are
+  * computed against the prior-state snapshot and applied in one
+  * deterministic merge - a full-outer join plus tag classification, no
+  * driver-side loops.
+  */
+object Merge {
+
+  /** W3 comparator as a window ordering: source priority desc, evidence
+    * count desc, src-symbol match desc, dest symbol REVERSE-alphabetical
+    * (note: unlike W2's ascending rule - ref
+    * OrthologRelationDao.java:161-188 returns
+    * `dest2.compareToIgnoreCase(dest1)`, i.e. descending), then key for
+    * determinism. */
+  def w3OrderCols(prefix: String = ""): Seq[Column] = Seq(
+    Exprs.sourcePriority(col(s"${prefix}xrefDataSrc")).desc,
+    Exprs.evidenceCount(col(s"${prefix}xrefDataSet")).desc,
+    col(s"${prefix}symMatch").desc,
+    lower(col(s"${prefix}destSymbol")).desc_nulls_last,
+    col(s"${prefix}destRgdId").asc)
+
+  private def withSymbols(df: DataFrame, genes: DataFrame): DataFrame = {
+    val symbols = broadcast(genes.select(col("rgdId"), col("geneSymbol")))
+    df.join(symbols.select(col("rgdId").as("srcRgdId"),
+        col("geneSymbol").as("srcSymbol")), Seq("srcRgdId"), "left")
+      .join(symbols.select(col("rgdId").as("destRgdId"),
+        col("geneSymbol").as("destSymbol")), Seq("destRgdId"), "left")
+      .withColumn("symMatch",
+        when(Exprs.symbolMatches(col("srcSymbol"), col("destSymbol")), 1).otherwise(0))
+  }
+
+  /** Result of the reconcile step. All members are DataFrames over the
+    * ortholog schema (+ audit columns); `newState` is the post-merge state
+    * table. */
+  case class MergeResult(newState: DataFrame, touched: DataFrame,
+                         inserted: DataFrame, deleted: DataFrame,
+                         downgraded: DataFrame)
+
+  /** M1 + M2: reconcile incoming picks with state for one species pair.
+    *
+    * Per (srcRgdId, destSpeciesTypeKey):
+    *  - multiple state rows: keep the W3-best, queue the rest for delete
+    *    (OrthologRelationDao.java:122-133)
+    *  - same destRgdId as incoming: MATCH -> touch last_modified
+    *    (OrthologRelationLoader.java:611-615; update by user 70 at :629)
+    *  - no state row: INSERT (:616-620)
+    *  - different dest: W3 comparison; existing weaker -> delete existing +
+    *    insert incoming; incoming weaker -> DOWNGRADE incoming to weak
+    *    ortholog (:621-625, OrthologRelationDao.java:140-158)
+    *  - M2 stale sweep: state rows of the species pair not touched this
+    *    run are deleted - unless manual (F11) or the sole surviving row
+    *    for their (src, destSpecies) (OrthologRelationLoader.java:657-672,
+    *    OrthologRelationDao.java:73-100)
+    *  - F11 everywhere: manual rows (xrefDataSrc='RGD') are never deleted
+    *    (OrthologRelationDao.java:481-490)
+    *
+    * `speciesPair` filters which state rows participate in the stale sweep
+    * (both directions of human<->species).
+    */
+  def reconcile(incoming: DataFrame, state: DataFrame, genes: DataFrame,
+                runTs: java.sql.Timestamp, speciesTypeKey: Int,
+                pipelineUserId: Int = 70): MergeResult = {
+
+    val human = graft.model.Species.HUMAN
+    val key = Seq("srcRgdId", "destSpeciesTypeKey")
+
+    // dedupe incoming per (src, destSp) with the W3 ordering: sequential
+    // group processing order in the reference is the only thing that broke
+    // such ties; any comparator-total order is accepted (SURVEY.md section 4)
+    val incomingSym = withSymbols(incoming, genes)
+    val wInc = Window.partitionBy(key.map(col): _*).orderBy(w3OrderCols(): _*)
+    val inc = incomingSym.withColumn("rnInc", row_number().over(wInc))
+      .filter(col("rnInc") === 1).drop("rnInc")
+      .select(col("srcRgdId"), col("destRgdId"), col("srcSpeciesTypeKey"),
+        col("destSpeciesTypeKey"), col("xrefDataSrc"), col("xrefDataSet"),
+        col("symMatch"), col("srcSymbol"), col("destSymbol"))
+
+    // rank state rows per (src, destSp); best is the comparison target,
+    // the rest are duplicate-conflict deletes (minus manual per F11)
+    val stateSym = withSymbols(state, genes)
+    val wState = Window.partitionBy(key.map(col): _*).orderBy(w3OrderCols(): _*)
+    val rankedState = stateSym.withColumn("rnState", row_number().over(wState))
+
+    val bestState = rankedState.filter(col("rnState") === 1)
+    val dupDeletes = rankedState.filter(col("rnState") > 1 &&
+      col("xrefDataSrc") =!= "RGD")
+
+    // full-outer classification join on (src, destSp)
+    val i = inc.select(
+      col("srcRgdId").as("k_src"), col("destSpeciesTypeKey").as("k_dsp"),
+      struct(inc.columns.map(col): _*).as("inc"))
+    val s = bestState.select(
+      col("srcRgdId").as("k_src"), col("destSpeciesTypeKey").as("k_dsp"),
+      struct(bestState.columns.map(col): _*).as("ex"))
+
+    val cmp = joinedComparison(i.join(s, Seq("k_src", "k_dsp"), "full_outer"))
+
+    val touched = cmp.filter(col("cls") === "match")
+      .select(col("ex.*")).drop("rnState", "symMatch", "srcSymbol", "destSymbol")
+      .withColumn("lastModifiedBy", lit(pipelineUserId))
+      .withColumn("lastModifiedDate", lit(runTs))
+
+    val insertedRaw = cmp.filter(col("cls") === "insert" || col("cls") === "replace")
+      .select(col("inc.*")).drop("symMatch", "srcSymbol", "destSymbol")
+
+    val replacedDeletes = cmp.filter(col("cls") === "replace" &&
+        col("ex.xrefDataSrc") =!= "RGD")
+      .select(col("ex.*")).drop("rnState", "symMatch", "srcSymbol", "destSymbol")
+
+    val downgraded = cmp.filter(col("cls") === "downgrade")
+      .select(col("inc.*")).drop("symMatch", "srcSymbol", "destSymbol")
+
+    // assign surrogate keys to inserts: max existing key + dense row_number
+    // over a stable sort (deterministic; tests never depend on absolute ids)
+    val maxKey = state.agg(coalesce(max(col("key")), lit(0L))).first().getLong(0)
+    val inserted = insertedRaw
+      .withColumn("key", lit(maxKey) + row_number().over(
+        Window.orderBy(col("srcRgdId"), col("destSpeciesTypeKey"), col("destRgdId"))))
+      .withColumn("orthologTypeKey",
+        Exprs.orthologTypeKey(col("srcSpeciesTypeKey"), col("destSpeciesTypeKey")))
+      .withColumn("xrefDataSet", Exprs.canonicalXrefDataSet(col("xrefDataSet")))
+      .withColumn("createdBy", lit(pipelineUserId))
+      .withColumn("createdDate", lit(runTs))
+      .withColumn("lastModifiedBy", lit(pipelineUserId))
+      .withColumn("lastModifiedDate", lit(runTs))
+      .select(state.columns.map(col): _*)
+
+    // state after match/insert/replace/dup-cleanup
+    val deletes0 = dupDeletes.select(col("key"))
+      .union(replacedDeletes.select(col("key")))
+    val touchedKeys = touched.select(col("key"))
+
+    val kept = state
+      .join(deletes0, Seq("key"), "left_anti")
+      .join(touchedKeys.withColumnRenamed("key", "tKey"),
+        col("key") === col("tKey"), "left")
+      .withColumn("lastModifiedBy",
+        when(col("tKey").isNotNull, lit(pipelineUserId)).otherwise(col("lastModifiedBy")))
+      .withColumn("lastModifiedDate",
+        when(col("tKey").isNotNull, lit(runTs)).otherwise(col("lastModifiedDate")))
+      .drop("tKey")
+
+    val merged = kept.unionByName(inserted)
+
+    // M2: stale sweep over the species pair; a row survives if touched
+    // this run, manual, or the only row for its (src, destSp) in the
+    // post-merge state (REQUIREMENT 2, OrthologRelationDao.java:92-99)
+    val inPair = (col("srcSpeciesTypeKey") === human &&
+        col("destSpeciesTypeKey") === speciesTypeKey) ||
+      (col("srcSpeciesTypeKey") === speciesTypeKey &&
+        col("destSpeciesTypeKey") === human)
+    val wCnt = Window.partitionBy(key.map(col): _*)
+    val withCnt = merged.withColumn("pairCnt", count(lit(1)).over(wCnt))
+    val stale = withCnt.filter(inPair &&
+      col("lastModifiedDate") < lit(runTs) &&
+      col("xrefDataSrc") =!= "RGD" &&
+      col("pairCnt") > 1)
+
+    val newState = withCnt
+      .join(stale.select(col("key")), Seq("key"), "left_anti")
+      .drop("pairCnt")
+
+    val deleted = dupDeletes.drop("rnState", "symMatch", "srcSymbol", "destSymbol")
+      .unionByName(replacedDeletes)
+      .unionByName(stale.drop("pairCnt"))
+
+    MergeResult(newState, touched, inserted, deleted, downgraded)
+  }
+
+  /** Classify each (incoming, existing) pair: match / insert / replace /
+    * downgrade / stale-candidate. The W3 comparison is inlined as column
+    * expressions over the two structs. */
+  private def joinedComparison(j: DataFrame): DataFrame = {
+    val exP = Exprs.sourcePriority(col("ex.xrefDataSrc"))
+    val inP = Exprs.sourcePriority(col("inc.xrefDataSrc"))
+    val exEv = Exprs.evidenceCount(col("ex.xrefDataSet"))
+    val inEv = Exprs.evidenceCount(col("inc.xrefDataSet"))
+    // compareOrthologs(existing, incoming) > 0  <=>  existing is weaker
+    // (OrthologRelationDao.java:164-188); symbol rules inline:
+    val exSymMatch = col("ex.symMatch") === 1
+    val inSymMatch = col("inc.symMatch") === 1
+    val existingWeaker =
+      when(exP =!= inP, exP < inP)
+        .when(exEv =!= inEv, exEv < inEv)
+        .when(exSymMatch, false) // rule: existing's dest matches src symbol -> existing first
+        .when(inSymMatch, true)
+        // reverse-alphabetical: existing weaker when its symbol sorts lower
+        .otherwise(lower(col("ex.destSymbol")) < lower(col("inc.destSymbol")))
+
+    j.withColumn("cls",
+      when(col("inc").isNull, "stale")
+        .when(col("ex").isNull, "insert")
+        .when(col("ex.destRgdId") === col("inc.destRgdId"), "match")
+        .when(existingWeaker, "replace")
+        .otherwise("downgrade"))
+  }
+
+  /** W1: priority-ranked duplicate cleanup - for each (src, dest) pair
+    * keep the highest-priority row; rows below rank 1 that are owned by
+    * the pipeline are deleted. A direct window translation of the
+    * reference's ROW_NUMBER SQL (OrthologRelationDao.java:798-819). */
+  def deleteDuplicateNonManualOrthologs(state: DataFrame, pipelineUserId: Int = 70)
+      : (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col("srcRgdId"), col("destRgdId"))
+      .orderBy(Exprs.sourcePriority(col("xrefDataSrc")).desc, col("key").asc)
+    val ranked = state.withColumn("rn", row_number().over(w))
+    val toDelete = ranked.filter(col("rn") > 1 && col("createdBy") === pipelineUserId)
+    (ranked.join(toDelete.select(col("key")), Seq("key"), "left_anti").drop("rn"),
+      toDelete.drop("rn"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Species
+
+/** Deterministic ortholog-shaped fixtures derived from the driver's
+  * TPC-H-ish test tables - the flagship query runs the full pipeline on
+  * these (no synthetic data generated outside /root/testdata; every row
+  * derives 1:1 from a testdata row).
+  *
+  * Mapping: `part` rows become genes (even keys human, odd keys rat),
+  * `lineitem` rows become HCOP/NCBI ortholog relations between them,
+  * `orders` rows seed the AGR mutual-best table.
+  */
+object Fixtures {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Gene dimension: rgdId = p_partkey + 1000 (reserve low ids), species
+    * by parity, symbol from p_name. */
+  def genes(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").select(
+      (col("p_partkey") + 1000).cast("int").as("rgdId"),
+      col("p_name").as("geneSymbol"),
+      col("p_name").as("geneName"),
+      when(col("p_partkey") % 37 === 0, "allele")
+        .otherwise("protein-coding").as("geneTypeLc"),
+      when(col("p_partkey") % 2 === 0, Species.HUMAN)
+        .otherwise(Species.RAT).cast("int").as("speciesTypeKey"),
+      upper(col("p_name")).as("ensemblGeneSymbol"))
+
+  /** Object registry: every 17th gene WITHDRAWN, the rest ACTIVE. */
+  def rgdIds(spark: SparkSession, dir: String): DataFrame =
+    genes(spark, dir).select(
+      col("rgdId"),
+      when(col("rgdId") % 17 === 0, "WITHDRAWN").otherwise("ACTIVE")
+        .as("objectStatus"),
+      col("speciesTypeKey"))
+
+  /** EntrezGene xrefs: accId "EG<rgdId>". */
+  def xrefs(spark: SparkSession, dir: String): DataFrame =
+    genes(spark, dir).select(
+      col("rgdId").cast("long").as("accXdbKey"),
+      col("rgdId"),
+      lit(graft.model.XdbKeys.ENTREZGENE).as("xdbKey"),
+      concat(lit("EG"), col("rgdId")).as("accId"),
+      lit("fixture").as("srcPipeline"),
+      lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("modificationDate"))
+
+  /** Withdrawn -> replacement: next even/odd id two above (same parity,
+    * usually ACTIVE). */
+  def history(spark: SparkSession, dir: String): DataFrame =
+    rgdIds(spark, dir).filter(col("objectStatus") === "WITHDRAWN")
+      .select(col("rgdId").as("oldRgdId"),
+        (col("rgdId") + 2).cast("int").as("newRgdId"))
+
+  /** HCOP/NCBI-shaped relations from lineitem: human gene from
+    * l_orderkey, rat gene from l_partkey; source by line parity;
+    * evidence CSV from the flags. */
+  def relations(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val humanId = (pmod(col("l_orderkey"), lit(100)) * 2 + 1000).cast("int")
+    val ratId = (pmod(col("l_partkey"), lit(100)) * 2 + 1001).cast("int")
+    li.select(
+      concat(lit("EG"), humanId).as("srcOtherId"),
+      concat(lit("EG"), ratId).as("destOtherId"),
+      lit(Species.HUMAN).as("srcSpeciesTypeKey"),
+      lit(Species.RAT).as("destSpeciesTypeKey"),
+      when(col("l_linenumber") % 2 === 1, "HGNC").otherwise("NCBI").as("dataSource"),
+      when(col("l_linenumber") % 2 === 1,
+        concat_ws(", ",
+          when(col("l_returnflag") === "R", "OrthoDB").otherwise("Ensembl"),
+          when(col("l_linestatus") === "F", "OMA").otherwise("HomoloGene")))
+        .otherwise(lit("Ortholog")).as("dataSetName"))
+  }
+
+  /** AGR mutual-best rows from orders (sparse: every 5th order). */
+  def agrOrthologs(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+    val ts = java.sql.Timestamp.valueOf("2026-06-01 00:00:00")
+    o.select(
+      (pmod(col("o_orderkey"), lit(100)) * 2 + 1000).cast("int").as("geneRgdId1"),
+      (pmod(col("o_custkey"), lit(100)) * 2 + 1001).cast("int").as("geneRgdId2"),
+      lit("stringent").as("confidence"),
+      when(col("o_orderstatus") =!= "P", "Y").otherwise("N").as("isBestScore"),
+      when(col("o_totalprice") > 50000, "Y").otherwise("N").as("isBestRevScore"),
+      lit("Ensembl Compara|InParanoid|OMA").as("methodsMatched"),
+      lit(ts).as("createdDate"),
+      lit(ts).as("lastUpdateDate"))
+  }
+
+  /** Prior ortholog state: a handful of manual rows (every 50th human
+    * gene) so the manual tier and F11 guards are exercised. */
+  def orthologs(spark: SparkSession, dir: String): DataFrame = {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    genes(spark, dir)
+      .filter(col("speciesTypeKey") === Species.HUMAN && col("rgdId") % 50 === 0)
+      .select(
+        col("rgdId").cast("long").as("key"),
+        col("rgdId").as("srcRgdId"),
+        (col("rgdId") + 1).cast("int").as("destRgdId"),
+        lit(Species.HUMAN).as("srcSpeciesTypeKey"),
+        lit(Species.RAT).as("destSpeciesTypeKey"),
+        lit("RGD").as("xrefDataSrc"),
+        lit("curated").as("xrefDataSet"),
+        lit(Species.directOrthologTypeKey).as("orthologTypeKey"),
+        lit(1).as("createdBy"), lit(ts).as("createdDate"),
+        lit(1).as("lastModifiedBy"), lit(ts).as("lastModifiedDate"))
+  }
+
+  def associations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String, Int, Int, String, java.sql.Timestamp)]
+      .toDF("assocKey", "assocType", "assocSubType", "masterRgdId",
+        "detailRgdId", "srcPipeline", "creationDate")
+  }
+
+  /** Full prior-state snapshot for the flagship run. */
+  def state(spark: SparkSession, dir: String): OrthologPipeline.State =
+    OrthologPipeline.State(
+      orthologs = orthologs(spark, dir),
+      associations = associations(spark, dir),
+      agrOrthologs = agrOrthologs(spark, dir),
+      xrefs = xrefs(spark, dir),
+      genes = genes(spark, dir),
+      rgdIds = rgdIds(spark, dir),
+      history = history(spark, dir))
+}

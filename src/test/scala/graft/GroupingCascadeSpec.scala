@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Cascade, Grouping}
+
+/** A3 merge semantics (OrthologGroup.java:20-60), U2 complement
+  * (:66-91), W4 cascade + W2 best-fit
+  * (OrthologRelationLoader.java:454-578). */
+class GroupingCascadeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rel(src: Int, dest: Int, ds: String, dsn: String) =
+    (src, dest, 1, 3, ds, dsn)
+
+  private def relDf(rows: (Int, Int, Int, Int, String, String)*): DataFrame =
+    rows.toDF("srcRgdId", "destRgdId", "srcSpeciesTypeKey",
+      "destSpeciesTypeKey", "dataSource", "dataSetName")
+
+  test("A3: same-source duplicates union evidence tokens, sorted+deduped") {
+    val m = Grouping.mergeRelations(relDf(
+      rel(1, 2, "HGNC", "OrthoDB, Ensembl"),
+      rel(1, 2, "HGNC", "OMA, Ensembl")))
+      .select("dataSource", "dataSetName").as[(String, String)].collect()
+    assert(m.toSeq == Seq(("HGNC", "Ensembl, OMA, OrthoDB")))
+  }
+
+  test("A3: HGNC+NCBI merge appends the literal token NCBI (OrthologGroup:39-46)") {
+    val m = Grouping.mergeRelations(relDf(
+      rel(1, 2, "HGNC", "OrthoDB"),
+      rel(1, 2, "NCBI", "Ortholog")))
+      .select("dataSource", "dataSetName").as[(String, String)].collect()
+    assert(m.toSeq == Seq(("HGNC", "NCBI, OrthoDB")))
+  }
+
+  test("A3: NCBI-only pair keeps NCBI source and its own dataset") {
+    val m = Grouping.mergeRelations(relDf(rel(1, 2, "NCBI", "Ortholog")))
+      .select("dataSource", "dataSetName").as[(String, String)].collect()
+    assert(m.toSeq == Seq(("NCBI", "Ortholog")))
+  }
+
+  test("U2: complement mirrors each relation with swapped keys/species") {
+    val c = Grouping.withComplementaryRelations(
+      Grouping.mergeRelations(relDf(rel(1, 2, "HGNC", "OrthoDB"))))
+    val rows = c.select("srcRgdId", "destRgdId", "srcSpeciesTypeKey",
+      "destSpeciesTypeKey", "groupId").as[(Int, Int, Int, Int, Int)]
+      .collect().toSet
+    assert(rows == Set((1, 2, 1, 3, 1), (2, 1, 3, 1, 1)))
+  }
+
+  // ---- cascade fixtures ----
+  private def emptyOrthologs = Fixture.emptyOrthologs(spark)
+  private def emptyAgr = Fixture.emptyAgr(spark)
+
+  private def genes(rows: (Int, String)*): DataFrame =
+    rows.map { case (id, sym) => (id, sym, sym, "protein-coding", 3, sym) }
+      .toDF("rgdId", "geneSymbol", "geneName", "geneTypeLc",
+        "speciesTypeKey", "ensemblGeneSymbol")
+
+  private def pick(relations: DataFrame, orthologs: DataFrame = null,
+                   agr: DataFrame = null, gs: DataFrame = null): Seq[(Int, String, String)] = {
+    val withGroup = relations.withColumn("groupId", col("srcRgdId"))
+    Cascade.run(withGroup,
+      Option(orthologs).getOrElse(emptyOrthologs),
+      Option(agr).getOrElse(emptyAgr),
+      Option(gs).getOrElse(genes((2, "g2"), (3, "g3"), (4, "g4"), (1, "g1"))))
+      .select("destRgdId", "xrefDataSrc", "method")
+      .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+  }
+
+  test("W2 rule 0: singleton wins (oneRel)") {
+    assert(pick(relDf(rel(1, 2, "NCBI", "Ortholog"))) ==
+      Seq((2, "NCBI", "oneRel")))
+  }
+
+  test("W2 rule 1: strictly-max evidence wins (longestEvidence)") {
+    assert(pick(relDf(
+      rel(1, 2, "NCBI", "A, B, C"),
+      rel(1, 3, "NCBI", "A, B"))) == Seq((2, "NCBI", "longestEvidence")))
+  }
+
+  test("W2 rule 2: evidence tie -> dest symbol matching src symbol wins") {
+    val gs = genes((1, "Abc"), (2, "zzz"), (3, "ABC"))
+    assert(pick(relDf(
+      rel(1, 2, "NCBI", "A, B"),
+      rel(1, 3, "NCBI", "C, D")), gs = gs) == Seq((3, "NCBI", "symbolMatch")))
+  }
+
+  test("W2 rule 3: no strict max, no symbol match -> min ci symbol over ALL " +
+    "candidates (even lower-evidence ones)") {
+    val gs = genes((1, "src"), (2, "bbb"), (3, "ccc"), (4, "AAA"))
+    // 2 and 3 tie at evidence 2; 4 has less evidence but smallest symbol:
+    // the reference's final sort ranks ALL relations by symbol (Loader:568-575)
+    assert(pick(relDf(
+      rel(1, 2, "NCBI", "A, B"),
+      rel(1, 3, "NCBI", "C, D"),
+      rel(1, 4, "NCBI", "E")), gs = gs) == Seq((4, "NCBI", "shortestSymbol")))
+  }
+
+  test("W4: HGNC tier beats NCBI tier regardless of evidence") {
+    assert(pick(relDf(
+      rel(1, 2, "NCBI", "A, B, C, D"),
+      rel(1, 3, "HGNC", "X"))) == Seq((3, "HGNC", "oneRel")))
+  }
+
+  test("W4: manual ortholog wins over everything; manual conflict -> no pick") {
+    val manual1 = Seq((10L, 1, 4, 1, 3, "RGD", "curated", 11, 1)).toDF(
+      "key", "srcRgdId", "destRgdId", "srcSpeciesTypeKey",
+      "destSpeciesTypeKey", "xrefDataSrc", "xrefDataSet", "orthologTypeKey",
+      "createdBy")
+    assert(pick(relDf(rel(1, 2, "HGNC", "X")), orthologs = manual1) ==
+      Seq((4, "RGD", "tierPick")))
+
+    val manual2 = Seq(
+      (10L, 1, 4, 1, 3, "RGD", "curated", 11, 1),
+      (11L, 1, 3, 1, 3, "RGD", "curated", 11, 1)).toDF(
+      "key", "srcRgdId", "destRgdId", "srcSpeciesTypeKey",
+      "destSpeciesTypeKey", "xrefDataSrc", "xrefDataSet", "orthologTypeKey",
+      "createdBy")
+    // >1 manual candidate: CONFLICT -> no pick at all (Loader:468-471)
+    assert(pick(relDf(rel(1, 2, "HGNC", "X")), orthologs = manual2).isEmpty)
+  }
+
+  test("W4: Alliance mutual-best outranks HGNC; non-mutual-best ignored") {
+    val agr = Seq(
+      (1, 3, "stringent", "Y", "Y", "OMA|PANTHER"),
+      (1, 4, "stringent", "Y", "N", "OMA")).toDF(
+      "geneRgdId1", "geneRgdId2", "confidence", "isBestScore",
+      "isBestRevScore", "methodsMatched")
+    assert(pick(relDf(rel(1, 2, "HGNC", "X")), agr = agr) ==
+      Seq((3, "Alliance", "tierPick")))
+  }
+
+  test("property: a pick always comes from the maximal tier present " +
+    "(seeded random trials)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val n = 1 + rnd.nextInt(5)
+      val rows = (0 until n).map { i =>
+        (2 + rnd.nextInt(8), if (rnd.nextBoolean()) "HGNC" else "NCBI",
+          if (rnd.nextBoolean()) "A" else "A, B")
+      }.groupBy(r => r._1).map(_._2.head).toSeq
+      val df = relDf(rows.map { case (d, ds, ev) => rel(1, d, ds, ev) }: _*)
+      val picks = pick(Grouping.mergeRelations(df)
+        .select("srcRgdId", "destRgdId", "srcSpeciesTypeKey",
+          "destSpeciesTypeKey", "dataSource", "dataSetName"))
+      assert(picks.size == 1)
+      // after merge a pair has source HGNC iff any HGNC relation existed
+      val expectedSrc = if (rows.exists(_._2 == "HGNC")) "HGNC" else "NCBI"
+      assert(picks.head._2 == expectedSrc)
+    }
+  }
+}
+
+object Fixture {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  def emptyOrthologs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Int, Int, Int, Int, String, String, Int, Int)].toDF(
+      "key", "srcRgdId", "destRgdId", "srcSpeciesTypeKey",
+      "destSpeciesTypeKey", "xrefDataSrc", "xrefDataSet", "orthologTypeKey",
+      "createdBy")
+  }
+
+  def emptyAgr(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Int, String, String, String, String)].toDF(
+      "geneRgdId1", "geneRgdId2", "confidence", "isBestScore",
+      "isBestRevScore", "methodsMatched")
+  }
+}
