@@ -306,6 +306,38 @@ object SparkEntry {
           length(col("canon")) < length(col("orig")))
     }),
 
+    // X10: age-in-days freshness math (datediff)
+    "q_x10_age_days" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        datediff(lit("2026-08-12"), col("o_orderdate")).as("age_days"))),
+
+    // X11: signed-diff report format
+    "q_x11_signed_diff" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("o_orderstatus"),
+          format_string("%+d", col("n") - 1000).as("diff"))),
+
+    // D6: symbol QC - rows whose two symbol columns disagree case-insens
+    "q_d6_symbol_qc" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter(!(lower(col("p_name")) <=> lower(col("p_type"))))
+        .select(col("p_partkey"), col("p_name"), col("p_type"))),
+
+    // M6: touch-seen + cutoff sweep (xref QC shape): touched rows get the
+    // run timestamp, untouched stale rows drop out
+    "q_m6_touch_sweep" -> ((s, dir) => {
+      val touched = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey")).distinct()
+      t(s, dir, "customer")
+        .join(touched, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("mod_date",
+          when(col("o_custkey").isNotNull, lit("2026-08-01"))
+            .otherwise(lit("2026-01-01")))
+        .filter(col("mod_date") >= "2026-06-01")
+        .select(col("c_custkey"), col("mod_date"))
+    }),
+
     // ---- events: per-entity aggregation (A2/A5 shape on the stream table) ----
     "q_e_user_stats" -> ((s, dir) =>
       t(s, dir, "events").groupBy(col("user_id"))
@@ -587,6 +619,31 @@ object SparkEntry {
                     AS canon
            FROM part)
          WHERE canon <> orig AND len(canon) < len(orig)""",
+
+    "q_x10_age_days" ->
+      """SELECT o_orderkey,
+             CAST(datediff('day', o_orderdate, TIMESTAMP '2026-08-12') AS INT)
+               AS age_days
+         FROM orders""",
+
+    "q_x11_signed_diff" ->
+      """SELECT o_orderstatus, printf('%+d', n - 1000) AS diff FROM (
+           SELECT o_orderstatus, count(*) AS n FROM orders
+           GROUP BY o_orderstatus)""",
+
+    "q_d6_symbol_qc" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+         WHERE NOT (lower(p_name) = lower(p_type))""",
+
+    "q_m6_touch_sweep" ->
+      """SELECT c_custkey,
+             CASE WHEN o_custkey IS NOT NULL THEN '2026-08-01'
+                  ELSE '2026-01-01' END AS mod_date
+         FROM customer LEFT JOIN
+           (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O') o
+           ON c_custkey = o_custkey
+         WHERE CASE WHEN o_custkey IS NOT NULL THEN '2026-08-01'
+                    ELSE '2026-01-01' END >= '2026-06-01'""",
 
     "q_e_user_stats" ->
       """SELECT user_id, count(*) AS n_events,

@@ -43,10 +43,20 @@ object Dedup {
 
   /** MinHash signature: k permutations approximated by k seeded xxhash64
     * draws; position p of the signature is min over shingles of
-    * xxhash64(p, shingle). */
+    * xxhash64(p, shingle).
+    *
+    * Computed as ONE aggregate pass over the shingle array (accumulator =
+    * running element-wise min of the k-hash vector). The naive
+    * "transform over positions, min over shingles" nesting re-evaluates
+    * the shingle expression k times per row - a 64x blowup measured in
+    * the bench. */
   def minhashSignature(shingleCol: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      p => array_min(transform(shingleCol, s => xxhash64(p, s))))
+    aggregate(
+      shingleCol,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc,
+        transform(sequence(lit(0), lit(k - 1)), p => xxhash64(p, s)),
+        (a, b) => least(a, b)))
 
   /** Banded LSH self-join: docs sharing at least one (band, bandHash)
     * bucket become candidate pairs; pairs are then verified by the
@@ -109,17 +119,20 @@ object Dedup {
     * entirely with higher-order array expressions (codegen'd, no UDF). */
   def simhash(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\W+", -1)
-    val hashes = transform(toks, t => xxhash64(t))
-    // bit positions are a static range, so the fold happens at plan-build
-    // time (Scala ints feed shiftright's numBits) - one expression tree,
-    // still fully codegen'd
-    (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
-      acc + when(
-        aggregate(hashes, lit(0L),
-          (s, h) => s + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-          > 0,
-        lit(1L << b)).otherwise(0L)
-    }
+    // ONE aggregate pass over the tokens: the accumulator is the vector
+    // of 64 per-bit +-1 counters (folding per bit would re-tokenize the
+    // text 64 times); the finish lambda packs the counters into a long,
+    // evaluating the accumulator exactly once
+    aggregate(
+      transform(toks, t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(b =>
+          when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*),
+        (a, d) => a + d),
+      acc => (0 until 64).foldLeft(lit(0L)) { (packed, b) =>
+        packed + when(element_at(acc, b + 1) > 0, lit(1L << b)).otherwise(0L)
+      })
   }
 
   /** SimHash near-dup pairs: block on 16-bit chunks (any pair within

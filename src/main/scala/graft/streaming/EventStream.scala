@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` table shape.
+  *
+  * The reference is strictly batch (SURVEY §2.11 - no streams anywhere),
+  * so nothing here is required for parity; this module covers the stream
+  * side of the engine's own surface: the same aggregations the batch
+  * queries run, expressed as incremental plans with watermarks and
+  * keyed state. At scale these run with `readStream` over the same
+  * parquet/kafka sources; state is bounded by the watermark.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionUpdate(user_id: Long, n_events: Long, sum_value: Double,
+                           closed: Boolean)
+
+  /** Watermarked tumbling-window counts per event type - the streaming
+    * twin of q_e_user_stats. Late events beyond the watermark are
+    * dropped; state is purged per window. */
+  def windowedTypeCounts(events: DataFrame, window: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+
+  /** Exactly-once-per-key dedupe within the watermark horizon - the
+    * streaming form of exact dedup (state bounded by the watermark). */
+  def dedupeEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** Custom keyed state: per-user running session via
+    * flatMapGroupsWithState - emits an update per batch and, when a
+    * processing-time timeout is configured (timeoutMs > 0), a final
+    * `closed` record when the user goes idle. The
+    * KeyValueGroupedDataset.mapGroupsWithState family is the engine's
+    * answer to "custom state machine" stream operators.
+    *
+    * Note: with a timeout the engine schedules periodic timeout-check
+    * batches, so `processAllAvailable` never drains - tests use
+    * timeoutMs=0 (NoTimeout). */
+  def userSessions(events: Dataset[Event],
+                   timeoutMs: Long = 30 * 60 * 1000L): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), SessionUpdate](
+        OutputMode.Append(), timeoutConf) {
+        case (userId, rows, state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, sum) = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, n, sum, closed = true))
+          } else {
+            val batch = rows.toSeq
+            val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
+            val updated = (n0 + batch.size, sum0 + batch.map(_.value).sum)
+            state.update(updated)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            Iterator(SessionUpdate(userId, updated._1, updated._2, closed = false))
+          }
+      }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured Streaming operators driven through MemoryStream - the
+  * incremental twin of the batch event queries. Data is added BEFORE
+  * start so the first micro-batch sees it; processAllAvailable drains. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) =
+    java.sql.Timestamp.valueOf(f"2026-08-01 10:$min%02d:00")
+
+  test("windowed type counts aggregate incrementally with a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(1), 7, "click", 1.0),
+      Event(2, ts(2), 7, "click", 2.0),
+      Event(3, ts(12), 8, "view", 5.0))
+    val query = EventStream.windowedTypeCounts(input.toDF(), "10 minutes", "20 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.sql(
+      "SELECT event_type, n_events, sum_value FROM win_counts")
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("streaming dedupe drops replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(1), 7, "click", 1.0),
+      Event(1, ts(1), 7, "click", 1.0), // exact replay
+      Event(2, ts(2), 7, "click", 2.0))
+    val query = EventStream.dedupeEvents(input.toDF(), "20 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+
+    assert(spark.sql("SELECT count(*) FROM deduped").as[Long].head() == 2L)
+  }
+
+  test("keyed session state accumulates per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(1), 7, "click", 1.0),
+      Event(2, ts(2), 7, "click", 2.5),
+      Event(3, ts(3), 9, "view", 4.0))
+    val query = EventStream.userSessions(input.toDS(), timeoutMs = 0)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.sql(
+      "SELECT user_id, n_events, sum_value, closed FROM sessions")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(rows == Set((7L, 2L, 3.5, false), (9L, 1L, 4.0, false)))
+  }
+}
