@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan for representative
+  * queries and greps it for the properties that matter at scale -
+  * predicate pushdown reaching the parquet scan, pruned read schemas,
+  * broadcast joins on dimension tables, whole-stage codegen coverage,
+  * and the absence of cartesian products.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val interesting = Seq(
+      "q_f2_filter",      // pushdown + pruning
+      "q_f3_set_filter",  // broadcast dim join
+      "q_j1_resolution",  // outer join + agg
+      "q_a1_groupagg",    // partial aggregation
+      "q_w4_cascade",     // window chain
+      "q_d_minhash_pairs",// LSH self-join
+      "q_ann_neardup")    // bucket join
+
+    interesting.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      // execute THIS QueryExecution (df.write would clone it), so AQE
+      // finalizes the plan we inspect
+      df.queryExecution.toRdd.count()
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      println(s"\n===== $name =====")
+      println("PushedFilters : " + occurrences(plan, "PushedFilters: \\[[^\\]]*[A-Za-z][^\\]]*\\]"))
+      println("ReadSchema    : " + firstMatch(plan, "ReadSchema: [^\\n]*"))
+      println("BroadcastHash : " + count(plan, "BroadcastHashJoin"))
+      println("SortMergeJoin : " + count(plan, "SortMergeJoin"))
+      println("ShuffleHash   : " + count(plan, "ShuffledHashJoin"))
+      println("Exchanges     : " + count(plan, "Exchange"))
+      // formatted mode annotates codegen'd operators with "[codegen id : n]"
+      println("CodegenOps    : " + count(plan, "codegen id"))
+      println("PartialAggs   : " + count(plan, "partial_"))
+      println("FinalPlan     : " + count(plan, "isFinalPlan=true"))
+      println("Cartesian     : " + count(plan, "CartesianProduct"))
+      println("BNLJ          : " + count(plan, "BroadcastNestedLoop"))
+      if (args.length > 1 && args(1) == "-v") df.explain("formatted")
+    }
+    spark.stop()
+  }
+
+  private def count(s: String, needle: String): Int =
+    needle.r.findAllIn(s).size
+
+  private def occurrences(s: String, re: String): String =
+    re.r.findAllIn(s).take(3).mkString(" | ") match {
+      case "" => "(none)"
+      case x => x
+    }
+
+  private def firstMatch(s: String, re: String): String =
+    re.r.findFirstIn(s).getOrElse("(none)")
+}
