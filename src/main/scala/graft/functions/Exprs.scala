@@ -55,33 +55,14 @@ object Exprs {
     concat_ws("|", array_sort(array_distinct(split(c, "\\|", -1))))
 
   /** Greek-letter transliteration (X4): the 15-codepoint map of
-    * AgrTsvLoader.parseSymbol. Built from chained replace (translate can't
-    * map one char to many). Other >127 chars are dropped, matching the
+    * AgrTsvLoader.parseSymbol, as a native codegen'd Catalyst expression
+    * (one char scan; the regexp_replace chain equivalent costs 15 regex
+    * passes per row). Other >127 chars are dropped, matching the
     * reference (which logs and skips them).
     * Ref: AgrTsvLoader.java:437-486. */
-  def transliterateGreek(c: Column): Column = {
-    val map: Seq[(String, String)] = Seq(
-      "Δ" -> "DELTA", // Δ 916
-      "α" -> "alpha", // α 945
-      "β" -> "beta", // β 946
-      "γ" -> "gamma", // γ 947
-      "δ" -> "delta", // δ 948
-      "ε" -> "epsilon", // ε 949
-      "ζ" -> "zeta", // ζ 950
-      "η" -> "lambda", // η 951 - sic, the reference maps eta to "lambda"
-      "θ" -> "theta", // θ 952
-      "ι" -> "iota", // ι 953
-      "κ" -> "kappa", // κ 954
-      "λ" -> "lambda", // λ 955
-      "μ" -> "mu", // μ 956
-      "σ" -> "sigma" // σ 963
-    )
-    val mapped = map.foldLeft(c) { case (col, (from, to)) =>
-      regexp_replace(col, from, to)
-    }
-    // drop any remaining non-ASCII character (reference logs + skips it)
-    regexp_replace(mapped, "[^\\x00-\\x7F]", "")
-  }
+  def transliterateGreek(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      GreekTransliterate(org.apache.spark.sql.GraftSqlBridge.expression(c)))
 
   /** Case-insensitive symbol equality (X5), null-safe: null == null.
     * Ref: Utils.stringsCompareToIgnoreCase via

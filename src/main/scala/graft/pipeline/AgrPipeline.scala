@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Agr
+import graft.model.Species
+
+/** The --agrOrthologs flow as one pure batch transformation.
+  *
+  * Mirrors AgrTsvLoader.run2 (AgrTsvLoader.java:44-70): resolve both
+  * curies of every line via the M5 cascade, upsert into AGR_ORTHOLOGS
+  * (S9), then wrap up - stale delete behind the A8 threshold guard and
+  * the M6 curie QC sweep. The reference's parallel stream + retry loop
+  * disappears: resolution is a join, the upsert a keyed merge.
+  */
+object AgrPipeline {
+
+  case class Result(agrOrthologs: DataFrame, xrefs: DataFrame,
+                    unresolved: DataFrame, guardOk: Boolean,
+                    resolutionStats: DataFrame)
+
+  /** @param lines   Readers.readAlliance output
+    * @param cutoff  stale cutoff = runTs - 1h in the reference (X9 clock
+    *                skew guard, AgrTsvLoader.java:51)
+    */
+  def run(lines: DataFrame, agrState: DataFrame, xrefs: DataFrame,
+          genes: DataFrame, rgdIds: DataFrame,
+          runTs: java.sql.Timestamp, cutoff: java.sql.Timestamp,
+          deleteThreshold: String = "10%",
+          maxExistingRgdId: Int = 0): Result = {
+
+    val initialCount = agrState.count()
+
+    // resolve every distinct (curie, symbol, species) via the M5 cascade
+    val curies = lines.select(col("curie1").as("curie"),
+        col("geneSymbol1").as("geneSymbol"),
+        col("speciesTypeKey1").as("speciesTypeKey"))
+      .unionByName(lines.select(col("curie2").as("curie"),
+        col("geneSymbol2").as("geneSymbol"),
+        col("speciesTypeKey2").as("speciesTypeKey")))
+      .distinct()
+
+    val maxRgd =
+      if (maxExistingRgdId > 0) maxExistingRgdId
+      else genes.agg(coalesce(max(col("rgdId")), lit(0))).first().getInt(0)
+    val resolved = Agr.assignNewGenes(
+      Agr.resolveCuries(curies, xrefs, genes, rgdIds), maxRgd)
+      .localCheckpoint() // phase boundary (see OrthologPipeline.phase)
+
+    val unresolved = resolved.filter(col("rgdId").isNull)
+    val stats = resolved.groupBy(col("how")).count()
+
+    // bind lines to gene rgd ids; lines with an unresolvable side are
+    // skipped, matching the reference's per-line skip counter
+    // (AgrTsvLoader.java:159-173)
+    val r1 = resolved.select(col("curie").as("curie1"), col("rgdId").as("rgdId1"))
+    val r2 = resolved.select(col("curie").as("curie2"), col("rgdId").as("rgdId2"))
+    val bound = lines.join(r1, Seq("curie1")).join(r2, Seq("curie2"))
+      .filter(col("rgdId1").isNotNull && col("rgdId2").isNotNull)
+
+    val incoming = bound.select(
+      col("rgdId1").as("geneRgdId1"),
+      col("rgdId2").as("geneRgdId2"),
+      lit("stringent").as("confidence"), // AgrTsvLoader.java:178
+      when(col("isBestScore"), "Y").otherwise("N").as("isBestScore"),
+      when(col("isBestRevScore"), "Y").otherwise("N").as("isBestRevScore"),
+      col("algorithms").as("methodsMatched"))
+
+    val upserted = Agr.upsertAgrOrthologs(incoming, agrState, runTs)
+      .localCheckpoint()
+
+    // A8: stale delete behind the circuit breaker
+    val (finalState, guardOk) =
+      Agr.deleteStaleWithGuard(upserted, cutoff, initialCount, deleteThreshold)
+
+    // M6: curie QC - touch seen AGR_GENE xrefs, sweep stale ones
+    val seen = resolved.filter(col("rgdId").isNotNull).select(col("curie"))
+    val newXrefs = Agr.qcCuries(xrefs, seen, cutoff, runTs)
+
+    Result(finalState, newXrefs, unresolved, guardOk, stats)
+  }
+}

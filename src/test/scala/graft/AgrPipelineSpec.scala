@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.pipeline.AgrPipeline
+
+/** Composed --agrOrthologs flow over an inline fixture
+  * (AgrTsvLoader.java:44-70 semantics, set-wise). */
+class AgrPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val runTs = java.sql.Timestamp.valueOf("2026-08-01 12:00:00")
+  private val cutoff = java.sql.Timestamp.valueOf("2026-08-01 11:00:00")
+  private val old = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
+  private def lines: DataFrame = Seq(
+    // human HGNC:1 <-> fly FB:1, mutual best
+    ("HGNC:1", "TP53", 1, "FB:1", "p53fly", 10, "OMA|PANTHER", "2", "9", true, true),
+    // human HGNC:1 <-> fly FB:NEW (unknown curie, non-HMR species -> auto-insert)
+    ("HGNC:1", "TP53", 1, "FB:NEW", "newgene", 10, "OMA", "1", "9", true, false),
+    // rat RGD:77 <-> human HGNC:1 (rat special-id resolution)
+    ("RGD:77", "Tp53", 3, "HGNC:1", "TP53", 1, "InParanoid|OMA", "2", "9", true, true),
+    // unresolvable human curie -> line skipped
+    ("HGNC:404", "GHOST", 1, "FB:1", "p53fly", 10, "OMA", "1", "9", false, false)
+  ).toDF("curie1", "geneSymbol1", "speciesTypeKey1", "curie2", "geneSymbol2",
+    "speciesTypeKey2", "algorithms", "algorithmsMatch", "outOfAlgorithms",
+    "isBestScore", "isBestRevScore")
+
+  private def xrefs = Seq(
+    (1L, 100, 63, "HGNC:1"), // curie map entry for the human gene
+    (2L, 200, 63, "FB:1")    // curie map entry for the fly gene
+  ).map { case (k, r, x, a) => (k, r, x, a, "AgrOrtholog", old) }
+    .toDF("accXdbKey", "rgdId", "xdbKey", "accId", "srcPipeline",
+      "modificationDate")
+
+  private def genes = Seq(
+    (77, "Tp53", 3), (100, "TP53", 1), (200, "p53fly", 10)
+  ).map { case (id, sym, sp) => (id, sym, sym, "protein-coding", sp, sym) }
+    .toDF("rgdId", "geneSymbol", "geneName", "geneTypeLc",
+      "speciesTypeKey", "ensemblGeneSymbol")
+
+  private def rgdIds = Seq((77, "ACTIVE", 3), (100, "ACTIVE", 1),
+    (200, "ACTIVE", 10)).toDF("rgdId", "objectStatus", "speciesTypeKey")
+
+  private def agrState = Seq(
+    // stale row from a previous load: swept when the guard allows
+    (300, 301, "stringent", "Y", "Y", "OMA", old, old)
+  ).toDF("geneRgdId1", "geneRgdId2", "confidence", "isBestScore",
+    "isBestRevScore", "methodsMatched", "createdDate", "lastUpdateDate")
+
+  test("AGR flow: resolve, upsert, guard, sweep") {
+    val r = AgrPipeline.run(lines, agrState, xrefs, genes, rgdIds,
+      runTs, cutoff, deleteThreshold = "500") // absolute threshold: allow
+
+    // resolution: HGNC:1/FB:1 via map, RGD:77 via special id,
+    // FB:NEW inserted with a fresh id, HGNC:404 unresolvable
+    val stats = r.resolutionStats.as[(Option[String], Long)].collect()
+      .map { case (k, v) => k.getOrElse("null") -> v }.toMap
+    assert(stats("map") == 2L)
+    assert(stats("specialId") == 1L)
+    assert(stats("insert") == 1L)
+    assert(stats("null") == 1L)
+    assert(r.unresolved.select("curie").as[String].collect().toSeq ==
+      Seq("HGNC:404"))
+    assert(r.guardOk)
+
+    val state = r.agrOrthologs
+      .select("geneRgdId1", "geneRgdId2", "methodsMatched")
+      .as[(Int, Int, String)].collect().toSet
+    // three resolvable lines upserted; new fly gene got id 201 (max+1);
+    // the stale (300,301) row swept
+    assert(state.contains((100, 200, "OMA|PANTHER")))
+    assert(state.contains((100, 201, "OMA")))
+    assert(state.contains((77, 100, "InParanoid|OMA")))
+    assert(!state.exists(_._1 == 300))
+
+    // M6: seen curies got touched; nothing else was AGR-pipeline stale
+    val xr = r.xrefs.select("accId", "modificationDate")
+      .as[(String, java.sql.Timestamp)].collect().toMap
+    assert(xr("HGNC:1") == runTs && xr("FB:1") == runTs)
+  }
+
+  test("AGR flow: circuit breaker refuses an oversized sweep") {
+    val r = AgrPipeline.run(lines, agrState, xrefs, genes, rgdIds,
+      runTs, cutoff, deleteThreshold = "0")
+    assert(!r.guardOk)
+    // stale row survives the refused sweep
+    assert(r.agrOrthologs.filter($"geneRgdId1" === 300).count() == 1)
+  }
+}

@@ -44,6 +44,15 @@ class ExprsSpec extends SparkSpec {
     assert(r(3) == "xy") // unhandled >127 dropped
   }
 
+  test("greek_translit is usable from SQL via function registration") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "greek_translit",
+      exprs => graft.functions.GreekTransliterate(exprs.head), "built-in")
+    val r = spark.sql("SELECT greek_translit('TNFα-Δ42-η') AS s")
+      .as[String].head()
+    assert(r == "TNFalpha-DELTA42-lambda")
+  }
+
   test("stripPrefixToInt parses RGD:12345 (AgrTsvLoader:346)") {
     val r = Seq("RGD:12345").toDF("s")
       .select(Exprs.stripPrefixToInt($"s", 4)).as[Int].head()

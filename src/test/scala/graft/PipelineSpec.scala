@@ -100,12 +100,33 @@ class PipelineSpec extends SparkSpec {
     assert(m(1L) == "A, B" && m(3L) == "Z, Y")
   }
 
-  test("smoke: testdata-derived fixture pipeline yields picks at sf0.001") {
+  test("golden parquet: sf0.001 pipeline picks match the checked-in snapshot") {
     val dir = "/root/testdata/sf0.001"
     val st = Fixtures.state(spark, dir)
     val rel = Fixtures.relations(spark, dir)
     val r = OrthologPipeline.runSpecies(rel, st, Species.RAT, runTs)
-    assert(r.strongPicks.count() > 0)
     assert(r.orthologs.count() > 0)
+
+    val got = r.strongPicks
+      .select("groupId", "srcRgdId", "destRgdId", "xrefDataSrc",
+        "xrefDataSet", "tier", "method")
+      .as[(Int, Int, Int, String, String, Int, String)]
+      .collect().sortBy(t => (t._1, t._2, t._3))
+
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden_pipeline_sf0001.csv"))
+    val expected = try {
+      src.getLines().drop(1).map { line =>
+        // csv with one quoted field (the evidence list)
+        val m = "^(\\d+),(\\d+),(\\d+),([^,]+),\"?(.*?)\"?,(\\d+),([^,]+)$".r
+        line match {
+          case m(g, s, d, x, ev, t, meth) =>
+            (g.toInt, s.toInt, d.toInt, x, ev, t.toInt, meth)
+        }
+      }.toVector.sortBy(t => (t._1, t._2, t._3))
+    } finally src.close()
+
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
   }
 }
