@@ -399,6 +399,26 @@ object SparkEntry {
         threshold = 0.4, bits = 4)
         .select(col("id_a"), col("id_b"))),
 
+    // multimodal plumbing (rows-only): asset metadata projection (binary
+    // column pruned from the scan) and video frame sampling
+    "q_mm_assets_meta" -> ((s, dir) =>
+      graft.llm.Multimodal.metadataOnly(
+        graft.llm.Multimodal.syntheticAssets(t(s, dir, "documents"), "doc_id", "text"))),
+
+    "q_mm_frames" -> ((s, dir) =>
+      graft.llm.Multimodal.sampleFrames(
+        graft.llm.Multimodal.syntheticAssets(t(s, dir, "documents"), "doc_id", "text"),
+        everyMs = 60000)
+        .select(col("asset_id"), col("frame_idx"), col("frame_ts_ms"))),
+
+    // IVF coarse quantization (rows-only): cell histogram under
+    // deterministic centroids
+    "q_ann_ivf" -> ((s, dir) => {
+      val centroids = Ann.hyperplanes(64, 8, seed = 11L)
+      Ann.ivfAssign(t(s, dir, "embeddings"), centroids)
+        .groupBy(col("ivf_cell")).agg(count(lit(1)).as("n"))
+    }),
+
     // flagship pipeline as a registered (rows-only) query
     "q_pipeline_e2e" -> ((s, dir) => {
       val st = Fixtures.state(s, dir)

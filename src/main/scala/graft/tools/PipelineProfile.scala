@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Fixtures, OrthologPipeline}
+
+/** Phase-level wall-clock profile of the flagship pipeline (each phase
+  * boundary is a localCheckpoint, so timing construction = timing the
+  * phase). */
+object PipelineProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val st = Fixtures.state(spark, dir)
+    val rel = timed("read relations") {
+      val r = Fixtures.relations(spark, dir).localCheckpoint(); r.count(); r
+    }
+    val runTs = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")
+
+    val (resolved, _) = timed("resolve") {
+      val p = graft.operators.Resolve.resolveRelations(
+        rel, st.xrefs, st.genes, st.rgdIds, st.history)
+      (p._1.localCheckpoint(), p._2)
+    }
+    val merged = timed("group+complement") {
+      graft.operators.Grouping.withComplementaryRelations(
+        graft.operators.Grouping.mergeRelations(
+          graft.operators.Resolve.dropUnmapped(resolved))).localCheckpoint()
+    }
+    val picks = timed("cascade") {
+      graft.operators.Cascade.run(merged, st.orthologs, st.agrOrthologs,
+        st.genes).localCheckpoint()
+    }
+    val m = timed("reconcile") {
+      val incoming = picks.select(col("srcRgdId"), col("destRgdId"),
+        col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
+        col("xrefDataSrc"), col("xrefDataSet"))
+      val r = graft.operators.Merge.reconcile(incoming, st.orthologs,
+        st.genes, runTs, graft.model.Species.RAT)
+      r.newState.localCheckpoint().count(); r
+    }
+    timed("full runSpecies") {
+      val r = OrthologPipeline.runSpecies(rel, st, graft.model.Species.RAT, runTs)
+      r.strongPicks.write.format("noop").mode("overwrite").save()
+      r.associations.write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
