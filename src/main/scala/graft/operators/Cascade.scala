@@ -99,12 +99,14 @@ object Cascade {
     * bestFitOneRel/LongestEvidence/SymbolMatch/ShortestSymbol,
     * OrthologRelationLoader.java:425-435).
     *
-    * Physical shape: ONE hash aggregation (collect_list per partition)
-    * followed by pure array expressions over the collected candidates -
-    * a single shuffle with map-side combine and no sorts. Safe because
-    * the per-partition fan-out is bounded by one gene's ortholog
-    * candidates (tens, not millions); an earlier window-based variant
-    * cost four sorts over the same partitioning.
+    * Physical shape: window functions over ONE hash partitioning of the
+    * candidate set (a single exchange; the ordered row_number windows add
+    * local sorts only). Deliberately NOT a collect_list-per-group
+    * aggregation: group fan-out is unbounded in adversarial data (measured
+    * 8k-16k candidates per group in the synthetic state at sf0.1), and
+    * per-row arrays with interpreted higher-order sort lambdas ran 25x
+    * slower than these sort-based windows on exactly that skew. Windows
+    * degrade gracefully on skew; giant in-row arrays do not.
     */
   def pickStrongOrthologs(cands: DataFrame, genes: DataFrame): DataFrame = {
 
@@ -118,68 +120,60 @@ object Cascade {
       .withColumn("ev", Exprs.evidenceCount(col("xrefDataSet")))
       .withColumn("symMatch",
         when(Exprs.symbolMatches(col("srcSymbol"), col("destSymbol")), 1).otherwise(0))
-      // null symbols must sort LAST in ascending tie-breaks (the
-      // reference's null-safe compare); sentinel above any real lowercase
-      .withColumn("symLower", coalesce(lower(col("destSymbol")), lit("￿")))
 
-    val collected = withSyms
-      .groupBy(pk: _*)
-      .agg(collect_list(struct(
-        col("srcRgdId"), col("destRgdId"), col("xrefDataSrc"),
-        col("xrefDataSet"), col("tier"), col("ev"), col("symMatch"),
-        col("symLower"))).as("cs"))
+    val w = Window.partitionBy(pk: _*)
+    val topTier = max(col("tier")).over(w)
 
-    val topTier = array_max(transform(col("cs"), c => c("tier")))
-    val top = filter(col("cs"), c => c("tier") === topTier)
-    val nTop = size(top)
-    val maxEv = array_max(transform(top, c => c("ev")))
-    val atMax = filter(top, c => c("ev") === maxEv)
-    val matches = filter(top, c => c("symMatch") === 1)
+    val top = withSyms
+      .withColumn("topTier", topTier)
+      .filter(col("tier") === col("topTier"))
 
-    // comparator-sorted variants (arrays are tiny; sort is in-memory per row)
-    def cmpLex(keys: (Column, Column) => Seq[(Column, Column)]) =
-      (l: Column, r: Column) => {
-        val ks = keys(l, r)
-        ks.foldRight(lit(0)) { case ((a, b), tail) =>
-          when(a < b, -1).when(a > b, 1).otherwise(tail)
-        }
-      }
-    // rule-2 order: symbol-match desc, evidence desc, symbol asc, dest asc
-    val symSorted = array_sort(matches, cmpLex((l, r) => Seq(
-      (r("ev"), l("ev")), (l("symLower"), r("symLower")),
-      (l("destRgdId"), r("destRgdId")))))
-    // rule-3 order: min case-insensitive symbol over ALL top candidates
-    val alphaSorted = array_sort(top, cmpLex((l, r) => Seq(
-      (l("symLower"), r("symLower")), (l("destRgdId"), r("destRgdId")))))
+    // window aggregates over the winning tier only
+    val n = count(lit(1)).over(w)
+    val maxEv = max(col("ev")).over(w)
+    val cntAtMax = sum(when(col("ev") === maxEv, 1).otherwise(0)).over(w)
+    val anyMatch = max(col("symMatch")).over(w)
+    // rule-1 ordering (strict evidence argmax; deterministic residual order)
+    val rnEv = row_number().over(Window.partitionBy(pk: _*)
+      .orderBy(col("ev").desc, lower(col("destSymbol")).asc_nulls_last, col("destRgdId").asc))
+    // rule-2 ordering (symbol match first, then evidence - matches the
+    // reference's scan of the evidence-sorted list)
+    val rnSym = row_number().over(Window.partitionBy(pk: _*)
+      .orderBy(col("symMatch").desc, col("ev").desc,
+        lower(col("destSymbol")).asc_nulls_last, col("destRgdId").asc))
+    // rule-3 ordering (case-insensitive min symbol over ALL candidates)
+    val rnAlpha = row_number().over(Window.partitionBy(pk: _*)
+      .orderBy(lower(col("destSymbol")).asc_nulls_last, col("destRgdId").asc))
 
-    val isBestFitTier = topTier <= 2
-    val pick =
-      when(!isBestFitTier,
-        when(nTop === 1, element_at(top, 1))) // conflict -> null (no pick)
-        .otherwise(
-          when(nTop === 1, element_at(top, 1))
-            .when(size(atMax) === 1, element_at(atMax, 1))
-            .when(size(matches) >= 1, element_at(symSorted, 1))
-            .otherwise(element_at(alphaSorted, 1)))
-    val method =
-      when(!isBestFitTier, when(nTop === 1, "tierPick").otherwise("conflict"))
-        .when(nTop === 1, "oneRel")
-        .when(size(atMax) === 1, "longestEvidence")
-        .when(size(matches) >= 1, "symbolMatch")
-        .otherwise("shortestSymbol")
+    val annotated = top
+      .withColumn("n", n)
+      .withColumn("cntAtMax", cntAtMax)
+      .withColumn("anyMatch", anyMatch)
+      .withColumn("rnEv", rnEv)
+      .withColumn("rnSym", rnSym)
+      .withColumn("rnAlpha", rnAlpha)
 
-    collected
-      .withColumn("pick", pick)
-      .withColumn("method", method)
-      .filter(col("pick").isNotNull)
-      .select(
-        col("groupId"),
-        col("pick.srcRgdId").as("srcRgdId"),
-        col("pick.destRgdId").as("destRgdId"),
-        col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
-        col("pick.xrefDataSrc").as("xrefDataSrc"),
-        col("pick.xrefDataSet").as("xrefDataSet"),
-        col("pick.tier").as("tier"), col("method"))
+    val isBestFitTier = col("tier") <= 2
+    val picked = annotated.withColumn("method",
+      when(!isBestFitTier, when(col("n") === 1, lit("tierPick")).otherwise(lit("conflict")))
+        .when(col("n") === 1, "oneRel")
+        .when(col("cntAtMax") === 1, "longestEvidence")
+        .when(col("anyMatch") === 1, "symbolMatch")
+        .otherwise("shortestSymbol"))
+      .filter(
+        // manual/Alliance tiers: singleton or conflict-no-pick (W4)
+        (!isBestFitTier && col("n") === 1) ||
+        // best-fit tiers: branch-specific winner (W2)
+        (isBestFitTier && (
+          (col("n") === 1) ||
+          (col("cntAtMax") === 1 && col("rnEv") === 1) ||
+          (col("cntAtMax") > 1 && col("anyMatch") === 1 && col("rnSym") === 1) ||
+          (col("cntAtMax") > 1 && col("anyMatch") === 0 && col("rnAlpha") === 1))))
+
+    picked.select(
+      col("groupId"), col("srcRgdId"), col("destRgdId"),
+      col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
+      col("xrefDataSrc"), col("xrefDataSet"), col("tier"), col("method"))
   }
 
   /** Convenience: candidates + pick in one call. */
