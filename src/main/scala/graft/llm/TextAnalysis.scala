@@ -75,22 +75,26 @@ object TextAnalysis {
 
   def withLangId(df0: DataFrame, textCol: String = "text"): DataFrame = {
     // tokenize once into a temp column; the five marker filters reuse it
-    // (Catalyst does not CSE the regex split across expressions)
+    // (Catalyst does not CSE the regex split across expressions).
+    // Scores live in ONE array column and the winner is array_max +
+    // array_position (first max = earliest language, the tie-break). A
+    // when-chain fold over per-language structs duplicates the
+    // accumulated tree at each step - 2^k copies of every interpreted
+    // marker filter.
     val df = df0.withColumn("__words", split(lower(trim(col(textCol))), "\\W+", -1))
     val words = col("__words")
-    val scored = langMarkers.map { case (lang, markers) =>
-      (lang, size(filter(words, w => w.isin(markers.map(lit(_)): _*))))
-    }
-    val best = scored.tail.foldLeft(
-      struct(scored.head._2.as("score"), lit(scored.head._1).as("lang"))) {
-      case (acc, (lang, score)) =>
-        when(score > acc.getField("score"),
-          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
-    }
-    df.withColumn("lang_pred",
-        when(best.getField("score") > 0, best.getField("lang")).otherwise("und"))
-      .withColumn("lang_score", best.getField("score"))
-      .drop("__words")
+    val langs = array(langMarkers.map(m => lit(m._1)): _*)
+    val scores = array(langMarkers.map { case (_, markers) =>
+      size(filter(words, w => w.isin(markers.map(lit(_)): _*)))
+    }: _*)
+    df.withColumn("__scores", scores)
+      .withColumn("lang_score", array_max(col("__scores")))
+      .withColumn("lang_pred",
+        when(col("lang_score") > 0,
+          element_at(langs,
+            array_position(col("__scores"), col("lang_score")).cast("int")))
+          .otherwise("und"))
+      .drop("__words", "__scores")
   }
 
   /** Document fingerprint: 64-bit polynomial rolling hash over the
