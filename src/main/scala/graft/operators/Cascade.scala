@@ -176,8 +176,112 @@ object Cascade {
       col("xrefDataSrc"), col("xrefDataSet"), col("tier"), col("method"))
   }
 
-  /** Convenience: candidates + pick in one call. */
+  /** Aggregation-based pick (A/B candidate): same semantics as
+    * [[pickStrongOrthologs]], computed as a chain of three hash
+    * aggregations with `min_by`/`max_by` struct orderings instead of
+    * window sorts. Every level combines map-side, so the shuffle carries
+    * per-mapper DISTINCT (group, tier, evidence) rows rather than the
+    * full candidate set, and hot groups are absorbed by partial
+    * aggregation instead of landing on one reducer's sort.
+    */
+  def pickStrongOrthologsAgg(cands: DataFrame, genes: DataFrame): DataFrame = {
+
+    val symbols = broadcast(genes.select(col("rgdId"), col("geneSymbol")))
+    val withSyms = cands
+      .join(symbols.select(col("rgdId").as("srcRgdId"),
+        col("geneSymbol").as("srcSymbol")), Seq("srcRgdId"), "left")
+      .join(symbols.select(col("rgdId").as("destRgdId"),
+        col("geneSymbol").as("destSymbol")), Seq("destRgdId"), "left")
+      .withColumn("symMatch",
+        when(Exprs.symbolMatches(col("srcSymbol"), col("destSymbol")), 1).otherwise(0))
+      // null symbols sort LAST in ascending tie-breaks (asc_nulls_last):
+      // sentinel above any real lowercase char
+      .withColumn("symLower", coalesce(lower(col("destSymbol")), lit("￿")))
+      // null evidence sorts below any real count (ev desc = desc_nulls_last)
+      .withColumn("evN", coalesce(Exprs.evidenceCount(col("xrefDataSet")), lit(-1)))
+
+    val pkN = Seq("groupId", "srcSpeciesTypeKey", "destSpeciesTypeKey")
+    val payload = struct(col("srcRgdId"), col("destRgdId"), col("xrefDataSrc"),
+      col("xrefDataSet"), col("tier"), col("symLower"), col("symMatch"))
+
+    // level 0: per (group, tier, evidence) bucket - the heavy combine level
+    val alphaKey0 = struct(col("symLower"), col("destRgdId"))
+    val symKey0 = struct((-col("symMatch")).as("nm"), col("symLower"), col("destRgdId"))
+    val agg0 = withSyms
+      .groupBy((pkN.map(col) :+ col("tier") :+ col("evN")): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        max(col("symMatch")).as("anyMatchE"),
+        min_by(payload, alphaKey0).as("alphaWinE"),
+        min_by(payload, symKey0).as("symWinE"))
+
+    // level 1: per (group, tier); evN is unique per row here so the
+    // min_by/max_by orderings are total
+    val agg1 = agg0
+      .groupBy((pkN.map(col) :+ col("tier")): _*)
+      .agg(
+        sum(col("cnt")).as("n"),
+        max(col("evN")).as("maxEv"),
+        max_by(col("cnt"), col("evN")).as("cntAtMaxRaw"),
+        max(col("anyMatchE")).as("anyMatch"),
+        // rule-1 order: ev desc, symbol asc, dest asc
+        min_by(col("alphaWinE"), struct((-col("evN")).as("ne"),
+          col("alphaWinE.symLower"), col("alphaWinE.destRgdId"))).as("evWin"),
+        // rule-2 order: symbol-match desc, ev desc, symbol asc, dest asc
+        min_by(col("symWinE"), struct((-col("symWinE.symMatch")).as("nm"),
+          (-col("evN")).as("ne"), col("symWinE.symLower"),
+          col("symWinE.destRgdId"))).as("symWin"),
+        // rule-3 order: symbol asc, dest asc (evidence plays no part)
+        min_by(col("alphaWinE"), struct(col("alphaWinE.symLower"),
+          col("alphaWinE.destRgdId"))).as("alphaWin"))
+      // all-null-evidence groups have no "count at max evidence" (the
+      // window formulation's sum over `ev === maxEv` is 0 there)
+      .withColumn("cntAtMax",
+        when(col("maxEv") >= 0, col("cntAtMaxRaw")).otherwise(lit(0L)))
+
+    // level 2: keep only each group's top tier (a handful of rows per group)
+    val agg2 = agg1
+      .groupBy(pkN.map(col): _*)
+      .agg(max_by(struct(col("tier"), col("n"), col("cntAtMax"), col("anyMatch"),
+        col("evWin"), col("symWin"), col("alphaWin")), col("tier")).as("t"))
+      .select(pkN.map(col) :+ col("t.*"): _*)
+
+    val isBestFitTier = col("tier") <= 2
+    val pick =
+      when(!isBestFitTier,
+        when(col("n") === 1, col("alphaWin"))) // conflict -> null (no pick)
+        .otherwise(
+          when(col("n") === 1, col("alphaWin"))
+            .when(col("cntAtMax") === 1, col("evWin"))
+            .when(col("anyMatch") === 1, col("symWin"))
+            .otherwise(col("alphaWin")))
+    val method =
+      when(!isBestFitTier, when(col("n") === 1, "tierPick").otherwise("conflict"))
+        .when(col("n") === 1, "oneRel")
+        .when(col("cntAtMax") === 1, "longestEvidence")
+        .when(col("anyMatch") === 1, "symbolMatch")
+        .otherwise("shortestSymbol")
+
+    agg2
+      .withColumn("pick", pick)
+      .withColumn("method", method)
+      .filter(col("pick").isNotNull)
+      .select(
+        col("groupId"),
+        col("pick.srcRgdId").as("srcRgdId"),
+        col("pick.destRgdId").as("destRgdId"),
+        col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
+        col("pick.xrefDataSrc").as("xrefDataSrc"),
+        col("pick.xrefDataSet").as("xrefDataSet"),
+        col("pick.tier").as("tier"), col("method"))
+  }
+
+  /** Convenience: candidates + pick in one call. Uses the
+    * aggregation-based pick: identical output to the window variant
+    * (pinned by GroupingCascadeSpec running both), better shuffle shape -
+    * map-side combine reduces each mapper to distinct (group, tier,
+    * evidence) rows, and there is no per-partition sort to skew. */
   def run(relations: DataFrame, orthologs: DataFrame, agr: DataFrame,
           genes: DataFrame): DataFrame =
-    pickStrongOrthologs(candidates(relations, orthologs, agr, genes), genes)
+    pickStrongOrthologsAgg(candidates(relations, orthologs, agr, genes), genes)
 }

@@ -57,15 +57,24 @@ class GroupingCascadeSpec extends SparkSpec {
       .toDF("rgdId", "geneSymbol", "geneName", "geneTypeLc",
         "speciesTypeKey", "ensemblGeneSymbol")
 
+  /** Runs EVERY tie-break case through both pick implementations (the
+    * window-based and the aggregation-based one) and asserts they agree -
+    * the two must stay interchangeable. */
   private def pick(relations: DataFrame, orthologs: DataFrame = null,
                    agr: DataFrame = null, gs: DataFrame = null): Seq[(Int, String, String)] = {
     val withGroup = relations.withColumn("groupId", col("srcRgdId"))
-    Cascade.run(withGroup,
+    val gdim = Option(gs).getOrElse(genes((2, "g2"), (3, "g3"), (4, "g4"), (1, "g1")))
+    val cands = Cascade.candidates(withGroup,
       Option(orthologs).getOrElse(emptyOrthologs),
-      Option(agr).getOrElse(emptyAgr),
-      Option(gs).getOrElse(genes((2, "g2"), (3, "g3"), (4, "g4"), (1, "g1"))))
-      .select("destRgdId", "xrefDataSrc", "method")
-      .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+      Option(agr).getOrElse(emptyAgr), gdim)
+    def out(df: DataFrame): Seq[(Int, String, String)] =
+      df.select("destRgdId", "xrefDataSrc", "method")
+        .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+    val windowed = out(Cascade.pickStrongOrthologs(cands, gdim))
+    val agged = out(Cascade.pickStrongOrthologsAgg(cands, gdim))
+    assert(windowed == agged,
+      s"window vs aggregation cascade picks diverge: $windowed != $agged")
+    windowed
   }
 
   test("W2 rule 0: singleton wins (oneRel)") {
