@@ -428,6 +428,21 @@ object SparkEntry {
         .strongPicks
         .select(col("groupId"), col("srcRgdId"), col("destRgdId"),
           col("xrefDataSrc"), col("xrefDataSet"), col("tier"), col("method"))
+    }),
+
+    // --agrOrthologs flow end-to-end as a registered (rows-only) query:
+    // M5 curie cascade (symbol + special-id branches) -> S9 upsert ->
+    // A8 guard -> M6 curie QC
+    "q_agr_e2e" -> ((s, dir) => {
+      val st = Fixtures.state(s, dir)
+      val runTs = java.sql.Timestamp.valueOf("2026-08-01 12:00:00")
+      val cutoff = java.sql.Timestamp.valueOf("2026-08-01 11:00:00")
+      graft.pipeline.AgrPipeline.run(
+        Fixtures.allianceLines(s, dir), st.agrOrthologs, st.xrefs,
+        st.genes, st.rgdIds, runTs, cutoff)
+        .agrOrthologs
+        .select(col("geneRgdId1"), col("geneRgdId2"),
+          col("isBestScore"), col("isBestRevScore"), col("methodsMatched"))
     })
   )
 

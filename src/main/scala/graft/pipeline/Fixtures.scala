@@ -110,6 +110,26 @@ object Fixtures {
         lit(1).as("lastModifiedBy"), lit(ts).as("lastModifiedDate"))
   }
 
+  /** Alliance-combined-TSV-shaped lines pairing each human gene with its
+    * odd-id rat neighbor: the human side resolves via the M5 symbol step
+    * (unknown curie, known symbol), the rat side via the RGD: special-id
+    * parse - so the flagship AGR query exercises both cascade branches. */
+  def allianceLines(spark: SparkSession, dir: String): DataFrame = {
+    val humans = genes(spark, dir).filter(col("speciesTypeKey") === Species.HUMAN)
+    humans.select(
+      concat(lit("AGR:H"), col("rgdId")).as("curie1"),
+      col("geneSymbol").as("geneSymbol1"),
+      lit(Species.HUMAN).as("speciesTypeKey1"),
+      concat(lit("RGD:"), col("rgdId") + 1).as("curie2"),
+      lit("ratsym").as("geneSymbol2"),
+      lit(Species.RAT).as("speciesTypeKey2"),
+      lit("OMA|PANTHER").as("algorithms"),
+      lit("2").as("algorithmsMatch"),
+      lit("9").as("outOfAlgorithms"),
+      (col("rgdId") % 4 === 0).as("isBestScore"),
+      lit(true).as("isBestRevScore"))
+  }
+
   def associations(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Seq.empty[(Long, String, String, Int, Int, String, java.sql.Timestamp)]
