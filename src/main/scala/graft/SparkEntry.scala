@@ -394,6 +394,14 @@ object SparkEntry {
         .select(col("vec_id"))
     }),
 
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      val dim = 64
+      val query = Ann.hyperplanes(dim, 1, seed = 7L).head
+      val centroids = Ann.hyperplanes(dim, 8, seed = 11L)
+      Ann.ivfTopK(t(s, dir, "embeddings"), query, 10, centroids, nprobe = 2)
+        .select(col("vec_id"))
+    }),
+
     "q_ann_neardup" -> ((s, dir) =>
       Ann.cosineNearDupPairs(t(s, dir, "embeddings"), dim = 64,
         threshold = 0.4, bits = 4)

@@ -115,6 +115,33 @@ object Ann {
     * `centroids` (tiny literal list, e.g. trained offline); queries scan
     * only the closest `nprobe` cells. This is the scale path when LSH
     * recall is insufficient. */
+  /** IVF probe search: scan only the `nprobe` cells whose centroids are
+    * closest to the query (cell choice is a driver-side computation over
+    * the tiny centroid list), exact cosine within them. With cell
+    * assignment precomputed and the table partitioned/bucketed by
+    * `ivf_cell`, the filter prunes partitions and the per-query scan cost
+    * drops from O(N) to O(N * nprobe / cells). */
+  def ivfTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
+              centroids: Seq[Seq[Double]], nprobe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def norm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val qn = norm(query)
+    val cellSims = centroids.zipWithIndex.map { case (c, i) =>
+      val d = norm(c) * qn
+      val sim = if (d == 0) 0.0 else c.zip(query).map { case (a, b) => a * b }.sum / d
+      (i, sim)
+    }
+    val probeCells = cellSims.sortBy { case (i, sim) => (-sim, i) }
+      .take(math.max(1, nprobe)).map(_._1)
+
+    val q = array(query.map(lit): _*)
+    ivfAssign(embeddings, centroids, vecCol)
+      .filter(col("ivf_cell").isin(probeCells: _*)) // partition-prunable
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def ivfAssign(embeddings: DataFrame, centroids: Seq[Seq[Double]],
                 vecCol: String = "embedding"): DataFrame = {
     // argmax_i cos(v, c_i) = argmax_i dot(v, c_i/|c_i|): the row norm |v|

@@ -78,6 +78,15 @@ class LlmSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(approx.nonEmpty && approx.forall(_ % 3 == 0))
     assert((exact intersect approx).size >= 5) // decent recall w/ probing
+
+    // IVF with the cluster directions as centroids: probing every cell
+    // must reproduce the exact top-k; probing 1 cell keeps cluster-0 hits
+    val ivfAll = Ann.ivfTopK(vecs, query, 10, base, nprobe = base.size)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivfAll == exact)
+    val ivf1 = Ann.ivfTopK(vecs, query, 10, base, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf1.nonEmpty && ivf1.forall(_ % 3 == 0))
   }
 
   test("text analysis: counts, quality, langid, fingerprint") {
