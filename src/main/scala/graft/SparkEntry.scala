@@ -380,6 +380,12 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 16)
         .select(col("id_a"), col("id_b"), col("hamming"))),
 
+    // full two-stage near-dup: MinHash-LSH candidates + exact shingle
+    // Jaccard verification
+    "q_d_ngram_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.6)
+        .select(col("id_a"), col("id_b"), col("jaccard"))),
+
     "q_ann_bruteforce" -> ((s, dir) => {
       val dim = 64
       val query = Ann.hyperplanes(dim, 1, seed = 7L).head

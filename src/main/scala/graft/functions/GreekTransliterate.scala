@@ -105,6 +105,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
       (exprs: Seq[Expression]) => SimHashText(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("shingle_array"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "shingle_array"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs.lift(1).map(_.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"shingle_array n must be an integer literal, got $other")
+        }).getOrElse(3)
+        ShingleArray(exprs.head, n)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_text_sig"),
       new ExpressionInfo(classOf[MinHashTextSig].getName, "minhash_text_sig"),
       (exprs: Seq[Expression]) => {

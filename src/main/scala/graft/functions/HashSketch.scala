@@ -164,6 +164,69 @@ object MinHashTextSig {
   }
 }
 
+/** Word n-gram shingles of lowercased text as `array<string>`: the same
+  * single-pass ASCII-\w tokenizer as [[MinHashTextSig]], emitting distinct
+  * space-joined n-grams (fewer than n tokens degrade to one whole-text
+  * shingle). Feeds exact-Jaccard verification; the SQL formulation
+  * (regex split + transform/slice/concat_ws + array_distinct) runs
+  * interpreted and allocates per position. */
+case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleArray.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleArray.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_array"
+}
+
+object ShingleArray {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    // tokenize: lowercased maximal [A-Za-z0-9_] runs
+    val toks = new scala.collection.mutable.ArrayBuffer[String](16)
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i < len) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '_') {
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      } else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) toks += sb.toString
+
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]
+    if (toks.length < n) {
+      out.add(org.apache.spark.unsafe.types.UTF8String.fromString(
+        toks.mkString(" ")))
+    } else {
+      var pos = 0
+      while (pos <= toks.length - n) {
+        val g = new java.lang.StringBuilder
+        var j = pos
+        while (j < pos + n) {
+          if (j > pos) g.append(' ')
+          g.append(toks(j)); j += 1
+        }
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(g.toString))
+        pos += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
 /** Fused tokenize -> SimHash over raw text: same single-pass tokenizer as
   * [[MinHashTextSig]], with the per-token 64-bit hash feeding the +-1 bit
   * counters directly - no token array, no per-token UTF8String. */

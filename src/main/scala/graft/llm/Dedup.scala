@@ -31,15 +31,13 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
   }
 
-  /** Word shingles (n-grams) of the lowercased text as an array column. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(lower(trim(text)), "\\W+", -1)
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  /** Word shingles (n-grams) of the lowercased text as an array column -
+    * the native one-pass [[graft.functions.ShingleArray]] (distinct
+    * space-joined n-grams; <n tokens degrade to one whole-text shingle). */
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.ShingleArray(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), n))
 
   /** MinHash signature: position p is min over shingles of draw_p(shingle),
     * computed by the native codegen'd [[graft.functions.MinHashSig]]
