@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Cascade
+
+/** Physical-plan regression guards for the flagship operators: the
+  * properties that matter at 100 TB must survive refactors. */
+class PlanPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cascade agg pick plans as map-side-combined hash aggregations, " +
+    "no cartesian product, no window sorts") {
+    val rels = Seq((1, 2, 1, 3, "HGNC", "A, B"), (1, 3, 1, 3, "NCBI", "C"))
+      .toDF("srcRgdId", "destRgdId", "srcSpeciesTypeKey",
+        "destSpeciesTypeKey", "dataSource", "dataSetName")
+      .withColumn("groupId", col("srcRgdId"))
+    val genes = Seq((1, "g1"), (2, "g2"), (3, "g3"))
+      .map { case (id, sym) => (id, sym, sym, "protein-coding", 3, sym) }
+      .toDF("rgdId", "geneSymbol", "geneName", "geneTypeLc",
+        "speciesTypeKey", "ensemblGeneSymbol")
+    val cands = Cascade.candidates(rels,
+      Fixture.emptyOrthologs(spark), Fixture.emptyAgr(spark), genes)
+
+    val plan = Cascade.pickStrongOrthologsAgg(cands, genes)
+      .queryExecution.executedPlan.toString
+
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    // the three aggregation levels all carry partial (map-side) phases
+    assert(plan.contains("partial_min_by") || plan.contains("partial_minby"), plan)
+    assert(plan.contains("partial_count"), plan)
+    // and the pick path has no window operator left
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("resolution map plans with a semi-join pruning of the dimension side") {
+    val egIds = Seq("EG1", "EG2").toDF("egId")
+    val xrefs = Seq((1L, 1, graft.model.XdbKeys.ENTREZGENE, "EG1"))
+      .map { case (k, r, x, a) => (k, r, x, a, "p",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00")) }
+      .toDF("accXdbKey", "rgdId", "xdbKey", "accId", "srcPipeline",
+        "modificationDate")
+    val genes = Seq((1, "g1", "g1", "protein-coding", 1, "g1"))
+      .toDF("rgdId", "geneSymbol", "geneName", "geneTypeLc",
+        "speciesTypeKey", "ensemblGeneSymbol")
+    val rgdIds = Seq((1, "ACTIVE", 1)).toDF("rgdId", "objectStatus", "speciesTypeKey")
+    val history = Seq.empty[(Int, Int)].toDF("oldRgdId", "newRgdId")
+
+    val plan = graft.operators.Resolve
+      .resolutionMap(egIds, xrefs, genes, rgdIds, history)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
