@@ -96,9 +96,12 @@ object Agr {
     * (ref createRgdId sequence, OrthologRelationDao.java:621-642).
     * Returns the resolution table with every resolvable curie bound. */
   def assignNewGenes(resolved: DataFrame, maxExistingRgdId: Int): DataFrame = {
-    val w = Window.orderBy(col("curie"))
-    val inserts = resolved.filter(col("how") === "insert")
-      .withColumn("rgdId", (lit(maxExistingRgdId) + row_number().over(w)).cast("int"))
+    // distributed sequence assignment - NOT a global-order window, which
+    // would single-partition the insert set (see operators.Keys)
+    val inserts = Keys.assignSequential(
+      resolved.filter(col("how") === "insert").drop("rgdId"),
+      "rgdIdSeq", maxExistingRgdId, Seq(col("curie")))
+      .withColumn("rgdId", col("rgdIdSeq").cast("int")).drop("rgdIdSeq")
     resolved.filter(col("how") =!= "insert" || col("how").isNull)
       .unionByName(inserts)
   }

@@ -122,12 +122,13 @@ object Merge {
     val downgraded = cmp.filter(col("cls") === "downgrade")
       .select(col("inc.*")).drop("symMatch", "srcSymbol", "destSymbol")
 
-    // assign surrogate keys to inserts: max existing key + dense row_number
-    // over a stable sort (deterministic; tests never depend on absolute ids)
+    // assign surrogate keys to inserts: max existing key + a distributed
+    // sequence over a stable unique sort (deterministic; tests never
+    // depend on absolute ids). NOT a global-order window - that would
+    // single-partition the insert set (see operators.Keys).
     val maxKey = state.agg(coalesce(max(col("key")), lit(0L))).first().getLong(0)
-    val inserted = insertedRaw
-      .withColumn("key", lit(maxKey) + row_number().over(
-        Window.orderBy(col("srcRgdId"), col("destSpeciesTypeKey"), col("destRgdId"))))
+    val inserted = Keys.assignSequential(insertedRaw, "key", maxKey,
+      Seq(col("srcRgdId"), col("destSpeciesTypeKey"), col("destRgdId")))
       .withColumn("orthologTypeKey",
         Exprs.orthologTypeKey(col("srcSpeciesTypeKey"), col("destSpeciesTypeKey")))
       .withColumn("xrefDataSet", Exprs.canonicalXrefDataSet(col("xrefDataSet")))

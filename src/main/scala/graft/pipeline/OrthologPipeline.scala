@@ -116,13 +116,15 @@ object OrthologPipeline {
         "syncDeleted" -> finalDeletes))
   }
 
-  /** Deterministic surrogate assoc keys above the current max. */
+  /** Deterministic surrogate assoc keys above the current max -
+    * distributed sequence, not a single-partition global window
+    * (see operators.Keys). */
   private def assignAssocKeys(inserts: DataFrame, state: DataFrame): DataFrame = {
     val maxKey = state.agg(coalesce(max(col("assocKey")), lit(0L))).first().getLong(0)
-    import org.apache.spark.sql.expressions.Window
-    inserts.withColumn("assocKey",
-      lit(maxKey) + row_number().over(Window.orderBy(
-        col("masterRgdId"), col("detailRgdId"), col("srcPipeline"),
-        col("assocSubType"))))
+    val base = if (inserts.columns.contains("assocKey"))
+      inserts.drop("assocKey") else inserts
+    Keys.assignSequential(base, "assocKey", maxKey,
+      Seq(col("masterRgdId"), col("detailRgdId"), col("srcPipeline"),
+        col("assocSubType")))
   }
 }
