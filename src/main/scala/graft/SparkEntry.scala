@@ -433,6 +433,29 @@ object SparkEntry {
         .groupBy(col("ivf_cell")).agg(count(lit(1)).as("n"))
     }),
 
+    // Structured Streaming surfaced in the registry: file-source stream
+    // over the events table (explicit schema - the parquet ts column is
+    // TIMESTAMP(NANOS), so event time is derived), watermarked tumbling
+    // windows, AvailableNow trigger draining to a memory sink. The same
+    // code runs unbounded against a directory that keeps receiving files.
+    "q_stream_windowed" -> ((s, dir) => {
+      val name = "stream_counts_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val src = s.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .option("pathGlobFilter", "events.parquet") // file source wants a dir
+        .parquet(dir)
+        .withColumn("ts", timestamp_seconds(pmod(col("event_id"), lit(86400L))))
+      val q = graft.streaming.EventStream.windowedTypeCounts(src)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).select(col("window.start").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
     // flagship pipeline as a registered (rows-only) query
     "q_pipeline_e2e" -> ((s, dir) => {
       val st = Fixtures.state(s, dir)
