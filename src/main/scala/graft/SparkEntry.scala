@@ -376,8 +376,11 @@ object SparkEntry {
       Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.5)
         .select(col("id_a"), col("id_b"))),
 
+    // maxHamming=3 is the standard 64-bit SimHash near-dup radius (4x16-bit
+    // chunk blocking); the chunk count is derived from the radius so any
+    // setting keeps the pigeonhole completeness guarantee
     "q_d_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 16)
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming"))),
 
     // full two-stage near-dup: MinHash-LSH candidates + exact shingle

@@ -89,22 +89,50 @@ object Ann {
     * exact cosine verification within buckets. Vectors are L2-normalized
     * BEFORE the join so the per-pair work is one dot product - norms are
     * computed n times, not n^2 times. Each vector lives in exactly one
-    * bucket, so pairs are unique by construction (no dedupe pass). */
+    * bucket, so pairs are unique by construction (no dedupe pass).
+    *
+    * Scale guards against degenerate clusters (many near-identical
+    * embeddings - exactly what a dedup corpus contains):
+    *  1. buckets over `maxBucketSize` are SUB-SPLIT by `refineBits`
+    *     additional hyperplanes (finer LSH, same cosine guarantee
+    *     probabilistically - near-identical vectors still share the sign
+    *     bits of the refining planes w.h.p.);
+    *  2. buckets still oversized after refinement are dropped - such a
+    *     bucket is a cluster of >maxBucketSize mutually-near-identical
+    *     vectors whose true pair output is itself quadratic; emitting it
+    *     would be as pathological as computing it. Exact dedup first is
+    *     the right treatment for those.
+    * Worst-case candidate count is bounded by buckets * cap^2 regardless
+    * of input skew. */
   def cosineNearDupPairs(embeddings: DataFrame, dim: Int, threshold: Double = 0.95,
                          bits: Int = 10, seed: Long = 42L,
+                         maxBucketSize: Int = 2000, refineBits: Int = 8,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(dim, bits, seed)
+    val refinePlanes = hyperplanes(dim, refineBits, seed + 1)
     // stage the norm as a column FIRST: embedding it inside the transform
     // lambda would re-evaluate the whole norm expression once per element
     // (O(dim^2) per row - the quadratic HOF re-evaluation trap)
     val withNorm = embeddings.select(col(idCol).as("id"), col(vecCol),
-      norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), planes).as("bucket"))
+      norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), planes).as("bucket"),
+      lshBucket(col(vecCol), refinePlanes).as("refine"))
     val unit = when(col("nrm") === 0, transform(col(vecCol), _ => lit(0.0)))
       .otherwise(transform(col(vecCol), x => x.cast("double") / col("nrm")))
-    val bucketed = withNorm.select(col("id"), unit.as("v"), col("bucket"))
-    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket"))
+    val bucketed = withNorm.select(col("id"), unit.as("v"), col("bucket"), col("refine"))
+
+    // guard 1: sub-split oversized buckets with the refining planes
+    val wB = Window.partitionBy(col("bucket"))
+    val refined = bucketed.withColumn("bSize", count(lit(1)).over(wB))
+      .withColumn("sub", when(col("bSize") > maxBucketSize, col("refine")).otherwise(lit(-1L)))
+      .drop("bSize", "refine")
+    // guard 2: hard cap after refinement (degenerate identical-vector cluster)
+    val wB2 = Window.partitionBy(col("bucket"), col("sub"))
+    val bounded = refined.withColumn("bSize", count(lit(1)).over(wB2))
+      .filter(col("bSize") <= maxBucketSize).drop("bSize")
+
+    val l = bounded.select(col("bucket"), col("sub"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = bounded.select(col("bucket"), col("sub"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket", "sub"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", dot(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)

@@ -128,20 +128,55 @@ object Dedup {
       graft.functions.SimHashText(
         org.apache.spark.sql.GraftSqlBridge.expression(text)))
 
-  /** SimHash near-dup pairs: block on 16-bit chunks (any pair within
-    * Hamming distance 3 of a 64-bit hash agrees on at least one of 4
-    * chunks - pigeonhole), then verify with bit_count(xor). */
+  /** SimHash near-dup pairs: block on bit chunks, verify with
+    * bit_count(xor).
+    *
+    * The chunk count is DERIVED from the radius: with `maxHamming + 1`
+    * chunks, a pair within Hamming distance `maxHamming` has at least one
+    * chunk with zero differing bits (pigeonhole), so every qualifying
+    * pair is guaranteed to collide in some bucket. The classic 4x16-bit
+    * scheme is the maxHamming=3 instance; larger radii get more, narrower
+    * chunks (and proportionally less-discriminative buckets - radius 3 is
+    * the sweet spot for 64-bit SimHash, per Manku et al. WWW'07).
+    *
+    * Scale guard: buckets larger than `maxBucketSize` are dropped before
+    * the self-join, same as [[minhashLshPairs]]. Unlike MinHash bands
+    * (where similar docs collide in many bands), a chunk bucket can be a
+    * pair's ONLY collision, so the cap genuinely trades recall on
+    * degenerate corpora (thousands of docs sharing one chunk value =
+    * boilerplate); without it one hot bucket is O(n^2) and the 100 TB
+    * contract is void. Callers needing exhaustive output on such corpora
+    * should dedupe exactly first. */
   def simhashPairs(df: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+                   textCol: String = "text", maxHamming: Int = 3,
+                   maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming=$maxHamming out of range: need 0 <= maxHamming < 32 " +
+        "(chunks = maxHamming + 1 must leave chunks of >= 2 bits)")
+    val chunks = maxHamming + 1
+    // distribute 64 bits as evenly as possible across the chunks
+    val widths = Array.fill(chunks)(64 / chunks)
+    (0 until 64 % chunks).foreach(widths(_) += 1)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunkCols = (0 until chunks).map { c =>
+      val mask = (1L << widths(c)) - 1
+      shiftright(col("sh"), offsets(c)).bitwiseAND(mask)
+    }
+
     val withHash = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val chunked = withHash.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
 
-    val l = chunked.select(col("chunk"), col("chunkVal"),
+    // skew guard: a chunk value shared by >maxBucketSize docs carries no
+    // signal; drop it rather than go quadratic (see scaladoc)
+    val wB = Window.partitionBy(col("chunk"), col("chunkVal"))
+    val bounded = chunked.withColumn("bSize", count(lit(1)).over(wB))
+      .filter(col("bSize") <= maxBucketSize).drop("bSize")
+
+    val l = bounded.select(col("chunk"), col("chunkVal"),
       col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = chunked.select(col("chunk"), col("chunkVal"),
+    val r = bounded.select(col("chunk"), col("chunkVal"),
       col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("chunk", "chunkVal"))
       .filter(col("id_a") < col("id_b"))

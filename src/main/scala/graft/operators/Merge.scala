@@ -197,6 +197,11 @@ object Merge {
         .when(exEv =!= inEv, exEv < inEv)
         .when(exSymMatch, false) // rule: existing's dest matches src symbol -> existing first
         .when(inSymMatch, true)
+        // null symbols mirror w3OrderCols' desc_nulls_last: a missing dest
+        // symbol is weakest (a null in the raw `<` would fall through to
+        // "downgrade" even when only the existing symbol is null)
+        .when(col("ex.destSymbol").isNull && col("inc.destSymbol").isNotNull, true)
+        .when(col("inc.destSymbol").isNull, false)
         // reverse-alphabetical: existing weaker when its symbol sorts lower
         .otherwise(lower(col("ex.destSymbol")) < lower(col("inc.destSymbol")))
 

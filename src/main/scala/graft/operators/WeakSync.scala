@@ -78,10 +78,15 @@ object WeakSync {
 
     val j = assocState.join(inc, uniqueKey, "full_outer")
 
-    val matched = j.filter(col("incSubType").isNotNull && col("assocKey").isNotNull &&
+    // incoming presence is gated on incCreationDate (never null for an
+    // incoming row), NOT incSubType: a key-matched incoming row whose
+    // subtype is legitimately null must still classify as match/update,
+    // not fall through every category
+    val incPresent = col("incCreationDate").isNotNull
+    val matched = j.filter(incPresent && col("assocKey").isNotNull &&
         col("assocSubType") <=> col("incSubType"))
       .drop("incSubType", "incCreationDate")
-    val updates = j.filter(col("incSubType").isNotNull && col("assocKey").isNotNull &&
+    val updates = j.filter(incPresent && col("assocKey").isNotNull &&
         !(col("assocSubType") <=> col("incSubType")))
       .withColumn("assocSubType", col("incSubType"))
       .drop("incSubType", "incCreationDate")
@@ -92,8 +97,7 @@ object WeakSync {
         col("incSubType").as("assocSubType"),
         col("masterRgdId"), col("detailRgdId"), col("srcPipeline"),
         col("incCreationDate").as("creationDate"))
-    val deletes = j.filter(col("incSubType").isNull && col("incCreationDate").isNull &&
-        col("assocKey").isNotNull)
+    val deletes = j.filter(!incPresent && col("assocKey").isNotNull)
       .drop("incSubType", "incCreationDate")
 
     SyncResult(matched, updates, inserts, deletes)

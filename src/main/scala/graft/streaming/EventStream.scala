@@ -34,10 +34,13 @@ object EventStream {
         sum(col("value")).as("sum_value"))
 
   /** Exactly-once-per-key dedupe within the watermark horizon - the
-    * streaming form of exact dedup (state bounded by the watermark). */
+    * streaming form of exact dedup. `dropDuplicatesWithinWatermark` is
+    * required for bounded state: a plain `dropDuplicates("event_id")`
+    * never evicts (the key subset lacks the event-time column, so the
+    * watermark cannot expire entries and state grows without bound). */
   def dedupeEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Custom keyed state: per-user running session via
     * flatMapGroupsWithState - emits an update per batch and, when a

@@ -47,6 +47,155 @@ class LlmSpec extends SparkSpec {
       java.lang.Long.bitCount(h(1L) ^ h(4L)))
   }
 
+  /** ~200-doc fixture in mutation clusters: 40 base sentences x 5
+    * variants with 0-2 word substitutions, so plenty of pairs land at
+    * small Hamming/high Jaccard while cross-cluster pairs are far. */
+  private def mutationDocs = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    val rows = for {
+      base <- 0 until 40
+      words = Vector.fill(12)(vocab(rnd.nextInt(vocab.size)))
+      v <- 0 until 5
+    } yield {
+      val mutated = (0 until v.min(2)).foldLeft(words) { (w, _) =>
+        w.updated(rnd.nextInt(w.size), vocab(rnd.nextInt(vocab.size)))
+      }
+      ((base * 5 + v).toLong, mutated.mkString(" "))
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  test("simhash blocking is COMPLETE within maxHamming (vs brute force)") {
+    val d = mutationDocs
+    val hashes = d.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    for (maxHamming <- Seq(3, 8)) { // 4x16-bit chunks; 9 uneven chunks
+      val brute = (for {
+        (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+        if java.lang.Long.bitCount(ha ^ hb) <= maxHamming
+      } yield (ia, ib)).toSet
+      val blocked = Dedup.simhashPairs(d, maxHamming = maxHamming,
+          maxBucketSize = 10000)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(brute.nonEmpty, "fixture must produce close pairs")
+      assert(blocked == brute,
+        s"ham<=$maxHamming: missing=${(brute -- blocked).take(5)} " +
+          s"extra=${(blocked -- brute).take(5)}")
+    }
+  }
+
+  test("simhash bucket cap bounds degenerate corpora") {
+    // 300 identical docs: every chunk bucket holds all 300; with the cap
+    // the join is suppressed instead of going quadratic (300*299/2 pairs)
+    val degenerate = (0 until 300).map(i => (i.toLong, "same boilerplate text"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(degenerate, maxBucketSize = 100).count()
+    assert(capped == 0)
+    val uncapped = Dedup.simhashPairs(degenerate, maxBucketSize = 1000).count()
+    assert(uncapped == 300L * 299 / 2)
+  }
+
+  test("minhash pairs match brute-force shingle Jaccard away from threshold") {
+    val d = mutationDocs
+    val sh = d.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().map { case (i, s) => (i, s.toSet) }
+    def jac(a: Set[String], b: Set[String]) =
+      if ((a ++ b).isEmpty) 0.0 else (a & b).size.toDouble / (a ++ b).size
+    val pairs = Dedup.minhashLshPairs(d, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // precision band: nothing reported with true Jaccard clearly below
+    for ((a, b) <- pairs) {
+      val j = jac(sh.find(_._1 == a).get._2, sh.find(_._1 == b).get._2)
+      assert(j >= 0.5, s"pair ($a,$b) reported at true jaccard $j")
+    }
+    // recall band: every comfortably-above-threshold pair is found
+    val high = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib if jac(sa, sb) >= 0.9
+    } yield (ia, ib)).toSet
+    assert(high.nonEmpty)
+    assert((high -- pairs).isEmpty,
+      s"missed high-Jaccard pairs: ${(high -- pairs).take(5)}")
+  }
+
+  test("ngram Jaccard two-stage: exact precision, high-band recall") {
+    val d = mutationDocs
+    val sh = d.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().map { case (i, s) => (i, s.toSet) }.toMap
+    def jac(a: Set[String], b: Set[String]) =
+      if ((a ++ b).isEmpty) 0.0 else (a & b).size.toDouble / (a ++ b).size
+    val out = Dedup.ngramJaccardPairs(d, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    // the verify stage is exact Jaccard -> precision is exact
+    for ((a, b, j) <- out) {
+      val truth = jac(sh(a), sh(b))
+      assert(math.abs(truth - j) < 1e-9 && truth >= 0.8)
+    }
+    val high = (for {
+      (ia, sa) <- sh.toSeq; (ib, sb) <- sh.toSeq if ia < ib
+      if jac(sa, sb) >= 0.9
+    } yield (ia, ib)).toSet
+    val found = out.map(p => (p._1, p._2)).toSet
+    assert(high.nonEmpty && (high -- found).isEmpty)
+  }
+
+  test("cosine near-dup: exact precision, tight-cluster recall, capped skew") {
+    val rnd = new scala.util.Random(3)
+    // 20 tight clusters of 5 near-identical vectors (cos ~0.999+)
+    val vecs = (for {
+      c <- 0 until 20
+      centre = Seq.fill(16)(rnd.nextGaussian())
+      v <- 0 until 5
+    } yield ((c * 5 + v).toLong,
+      centre.map(x => (x + rnd.nextGaussian() * 0.01).toFloat))).toDF("vec_id", "embedding")
+
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na * nb == 0) 0.0 else d / (na * nb)
+    }
+    val raw = vecs.as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val brute = (for {
+      (ia, va) <- raw; (ib, vb) <- raw if ia < ib if cos(va, vb) >= 0.99
+    } yield (ia, ib)).toSet
+    assert(brute.size >= 150) // ~20 * C(5,2)
+
+    val found = Ann.cosineNearDupPairs(vecs, dim = 16, threshold = 0.99, bits = 6)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    // precision: every reported cosine matches brute-force exactly
+    for ((a, b, cs) <- found) {
+      val truth = cos(raw(a.toInt)._2, raw(b.toInt)._2)
+      assert(math.abs(truth - cs) < 1e-6 && truth >= 0.99 - 1e-9)
+    }
+    // recall: near-identical vectors rarely straddle a hyperplane
+    val foundSet = found.map(p => (p._1, p._2)).toSet
+    val recall = (brute & foundSet).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("cosine near-dup sub-split + cap bound degenerate clusters") {
+    // 500 near-identical vectors: one bucket at bits=4; the refinement
+    // can't separate them (they really are near-identical), so the hard
+    // cap suppresses the quadratic join entirely
+    val rnd = new scala.util.Random(9)
+    val centre = Seq.fill(8)(rnd.nextGaussian())
+    val clones = (0 until 500).map(i =>
+      (i.toLong, centre.map(x => (x + rnd.nextGaussian() * 0.001).toFloat)))
+      .toDF("vec_id", "embedding")
+    val capped = Ann.cosineNearDupPairs(clones, dim = 8, threshold = 0.9,
+      bits = 4, maxBucketSize = 100)
+    // bounded by buckets*cap^2: a stray sub-bucket under the cap may emit
+    // a few pairs, but nothing near the 124,750 quadratic output
+    assert(capped.count() < 5000)
+    // and with a cap that admits the cluster, all pairs appear
+    val full = Ann.cosineNearDupPairs(clones, dim = 8, threshold = 0.9,
+      bits = 4, maxBucketSize = 1000)
+    assert(full.count() == 500L * 499 / 2)
+  }
+
   test("SCALE: no CartesianProduct / BroadcastNestedLoop in pair plans") {
     for (df <- Seq(
       Dedup.minhashLshPairs(docs),

@@ -91,6 +91,21 @@ class MergeSpec extends SparkSpec {
     assert(m2.newState.count() == 1)
   }
 
+  test("W3 null dest symbol is weakest in the classify join (desc_nulls_last)") {
+    // existing dest gene 9 is absent from the genes dim -> null symbol ->
+    // weakest -> replace (a raw `<` on null would have mis-fallen to
+    // downgrade)
+    val st = stateDf((1L, 1, 9, "NCBI", "A"))
+    val m = Merge.reconcile(incomingDf((1, 2, "NCBI", "A")), st, g, runTs, 3)
+    assert(m.deleted.select("key").as[Long].collect().toSeq == Seq(1L))
+    assert(m.inserted.select("destRgdId").as[Int].collect().toSeq == Seq(2))
+    // symmetric case: incoming's dest symbol null -> existing wins -> downgrade
+    val st2 = stateDf((2L, 1, 2, "NCBI", "A"))
+    val m2 = Merge.reconcile(incomingDf((1, 9, "NCBI", "A")), st2, g, runTs, 3)
+    assert(m2.downgraded.select("destRgdId").as[Int].collect().toSeq == Seq(9))
+    assert(m2.newState.select("destRgdId").as[Int].collect().toSeq == Seq(2))
+  }
+
   test("W1: priority dedupe deletes pipeline-owned outranked duplicates") {
     val st = stateDf(
       (1L, 1, 2, "NCBI", "A"),

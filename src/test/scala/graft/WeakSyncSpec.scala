@@ -48,6 +48,19 @@ class WeakSyncSpec extends SparkSpec {
     assert(ins.toSeq == Seq("A")) // deterministic smallest subtype
   }
 
+  test("A7: null incoming subtype still matches/updates (presence gated on creationDate)") {
+    val state = assocDf((1L, "A", 1, 2, "NCBI"), (2L, null, 1, 3, "NCBI"))
+    val incoming = incomingDf(
+      (1, 2, null, "NCBI"),   // key match, subtype A -> null: legit update
+      (1, 3, null, "NCBI"))   // key match, null <=> null: match
+    val r = WeakSync.syncDiff(incoming, state)
+    assert(r.deletes.count() == 0 && r.inserts.count() == 0)
+    assert(r.matched.select("assocKey").as[Long].collect().toSeq == Seq(2L))
+    val upd = r.updates.select("assocKey", "assocSubType")
+      .as[(Long, Option[String])].collect()
+    assert(upd.toSeq == Seq((1L, None)))
+  }
+
   private def orthologDf(rows: (Long, Int, Int, Int, Int, String)*): DataFrame =
     rows.map { case (k, s, d, ssp, dsp, src) =>
       (k, s, d, ssp, dsp, src, "ev", 11, 70, ts0, 70, ts0)
@@ -75,6 +88,32 @@ class WeakSyncSpec extends SparkSpec {
     val detach = r.detachKeys.select("masterRgdId", "detailRgdId")
       .as[(Int, Int)].collect().toSet
     assert(detach == Set((8, 7)))
+  }
+
+  test("D2: assoc symmetry branch table (both-queued / detach / mirror)") {
+    // ref OrthologRelationDao.java:301-350: for each weak assoc of the
+    // species pair with no reverse ortholog: both directions queued for
+    // delete -> proceed; reverse assoc present otherwise -> detach it;
+    // reverse assoc missing -> insert the mirror
+    val assocs = assocDf(
+      (10L, "A", 1, 2, "NCBI"), // reverse assoc exists, not queued -> detach
+      (11L, "A", 2, 1, "NCBI"),
+      (12L, "A", 3, 4, "NCBI"), // both directions queued -> let them delete
+      (13L, "A", 4, 3, "NCBI"),
+      (14L, "A", 5, 6, "NCBI"), // reverse assoc missing -> mirror insert
+      (15L, "A", 7, 8, "NCBI"), // reverse ORTHOLOG exists -> out of scope
+      (16L, "A", 1, 9, "NCBI")) // wrong species pair -> filtered out
+    val orthos = orthologDf((1L, 8, 7, 3, 1, "NCBI"))
+    val rgdIds = Seq((1, 1), (3, 1), (5, 1), (7, 1),
+      (2, 3), (4, 3), (6, 3), (8, 3), (9, 6)).toDF("rgdId", "speciesTypeKey")
+    val deletes = assocDf((12L, "A", 3, 4, "NCBI"), (13L, "A", 4, 3, "NCBI"))
+    val r = WeakSync.repairAssocSymmetry(assocs, orthos, rgdIds, deletes, 3, ts)
+    val ins = r.assocInserts.select("masterRgdId", "detailRgdId")
+      .as[(Int, Int)].collect().toSet
+    assert(ins == Set((6, 5)))
+    val det = r.detachKeys.select("masterRgdId", "detailRgdId")
+      .as[(Int, Int)].collect().toSet
+    assert(det == Set((1, 2), (2, 1)))
   }
 
   test("U6: detach removes repaired pairs from the delete list") {
