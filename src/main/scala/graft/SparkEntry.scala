@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.Exprs
 import graft.llm.{Ann, Dedup, TextAnalysis}
-import graft.pipeline.{Fixtures, OrthologPipeline}
+import graft.operators.{Agr, Grouping, Keys, Merge, Resolve, WeakSync}
+import graft.pipeline.{Fixtures, OrthologPipeline, TpchShapes}
+import graft.sources.Readers
 
 /** Driver contract - see /root/repo/SURVEY.md section 7 + the builder prompt.
   *
@@ -336,6 +338,165 @@ object SparkEntry {
             .otherwise(lit("2026-01-01")))
         .filter(col("mod_date") >= "2026-06-01")
         .select(col("c_custkey"), col("mod_date"))
+    }),
+
+    // ---- operator-routed oracle queries over TPC-H-derived fixture
+    // frames (TpchShapes): the REAL mutation/repair operators run here and
+    // DuckDB independently recomputes their output ----
+
+    // M1/M2/W3/J7/F11 + S7: the full reconcile merge - W3 dedupe of state
+    // and incoming, full-outer classify (match/insert/replace/downgrade),
+    // duplicate-state deletes, sequential keys for inserts, M2 stale sweep
+    "q_m1_reconcile" -> ((s, dir) => {
+      val m = Merge.reconcile(TpchShapes.m1Incoming(s, dir), TpchShapes.m1State(s, dir),
+        TpchShapes.genes(s, dir), TpchShapes.runTs, 3)
+      def part(df: DataFrame, tag: String) =
+        df.select(lit(tag).as("cls"), col("key").cast("long").as("key"),
+          col("srcRgdId"), col("destRgdId"))
+      part(m.touched, "touched")
+        .unionByName(part(m.inserted, "inserted"))
+        .unionByName(part(m.deleted, "deleted"))
+        .unionByName(m.downgraded.select(lit("downgraded").as("cls"),
+          lit(null).cast("long").as("key"), col("srcRgdId"), col("destRgdId")))
+    }),
+
+    // M4/S8 + J4: weak-ortholog incoming build (relations + downgrades),
+    // strong-ortholog knockout, then the syncer diff with the real
+    // full-outer classification
+    "q_m4_weaksync" -> ((s, dir) => {
+      val incoming = WeakSync.dropStrongOrthologs(
+        WeakSync.buildIncoming(TpchShapes.m4Relations(s, dir),
+          TpchShapes.m4Downgraded(s, dir), TpchShapes.runTs),
+        TpchShapes.m4Strong(s, dir))
+      val r = WeakSync.syncDiff(incoming, TpchShapes.m4AssocState(s, dir))
+      def part(df: DataFrame, tag: String) =
+        df.select(lit(tag).as("cls"), col("assocKey").cast("long").as("assocKey"),
+          col("masterRgdId"), col("detailRgdId"), col("assocSubType"))
+      part(r.matched, "matched").unionByName(part(r.updates, "update"))
+        .unionByName(part(r.inserts, "insert")).unionByName(part(r.deletes, "delete"))
+    }),
+
+    // A1/A3/U2/X2: duplicate-relation merge (HGNC+NCBI evidence union with
+    // the literal NCBI marker) + complementary-relation synthesis
+    "q_a2_group_merge" -> ((s, dir) => {
+      val rel = t(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 0).select(
+        (col("l_orderkey") % 300).cast("int").as("srcRgdId"),
+        ((col("l_partkey") % 300) + 1000).cast("int").as("destRgdId"),
+        lit(1).as("srcSpeciesTypeKey"), lit(3).as("destSpeciesTypeKey"),
+        when(col("l_linenumber") % 2 === 0, "HGNC").otherwise("NCBI").as("dataSource"),
+        when(col("l_linenumber") % 3 === 0, "Ensembl")
+          .when(col("l_linenumber") % 3 === 1, "Ensembl, HomoloGene")
+          .otherwise("OMA").as("dataSetName"))
+      Grouping.withComplementaryRelations(Grouping.mergeRelations(rel))
+        .select(col("groupId"), col("srcRgdId"), col("destRgdId"),
+          col("dataSource"), col("dataSetName"))
+    }),
+
+    // S7: distributed sequential surrogate keys (maxKey + rank over a
+    // unique total order, computed without a single-partition window)
+    "q_s7_seqkeys" -> ((s, dir) =>
+      Keys.assignSequential(
+        t(s, dir, "customer").filter(col("c_acctbal") > 0).select(col("c_custkey")),
+        "key", 100000L, Seq(col("c_custkey")))),
+
+    // F7: unmapped-relation drop
+    "q_f7_unmapped" -> ((s, dir) =>
+      Resolve.dropUnmapped(t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "O", col("o_custkey")).otherwise(-1)
+          .as("srcRgdId"),
+        when(col("o_totalprice") > 50000, col("o_orderkey") % 1000).otherwise(0)
+          .as("destRgdId")))),
+
+    // X3: '|'-separated algorithm list sort
+    "q_x3_pipesort" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        Exprs.sortAlgorithms(
+          concat(col("p_brand"), lit("|"), col("p_name"), lit("|"), col("p_brand")))
+          .as("algos"))),
+
+    // X12: percent / absolute threshold parse (the real driver-side math)
+    "q_x12_threshold" -> ((s, dir) => {
+      import s.implicits._
+      val total = t(s, dir, "orders").count()
+      Seq((total, Agr.parseThreshold("10%", total), Agr.parseThreshold("3%", total),
+        Agr.parseThreshold("500", total))).toDF("total", "pct10", "pct3", "abs500")
+    }),
+
+    // D4/D5: sanity floor + freshness gate - the real guards run (throwing
+    // on violation) and the row surfaces their scalar inputs
+    "q_d4_d5_guards" -> ((s, dir) => {
+      val cust = Readers.requireSanityFloor(t(s, dir, "customer"), 100)
+      val agr = t(s, dir, "orders").select(col("o_orderdate").as("lastUpdateDate"))
+      graft.operators.Reports.checkAllianceFreshness(agr,
+        java.sql.Timestamp.valueOf("2026-08-12 00:00:00"), maxAgeDays = 20000)
+      cust.agg(count(lit(1)).as("n_rows")).crossJoin(
+        agr.agg(max(col("lastUpdateDate")).as("max_date")))
+        .select(col("n_rows"), (col("n_rows") >= 100).cast("int").as("floor_ok"),
+          col("max_date"),
+          datediff(lit("2026-08-12"), col("max_date")).as("age_days"),
+          (datediff(lit("2026-08-12"), col("max_date")) <= 20000).cast("int")
+            .as("fresh_ok"))
+    }),
+
+    // A6/J1/J2/F5/F7: the REAL bulk id-resolution - EG->RGD candidate
+    // join with allele/splice exclusion, withdrawn->replacement history,
+    // 4-outcome classification, src-shadows-dest audit, outcome counters
+    "q_a6_resolve" -> ((s, dir) => {
+      val (_, audit) = Resolve.resolveRelations(
+        TpchShapes.resolveRelations(s, dir), TpchShapes.resolveXrefs(s, dir),
+        TpchShapes.genes(s, dir), TpchShapes.resolveRgdIds(s, dir),
+        TpchShapes.resolveHistory(s, dir))
+      audit.groupBy(col("outcome"), col("failedSide")).agg(count(lit(1)).as("n"))
+    }),
+
+    // W2/W4/J3/U4/F8/F9/F10/O2: the REAL 4-tier cascade - manual +
+    // Alliance mutual-best + incoming candidates, conflict invalidation,
+    // the 4-rule best-fit tie-break chain, per-pick method audit
+    "q_w24_cascade_run" -> ((s, dir) =>
+      graft.operators.Cascade.run(TpchShapes.cascadeRelations(s, dir),
+        TpchShapes.cascadeOrthologs(s, dir), TpchShapes.cascadeAgr(s, dir),
+        TpchShapes.genes(s, dir))
+        .select(col("groupId"), col("srcRgdId"), col("destRgdId"),
+          col("xrefDataSrc"), col("xrefDataSet"), col("tier"), col("method"))),
+
+    // D1/J5/U3: ortholog symmetry repair - swapped-key anti-join, manual
+    // exemption, forward assoc replacement, reverse-assoc detach/mirror
+    "q_d1_repair" -> ((s, dir) => {
+      val r = WeakSync.repairOrthologSymmetry(TpchShapes.d1State(s, dir),
+        TpchShapes.d1Assoc(s, dir), 1, 3, TpchShapes.runTs)
+      r.orthologDeletes.select(lit("ortho_delete").as("cls"), col("key"),
+          lit(null).cast("int").as("masterRgdId"), lit(null).cast("int").as("detailRgdId"))
+        .unionByName(r.assocInserts.select(lit("assoc_insert").as("cls"),
+          lit(null).cast("long").as("key"), col("masterRgdId"), col("detailRgdId")))
+        .unionByName(r.detachKeys.select(lit("detach").as("cls"),
+          lit(null).cast("long").as("key"), col("masterRgdId"), col("detailRgdId")))
+    }),
+
+    // D2/S6: association symmetry repair - species-pair scope via the
+    // object registry, reverse-ortholog exclusion, both-queued /
+    // detach / mirror-insert branch table
+    "q_d2_repair" -> ((s, dir) => {
+      val r = WeakSync.repairAssocSymmetry(TpchShapes.d2AssocState(s, dir),
+        TpchShapes.d2Orthologs(s, dir), TpchShapes.resolveRgdIds(s, dir),
+        TpchShapes.d2Deletes(s, dir), 3, TpchShapes.runTs)
+      r.assocInserts.select(lit("insert").as("cls"), col("masterRgdId"), col("detailRgdId"))
+        .unionByName(r.detachKeys.select(lit("detach").as("cls"),
+          col("masterRgdId"), col("detailRgdId")))
+    }),
+
+    // S4 downstream: HomoloGene group flow - resolve member genes,
+    // synthesize ordered cross-species pairs per group
+    "q_s4_homologene" -> ((s, dir) => {
+      val groups = t(s, dir, "lineitem").filter(col("l_orderkey") % 2 === 1).select(
+        (col("l_orderkey") % 200).cast("int").as("homologene_group_id"),
+        lit(0).as("tax_id"),
+        concat(lit("G"), col("l_partkey") % 800).as("gene_id"))
+      val resolution = t(s, dir, "customer").select(
+        concat(lit("G"), col("c_custkey")).as("gene_id"),
+        col("c_custkey").cast("int").as("rgdId"),
+        when(col("c_custkey") % 2 === 0, 1).otherwise(3).as("speciesTypeKey"))
+      graft.operators.Homologene.synthesizePairs(groups, resolution)
     }),
 
     // ---- events: per-entity aggregation (A2/A5 shape on the stream table) ----
@@ -794,6 +955,422 @@ object SparkEntry {
                     t -> t <> ''))
                + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
                AS INT) AS n_bpe_tokens
-         FROM documents"""
+         FROM documents""",
+
+    // Independent DuckDB recomputation of Merge.reconcile over the
+    // TpchShapes fixture frames (keep in lockstep with TpchShapes.scala)
+    "q_m1_reconcile" ->
+      """WITH st0 AS (
+           SELECT o_orderkey AS key,
+                  CAST(o_custkey % 300 AS INT) AS src,
+                  CAST(o_orderkey % 2000 AS INT) AS dest,
+                  CASE WHEN o_orderstatus='O' THEN 'NCBI'
+                       WHEN o_orderstatus='F' THEN 'HGNC' ELSE 'RGD' END AS xsrc,
+                  CASE WHEN o_totalprice>200000 THEN 'a,b,c'
+                       WHEN o_totalprice>100000 THEN 'a,b' ELSE 'a' END AS xset
+           FROM orders WHERE o_orderkey % 4 = 0
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey % 300,
+             o_orderkey % 2000 ORDER BY o_orderkey) = 1),
+         in0 AS (
+           SELECT CAST(o_custkey % 300 AS INT) AS src,
+                  CAST(o_orderkey % 2000 AS INT) AS dest,
+                  CASE WHEN o_orderstatus='O' THEN 'NCBI' ELSE 'HGNC' END AS xsrc,
+                  CASE WHEN o_totalprice>200000 THEN 'a,b,c'
+                       WHEN o_totalprice>100000 THEN 'a,b' ELSE 'a' END AS xset
+           FROM orders WHERE o_orderkey % 4 = 1
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey % 300,
+             o_orderkey % 2000 ORDER BY o_orderkey) = 1),
+         ann_st AS (
+           SELECT s.*,
+                  CASE s.xsrc WHEN 'RGD' THEN 4 WHEN 'Alliance' THEN 3
+                       WHEN 'HGNC' THEN 2 WHEN 'NCBI' THEN 1 ELSE 0 END AS pri,
+                  len(string_split(s.xset, ',')) AS ev,
+                  CASE WHEN lower(gs.c_name) IS NOT DISTINCT FROM lower(gd.c_name)
+                       THEN 1 ELSE 0 END AS symm,
+                  gd.c_name AS dsym
+           FROM st0 s
+           LEFT JOIN customer gs ON gs.c_custkey = s.src
+           LEFT JOIN customer gd ON gd.c_custkey = s.dest),
+         ann_in AS (
+           SELECT i.*,
+                  CASE i.xsrc WHEN 'RGD' THEN 4 WHEN 'Alliance' THEN 3
+                       WHEN 'HGNC' THEN 2 WHEN 'NCBI' THEN 1 ELSE 0 END AS pri,
+                  len(string_split(i.xset, ',')) AS ev,
+                  CASE WHEN lower(gs.c_name) IS NOT DISTINCT FROM lower(gd.c_name)
+                       THEN 1 ELSE 0 END AS symm,
+                  gd.c_name AS dsym
+           FROM in0 i
+           LEFT JOIN customer gs ON gs.c_custkey = i.src
+           LEFT JOIN customer gd ON gd.c_custkey = i.dest),
+         inc AS (SELECT * FROM ann_in
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY pri DESC,
+             ev DESC, symm DESC, lower(dsym) DESC NULLS LAST, dest ASC) = 1),
+         ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY
+             pri DESC, ev DESC, symm DESC, lower(dsym) DESC NULLS LAST,
+             dest ASC) AS rn FROM ann_st),
+         best AS (SELECT * FROM ranked WHERE rn = 1),
+         dup_del AS (SELECT * FROM ranked WHERE rn > 1 AND xsrc <> 'RGD'),
+         cmp AS (
+           SELECT i.src AS isrc, e.src AS esrc, i.dest AS idest,
+                  e.dest AS edest, e.key AS ekey, e.xsrc AS exsrc,
+                  CASE WHEN i.src IS NULL THEN 'stale'
+                       WHEN e.src IS NULL THEN 'insert'
+                       WHEN e.dest = i.dest THEN 'match'
+                       WHEN (CASE WHEN e.pri <> i.pri THEN e.pri < i.pri
+                                  WHEN e.ev <> i.ev THEN e.ev < i.ev
+                                  WHEN e.symm = 1 THEN false
+                                  WHEN i.symm = 1 THEN true
+                                  WHEN e.dsym IS NULL AND i.dsym IS NOT NULL THEN true
+                                  WHEN i.dsym IS NULL THEN false
+                                  ELSE lower(e.dsym) < lower(i.dsym) END)
+                         THEN 'replace'
+                       ELSE 'downgrade' END AS cls
+           FROM inc i FULL OUTER JOIN best e ON i.src = e.src),
+         inserted AS (
+           SELECT (SELECT max(key) FROM st0)
+                    + ROW_NUMBER() OVER (ORDER BY isrc) AS key,
+                  isrc AS src, idest AS dest
+           FROM cmp WHERE cls IN ('insert','replace')),
+         repl_del AS (SELECT ekey AS key, esrc AS src, edest AS dest
+           FROM cmp WHERE cls='replace' AND exsrc <> 'RGD'),
+         touched AS (SELECT ekey AS key, esrc AS src, edest AS dest
+           FROM cmp WHERE cls='match'),
+         kept AS (SELECT s.* FROM ann_st s
+           WHERE s.key NOT IN (SELECT key FROM dup_del)
+             AND s.key NOT IN (SELECT key FROM repl_del)),
+         pc AS (SELECT src, count(*) AS n FROM
+           (SELECT src FROM kept UNION ALL SELECT src FROM inserted)
+           GROUP BY src),
+         stale AS (SELECT k.key, k.src, k.dest FROM kept k
+           JOIN pc ON k.src = pc.src
+           WHERE k.key NOT IN (SELECT key FROM touched)
+             AND k.xsrc <> 'RGD' AND pc.n > 1)
+         SELECT 'touched' AS cls, key, src AS srcRgdId, dest AS destRgdId FROM touched
+         UNION ALL SELECT 'inserted', key, src, dest FROM inserted
+         UNION ALL SELECT 'deleted', key, src, dest FROM dup_del
+         UNION ALL SELECT 'deleted', key, src, dest FROM repl_del
+         UNION ALL SELECT 'deleted', key, src, dest FROM stale
+         UNION ALL SELECT 'downgraded', NULL, isrc, idest FROM cmp
+           WHERE cls='downgrade'""",
+
+    // Independent recomputation of the WeakSync incoming build + syncDiff
+    "q_m4_weaksync" ->
+      """WITH rel AS (
+           SELECT CAST(l_orderkey % 400 AS INT) AS m,
+                  CAST(l_partkey % 400 AS INT) AS d,
+                  CASE WHEN l_partkey % 2 = 0 THEN 'HGNC' ELSE 'NCBI' END AS pipe,
+                  CASE WHEN l_partkey % 3 = 0 THEN 'Ensembl'
+                       WHEN l_partkey % 3 = 1 THEN 'HomoloGene'
+                       ELSE 'OMA' END AS sub
+           FROM lineitem WHERE l_orderkey % 3 = 0),
+         down AS (
+           SELECT CAST(o_custkey % 400 AS INT) AS m,
+                  CAST(o_orderkey % 400 AS INT) AS d,
+                  CASE WHEN o_orderstatus='O' THEN 'NCBI' ELSE 'HGNC' END AS pipe,
+                  CASE WHEN o_totalprice>200000 THEN 'a,b,c'
+                       WHEN o_totalprice>100000 THEN 'a,b' ELSE 'a' END AS sub
+           FROM orders WHERE o_orderkey % 4 = 2),
+         inc0 AS (SELECT * FROM rel UNION ALL SELECT * FROM down),
+         strong AS (SELECT DISTINCT CAST(o_custkey % 400 AS INT) AS m,
+                  CAST(o_orderkey % 400 AS INT) AS d
+           FROM orders WHERE o_orderkey % 7 = 0),
+         inc1 AS (SELECT * FROM inc0 i WHERE NOT EXISTS
+           (SELECT 1 FROM strong x WHERE x.m = i.m AND x.d = i.d)),
+         inc AS (SELECT * FROM inc1
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY m, d, pipe
+             ORDER BY sub ASC NULLS LAST) = 1),
+         st AS (
+           SELECT o_orderkey AS akey,
+                  CAST(o_custkey % 400 AS INT) AS m,
+                  CAST(o_orderkey % 400 AS INT) AS d,
+                  CASE WHEN o_totalprice > 150000 THEN 'HGNC' ELSE 'NCBI' END AS pipe,
+                  CASE WHEN o_orderstatus='O' THEN 'Ensembl'
+                       WHEN o_orderstatus='F' THEN 'HomoloGene' END AS sub
+           FROM orders WHERE o_orderkey % 3 = 0),
+         j AS (SELECT coalesce(i.m, s.m) AS m, coalesce(i.d, s.d) AS d,
+                  s.akey, s.sub AS ssub, i.sub AS isub,
+                  (i.m IS NOT NULL) AS ipresent, (s.akey IS NOT NULL) AS spresent
+           FROM inc i FULL OUTER JOIN st s
+             ON i.m = s.m AND i.d = s.d AND i.pipe = s.pipe)
+         SELECT 'matched' AS cls, akey AS assocKey, m AS masterRgdId,
+                d AS detailRgdId, ssub AS assocSubType
+         FROM j WHERE ipresent AND spresent AND ssub IS NOT DISTINCT FROM isub
+         UNION ALL SELECT 'update', akey, m, d, isub
+         FROM j WHERE ipresent AND spresent AND ssub IS DISTINCT FROM isub
+         UNION ALL SELECT 'insert', NULL, m, d, isub FROM j WHERE NOT spresent
+         UNION ALL SELECT 'delete', akey, m, d, ssub
+         FROM j WHERE NOT ipresent AND spresent""",
+
+    // Independent recomputation of Grouping.mergeRelations +
+    // withComplementaryRelations
+    "q_a2_group_merge" ->
+      """WITH rel AS (
+           SELECT CAST(l_orderkey % 300 AS INT) AS src,
+                  CAST(l_partkey % 300 + 1000 AS INT) AS dest,
+                  CASE WHEN l_linenumber % 2 = 0 THEN 'HGNC' ELSE 'NCBI' END AS ds,
+                  CASE WHEN l_linenumber % 3 = 0 THEN 'Ensembl'
+                       WHEN l_linenumber % 3 = 1 THEN 'Ensembl, HomoloGene'
+                       ELSE 'OMA' END AS dsn
+           FROM lineitem WHERE l_orderkey % 5 = 0),
+         toks AS (SELECT src, dest, ds,
+                  unnest(string_split_regex(dsn, ',\s*')) AS tok FROM rel),
+         g AS (SELECT src, dest,
+                  max(CASE WHEN ds='HGNC' THEN 1 ELSE 0 END) AS hashgnc,
+                  max(CASE WHEN ds='NCBI' THEN 1 ELSE 0 END) AS hasncbi,
+                  list(DISTINCT tok) FILTER (WHERE ds='HGNC') AS htoks,
+                  list(DISTINCT tok) AS atoks
+           FROM toks GROUP BY src, dest),
+         m AS (SELECT src, dest,
+                  CASE WHEN hashgnc=1 THEN 'HGNC' ELSE 'NCBI' END AS dataSource,
+                  array_to_string(list_sort(list_distinct(
+                    CASE WHEN hashgnc=1 THEN
+                      coalesce(htoks, CAST([] AS VARCHAR[]))
+                        || (CASE WHEN hasncbi=1 THEN ['NCBI']
+                            ELSE CAST([] AS VARCHAR[]) END)
+                    ELSE atoks END)), ', ') AS dataSetName
+           FROM g)
+         SELECT src AS groupId, src AS srcRgdId, dest AS destRgdId,
+                dataSource, dataSetName FROM m
+         UNION ALL
+         SELECT src, dest, src, dataSource, dataSetName FROM m""",
+
+    "q_s7_seqkeys" ->
+      """SELECT c_custkey,
+             100000 + ROW_NUMBER() OVER (ORDER BY c_custkey) AS key
+         FROM customer WHERE c_acctbal > 0""",
+
+    "q_f7_unmapped" ->
+      """SELECT o_orderkey,
+             CASE WHEN o_orderstatus='O' THEN o_custkey ELSE -1 END AS srcRgdId,
+             CASE WHEN o_totalprice > 50000 THEN o_orderkey % 1000 ELSE 0 END
+               AS destRgdId
+         FROM orders
+         WHERE (CASE WHEN o_orderstatus='O' THEN o_custkey ELSE -1 END) > 0
+           AND (CASE WHEN o_totalprice > 50000 THEN o_orderkey % 1000 ELSE 0 END) > 0""",
+
+    "q_x3_pipesort" ->
+      """SELECT p_partkey,
+             array_to_string(list_sort(list_distinct(
+               string_split(p_brand || '|' || p_name || '|' || p_brand, '|'))),
+               '|') AS algos
+         FROM part""",
+
+    "q_x12_threshold" ->
+      """SELECT count(*) AS total,
+             CAST((10 * count(*)) // 100 AS BIGINT) AS pct10,
+             CAST((3 * count(*)) // 100 AS BIGINT) AS pct3,
+             CAST(500 AS BIGINT) AS abs500
+         FROM orders""",
+
+    "q_d4_d5_guards" ->
+      """SELECT n_rows, CAST(n_rows >= 100 AS INT) AS floor_ok, max_date,
+             CAST(datediff('day', max_date, TIMESTAMP '2026-08-12') AS INT)
+               AS age_days,
+             CAST(datediff('day', max_date, TIMESTAMP '2026-08-12') <= 20000
+               AS INT) AS fresh_ok
+         FROM (SELECT count(*) AS n_rows FROM customer),
+              (SELECT max(o_orderdate) AS max_date FROM orders)""",
+
+    // Independent recomputation of Resolve.resolveRelations
+    "q_a6_resolve" ->
+      """WITH rels AS (
+           SELECT 'EG' || (l_orderkey % 500) AS srcid,
+                  'EG' || (l_partkey % 500) AS destid
+           FROM lineitem WHERE l_orderkey % 2 = 0),
+         egids AS (SELECT DISTINCT egid FROM (
+           SELECT srcid AS egid FROM rels UNION ALL SELECT destid FROM rels)),
+         cands AS (
+           SELECT DISTINCT 'EG' || (o_custkey % 500) AS egid,
+                  CAST(o_orderkey % 1800 + 1 AS INT) AS rgdid
+           FROM orders
+           WHERE o_orderkey % 5 <> 0
+             AND EXISTS (SELECT 1 FROM customer g
+                   WHERE g.c_custkey = o_orderkey % 1800 + 1
+                     AND (CASE WHEN g.c_mktsegment='MACHINERY' THEN 'allele'
+                          ELSE 'protein-coding' END) NOT IN ('allele','splice'))
+             AND 'EG' || (o_custkey % 500) IN (SELECT egid FROM egids)),
+         wstat AS (
+           SELECT c.egid, c.rgdid,
+                  CASE WHEN cu.c_custkey IS NULL THEN NULL
+                       ELSE cu.c_acctbal >= 0 END AS isactive
+           FROM cands c LEFT JOIN customer cu ON cu.c_custkey = c.rgdid),
+         repl AS (
+           SELECT h.oldid, max(h.newid) AS replid FROM
+             (SELECT CAST(c_custkey AS INT) AS oldid,
+                     CAST(c_custkey + 1 AS INT) AS newid
+              FROM customer WHERE c_acctbal < 0) h
+             JOIN customer cu ON cu.c_custkey = h.newid AND cu.c_acctbal >= 0
+           GROUP BY h.oldid),
+         agg AS (
+           SELECT w.egid,
+                  sum(CASE WHEN w.isactive THEN 1 ELSE 0 END) AS activec,
+                  sum(CASE WHEN NOT w.isactive AND r.replid IS NOT NULL
+                      THEN 1 ELSE 0 END) AS replacedc
+           FROM wstat w LEFT JOIN repl r ON w.rgdid = r.oldid
+           GROUP BY w.egid),
+         emap AS (
+           SELECT egid,
+                  CASE WHEN activec > 1 THEN 'multiple'
+                       WHEN activec = 1 THEN 'matched'
+                       WHEN replacedc > 1 THEN 'multiple'
+                       WHEN replacedc = 1 THEN 'matched'
+                       ELSE 'withdrawn' END AS outcome
+           FROM agg),
+         fin AS (
+           SELECT CASE WHEN coalesce(s.outcome,'unmatched') <> 'matched'
+                         THEN coalesce(s.outcome,'unmatched')
+                       WHEN coalesce(d.outcome,'unmatched') <> 'matched'
+                         THEN coalesce(d.outcome,'unmatched')
+                       ELSE 'matched' END AS outcome,
+                  CASE WHEN coalesce(s.outcome,'unmatched') <> 'matched' THEN 'src'
+                       WHEN coalesce(d.outcome,'unmatched') <> 'matched' THEN 'dest'
+                       END AS failedSide
+           FROM rels r
+           LEFT JOIN emap s ON s.egid = r.srcid
+           LEFT JOIN emap d ON d.egid = r.destid)
+         SELECT outcome, failedSide, count(*) AS n
+         FROM fin GROUP BY outcome, failedSide""",
+
+    // Independent recomputation of the Cascade (candidates + 4-tier pick)
+    "q_w24_cascade_run" ->
+      """WITH rel AS (
+           SELECT CAST(l_orderkey % 500 AS INT) AS grp,
+                  CAST(l_orderkey % 500 AS INT) AS src,
+                  CAST(l_partkey % 1500 + 1 AS INT) AS dest,
+                  CASE WHEN l_partkey % 2 = 0 THEN 'HGNC' ELSE 'NCBI' END AS xsrc,
+                  CASE WHEN l_partkey % 3 = 0 THEN 'Ensembl'
+                       WHEN l_partkey % 3 = 1 THEN 'Ensembl,HomoloGene'
+                       ELSE 'Ensembl,HomoloGene,OMA' END AS xset,
+                  CASE WHEN l_partkey % 2 = 0 THEN 2 ELSE 1 END AS tier
+           FROM lineitem WHERE l_orderkey % 4 = 0),
+         ks AS (SELECT DISTINCT grp, src FROM rel),
+         manual AS (
+           SELECT k.grp, k.src, s.dest, 'RGD' AS xsrc, 'curated' AS xset, 4 AS tier
+           FROM ks k JOIN (SELECT CAST(o_custkey % 500 AS INT) AS src,
+                                  CAST(o_orderkey % 1500 + 1 AS INT) AS dest
+                           FROM orders WHERE o_orderkey % 10 = 0) s
+             ON s.src = k.src),
+         agr0 AS (SELECT CAST(o_custkey % 500 AS INT) AS g1,
+                  CAST(o_orderkey % 1500 + 1 AS INT) AS g2
+           FROM orders WHERE o_orderstatus='O' AND o_totalprice > 100000),
+         agrsym AS (SELECT g1 AS a, g2 AS b FROM agr0
+           UNION ALL SELECT g2, g1 FROM agr0),
+         alliance AS (
+           SELECT k.grp, k.src, sym.b AS dest, 'Alliance' AS xsrc,
+                  'OrthoFinder|PANTHER' AS xset, 3 AS tier
+           FROM ks k JOIN agrsym sym ON sym.a = k.src
+           JOIN customer c ON c.c_custkey = sym.b
+           WHERE (CASE WHEN c.c_custkey % 2 = 0 THEN 1 ELSE 3 END) = 3),
+         cands AS (SELECT * FROM rel UNION ALL SELECT * FROM manual
+           UNION ALL SELECT * FROM alliance),
+         ann AS (SELECT c.*, gd.c_name AS dsym,
+                  CASE WHEN c.xset IS NULL OR c.xset = '' THEN 0
+                       ELSE len(string_split(c.xset, ',')) END AS ev,
+                  CASE WHEN lower(gs.c_name) IS NOT DISTINCT FROM lower(gd.c_name)
+                       THEN 1 ELSE 0 END AS symm
+           FROM cands c LEFT JOIN customer gs ON gs.c_custkey = c.src
+                        LEFT JOIN customer gd ON gd.c_custkey = c.dest),
+         top AS (SELECT * FROM
+           (SELECT a.*, MAX(tier) OVER (PARTITION BY grp) AS toptier FROM ann a)
+           WHERE tier = toptier),
+         t1 AS (SELECT t.*, COUNT(*) OVER w AS n, MAX(ev) OVER w AS maxev,
+                  MAX(symm) OVER w AS anymatch
+           FROM top t WINDOW w AS (PARTITION BY grp)),
+         t2 AS (SELECT t.*,
+                  SUM(CASE WHEN ev = maxev THEN 1 ELSE 0 END) OVER w AS cntatmax,
+                  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY ev DESC,
+                    lower(dsym) ASC NULLS LAST, dest ASC) AS rnev,
+                  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY symm DESC, ev DESC,
+                    lower(dsym) ASC NULLS LAST, dest ASC) AS rnsym,
+                  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY
+                    lower(dsym) ASC NULLS LAST, dest ASC) AS rnalpha
+           FROM t1 t WINDOW w AS (PARTITION BY grp))
+         SELECT grp AS groupId, src AS srcRgdId, dest AS destRgdId,
+                xsrc AS xrefDataSrc, xset AS xrefDataSet, tier,
+                CASE WHEN tier > 2 THEN
+                       (CASE WHEN n = 1 THEN 'tierPick' ELSE 'conflict' END)
+                     WHEN n = 1 THEN 'oneRel'
+                     WHEN cntatmax = 1 THEN 'longestEvidence'
+                     WHEN anymatch = 1 THEN 'symbolMatch'
+                     ELSE 'shortestSymbol' END AS method
+         FROM t2
+         WHERE (tier > 2 AND n = 1)
+            OR (tier <= 2 AND (n = 1
+                 OR (cntatmax = 1 AND rnev = 1)
+                 OR (cntatmax > 1 AND anymatch = 1 AND rnsym = 1)
+                 OR (cntatmax > 1 AND anymatch = 0 AND rnalpha = 1)))""",
+
+    // Independent recomputation of WeakSync.repairOrthologSymmetry
+    "q_d1_repair" ->
+      """WITH base AS (
+           SELECT o_orderkey AS key, CAST(o_custkey % 400 AS INT) AS src,
+                  CAST(o_orderkey % 397 + 400 AS INT) AS dest,
+                  CASE WHEN o_orderkey % 3 = 0 THEN 'RGD'
+                       WHEN o_orderkey % 3 = 1 THEN 'NCBI'
+                       ELSE 'HGNC' END AS xsrc
+           FROM orders),
+         state AS (SELECT key, src, dest FROM base
+           UNION ALL SELECT key + 1000000, dest, src FROM base WHERE key % 5 = 0),
+         asym AS (SELECT b.* FROM base b WHERE NOT EXISTS
+           (SELECT 1 FROM state s WHERE s.src = b.dest AND s.dest = b.src)),
+         nonman AS (SELECT * FROM asym WHERE xsrc <> 'RGD'),
+         assoc AS (SELECT dest AS am, src AS ad FROM base WHERE key % 7 = 0),
+         withrev AS (SELECT a.* FROM asym a WHERE EXISTS
+           (SELECT 1 FROM assoc x WHERE x.am = a.dest AND x.ad = a.src)),
+         worev AS (SELECT a.* FROM asym a WHERE NOT EXISTS
+           (SELECT 1 FROM assoc x WHERE x.am = a.dest AND x.ad = a.src))
+         SELECT 'ortho_delete' AS cls, key, NULL AS masterRgdId,
+                NULL AS detailRgdId FROM nonman
+         UNION ALL SELECT 'assoc_insert', NULL, src, dest FROM nonman
+         UNION ALL SELECT 'assoc_insert', NULL, dest, src FROM worev
+         UNION ALL SELECT 'detach', NULL, dest, src FROM withrev""",
+
+    // Independent recomputation of WeakSync.repairAssocSymmetry
+    "q_d2_repair" ->
+      """WITH base AS (
+           SELECT o_orderkey AS key, CAST(o_custkey AS INT) AS m,
+                  CAST(o_orderkey % 140 + 1 AS INT) AS d
+           FROM orders),
+         astate AS (SELECT key, m, d FROM base
+           UNION ALL SELECT key + 1000000, d, m FROM base WHERE key % 4 = 0),
+         sp AS (SELECT c_custkey AS id,
+                  CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 3 END AS sp
+           FROM customer),
+         pair AS (SELECT a.* FROM astate a
+           JOIN sp ms ON ms.id = a.m JOIN sp ds ON ds.id = a.d
+           WHERE (ms.sp = 1 AND ds.sp = 3) OR (ms.sp = 3 AND ds.sp = 1)),
+         orth AS (SELECT CAST(o_orderkey % 140 + 1 AS INT) AS src,
+                  CAST(o_custkey AS INT) AS dest
+           FROM orders WHERE o_orderkey % 6 = 0),
+         norev AS (SELECT p.* FROM pair p WHERE NOT EXISTS
+           (SELECT 1 FROM orth o WHERE o.src = p.d AND o.dest = p.m)),
+         withrev AS (SELECT p.* FROM norev p WHERE EXISTS
+           (SELECT 1 FROM astate x WHERE x.m = p.d AND x.d = p.m)),
+         worev AS (SELECT p.* FROM norev p WHERE NOT EXISTS
+           (SELECT 1 FROM astate x WHERE x.m = p.d AND x.d = p.m)),
+         dels AS (SELECT DISTINCT m, d FROM (
+           SELECT m, d FROM base WHERE key % 5 = 0
+           UNION ALL SELECT d, m FROM base WHERE key % 10 = 0)),
+         fq AS (SELECT w.* FROM withrev w WHERE EXISTS
+           (SELECT 1 FROM dels WHERE dels.m = w.m AND dels.d = w.d)),
+         rq AS (SELECT w.* FROM withrev w WHERE EXISTS
+           (SELECT 1 FROM dels WHERE dels.m = w.d AND dels.d = w.m)),
+         bothq AS (SELECT m, d FROM fq INTERSECT SELECT m, d FROM rq)
+         SELECT 'insert' AS cls, d AS masterRgdId, m AS detailRgdId FROM worev
+         UNION ALL
+         SELECT 'detach', d, m FROM withrev w WHERE NOT EXISTS
+           (SELECT 1 FROM bothq b WHERE b.m = w.m AND b.d = w.d)""",
+
+    // Independent recomputation of the HomoloGene pair synthesis
+    "q_s4_homologene" ->
+      """WITH mem AS (
+           SELECT DISTINCT CAST(l_orderkey % 200 AS INT) AS g,
+                  CAST(c_custkey AS INT) AS rgd,
+                  CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 3 END AS sp
+           FROM lineitem JOIN customer ON l_partkey % 800 = c_custkey
+           WHERE l_orderkey % 2 = 1)
+         SELECT a.g AS homologeneGroupId, a.rgd AS srcRgdId, b.rgd AS destRgdId,
+                a.sp AS srcSpeciesTypeKey, b.sp AS destSpeciesTypeKey
+         FROM mem a JOIN mem b ON a.g = b.g AND a.sp <> b.sp"""
   )
 }

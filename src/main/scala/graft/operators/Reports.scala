@@ -96,10 +96,15 @@ object Reports {
     * (OrthologRelationLoadingManager.java:284-298). */
   def checkAllianceFreshness(agr: DataFrame, now: java.sql.Timestamp,
                              maxAgeDays: Int = 60): Unit = {
-    val maxDate = agr.agg(max(col("lastUpdateDate"))).first().getTimestamp(0)
-    require(maxDate != null, "AGR_ORTHOLOGS is empty -- run the AGR flow first")
-    val ageDays = (now.getTime - maxDate.getTime) / (1000L * 60 * 60 * 24)
+    // age computed in-plan: collecting the timestamp itself would be
+    // JVM-representation-dependent (java8 datetime API returns
+    // LocalDateTime, not java.sql.Timestamp)
+    val row = agr.agg(max(col("lastUpdateDate")).as("m"))
+      .select(col("m").isNull.as("empty"),
+        datediff(lit(now), col("m")).as("ageDays")).first()
+    require(!row.getBoolean(0), "AGR_ORTHOLOGS is empty -- run the AGR flow first")
+    val ageDays = row.getInt(1)
     require(ageDays <= maxAgeDays,
-      s"AGR_ORTHOLOGS is stale: newest row $maxDate is $ageDays days old (threshold $maxAgeDays)")
+      s"AGR_ORTHOLOGS is stale: newest row is $ageDays days old (threshold $maxAgeDays)")
   }
 }
