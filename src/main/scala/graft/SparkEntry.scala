@@ -45,6 +45,38 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
 
+  // ---- ANN oracle literals ----
+  // The registered ANN queries use deterministic (seeded) query vectors,
+  // hyperplanes, and centroids; the same numbers are embedded into the
+  // DuckDB oracle SQL as literals so DuckDB recomputes the searches
+  // independently (list_dot_product / list_cosine_similarity). Both
+  // engines accumulate in double; they differ by ~1 ulp (DuckDB
+  // reassociates), which only matters if a comparison lands within
+  // ~1e-15 of a tie - the fixed test data has margins of ~1e-3.
+  private val annDim = 64
+  private def annQuery: Seq[Double] = Ann.hyperplanes(annDim, 1, seed = 7L).head
+  private def sqlVec(v: Seq[Double]): String =
+    v.map(_.toString).mkString("CAST([", ",", "] AS DOUBLE[])")
+  private def dotSql(p: Seq[Double]): String =
+    s"list_dot_product(CAST(embedding AS DOUBLE[]), ${sqlVec(p)})"
+  private def cosSql(v: Seq[Double]): String =
+    s"list_cosine_similarity(CAST(embedding AS DOUBLE[]), ${sqlVec(v)})"
+  private def bucketSql(planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotSql(p)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+  /** Subquery computing per-row IVF cell (first-max tie-break) plus the
+    * passed-through embedding, for the given centroids. */
+  private def ivfCellFromSql(centroids: Seq[Seq[Double]]): String = {
+    val sims = Ann.unitCentroids(centroids).map(dotSql)
+    val simCols = sims.zipWithIndex.map { case (s, i) => s"$s AS s$i" }.mkString(", ")
+    val m = sims.indices.map(i => s"s$i").mkString("greatest(", ", ", ")")
+    val cases = sims.indices.map(i => s"WHEN s$i = m THEN $i").mkString(" ")
+    s"""(SELECT vec_id, embedding, CAST(CASE $cases END AS INT) AS ivf_cell
+        FROM (SELECT *, $m AS m
+              FROM (SELECT vec_id, embedding, $simCols FROM embeddings)))"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- S2/F1/F2/F4: scan + predicate pushdown + projection ----
@@ -616,8 +648,10 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // n_events only: the float sum is still computed by the stream but a
+      // cross-engine compare of an order-dependent double sum is noise
       s.table(name).select(col("window.start").as("win_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
+        col("event_type"), col("n_events"))
     }),
 
     // flagship pipeline as a registered (rows-only) query
@@ -629,6 +663,30 @@ object SparkEntry {
         .strongPicks
         .select(col("groupId"), col("srcRgdId"), col("destRgdId"),
           col("xrefDataSrc"), col("xrefDataSet"), col("tier"), col("method"))
+    }),
+
+    // flagship projection under the driver's hash gate: per-(tier, method)
+    // pick counts, oracled against a pinned golden table (below)
+    "q_pipeline_counts" -> ((s, dir) => {
+      val st = Fixtures.state(s, dir)
+      val rel = Fixtures.relations(s, dir)
+      val runTs = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")
+      OrthologPipeline.runSpecies(rel, st, graft.model.Species.RAT, runTs)
+        .strongPicks.groupBy(col("tier"), col("method"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // AGR flagship projection: per-(flags, methods) counts, pinned golden
+    "q_agr_counts" -> ((s, dir) => {
+      val st = Fixtures.state(s, dir)
+      val runTs = java.sql.Timestamp.valueOf("2026-08-01 12:00:00")
+      val cutoff = java.sql.Timestamp.valueOf("2026-08-01 11:00:00")
+      graft.pipeline.AgrPipeline.run(
+        Fixtures.allianceLines(s, dir), st.agrOrthologs, st.xrefs,
+        st.genes, st.rgdIds, runTs, cutoff)
+        .agrOrthologs
+        .groupBy(col("isBestScore"), col("isBestRevScore"), col("methodsMatched"))
+        .agg(count(lit(1)).as("n"))
     }),
 
     // --agrOrthologs flow end-to-end as a registered (rows-only) query:
@@ -1371,6 +1429,91 @@ object SparkEntry {
            WHERE l_orderkey % 2 = 1)
          SELECT a.g AS homologeneGroupId, a.rgd AS srcRgdId, b.rgd AS destRgdId,
                 a.sp AS srcSpeciesTypeKey, b.sp AS destSpeciesTypeKey
-         FROM mem a JOIN mem b ON a.g = b.g AND a.sp <> b.sp"""
+         FROM mem a JOIN mem b ON a.g = b.g AND a.sp <> b.sp""",
+
+    // ---- ANN oracles: DuckDB recomputes the searches from the same
+    // literal query/plane/centroid vectors ----
+    "q_ann_bruteforce" ->
+      s"""SELECT vec_id FROM embeddings
+          ORDER BY ${cosSql(annQuery)} DESC NULLS LAST, vec_id ASC
+          LIMIT 10""",
+
+    "q_ann_lsh" -> {
+      val planes = Ann.hyperplanes(annDim, 6, seed = 42L)
+      val qb = Ann.queryBucket(annQuery, planes)
+      val probes = (qb +: (0 until 6).map(b => qb ^ (1L << b))).mkString(", ")
+      s"""SELECT vec_id FROM (
+            SELECT vec_id, embedding, ${bucketSql(planes)} AS bucket
+            FROM embeddings)
+          WHERE bucket IN ($probes)
+          ORDER BY ${cosSql(annQuery)} DESC NULLS LAST, vec_id ASC
+          LIMIT 10"""
+    },
+
+    "q_ann_ivf" -> {
+      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+      s"""SELECT ivf_cell, count(*) AS n
+          FROM ${ivfCellFromSql(centroids)}
+          GROUP BY ivf_cell"""
+    },
+
+    "q_ann_ivf_topk" -> {
+      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+      val probes = Ann.probeCells(annQuery, centroids, 2).mkString(", ")
+      s"""SELECT vec_id FROM ${ivfCellFromSql(centroids)}
+          WHERE ivf_cell IN ($probes)
+          ORDER BY ${cosSql(annQuery)} DESC NULLS LAST, vec_id ASC
+          LIMIT 10"""
+    },
+
+    "q_ann_neardup" -> {
+      val planes = Ann.hyperplanes(annDim, 4, seed = 42L)
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql(planes)} AS bucket
+                     FROM embeddings)
+          SELECT a.vec_id AS id_a, c.vec_id AS id_b
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                  CAST(c.embedding AS DOUBLE[])) >= 0.4"""
+    },
+
+    // batch recomputation of the watermarked tumbling-window stream
+    "q_stream_windowed" ->
+      """SELECT make_timestamp(((event_id % 86400) // 3600) * 3600 * 1000000)
+               AS win_start,
+             event_type, count(*) AS n_events
+         FROM events GROUP BY 1, 2""",
+
+    // Flagship golden pins: the full pipeline is not practically
+    // re-expressible in one DuckDB statement, so these oracles pin the
+    // end-to-end projection to checked-in expected counts, keyed by scale
+    // (orders row count). A regression gate, not independent truth - the
+    // operator stages feeding it are independently oracled above
+    // (q_m1_reconcile, q_w24_cascade_run, q_a6_resolve, q_m4_weaksync).
+    "q_pipeline_counts" ->
+      """SELECT CAST(tier AS INT) AS tier, method, CAST(n AS BIGINT) AS n
+         FROM (VALUES
+           (1500, 2, 'longestEvidence', 34), (1500, 2, 'shortestSymbol', 26),
+           (1500, 2, 'symbolMatch', 14), (1500, 4, 'tierPick', 3),
+           (15000, 2, 'shortestSymbol', 16), (15000, 2, 'symbolMatch', 58),
+           (15000, 4, 'tierPick', 3)) v(sfn, tier, method, n)
+         WHERE sfn = (SELECT count(*) FROM orders)""",
+
+    "q_agr_counts" ->
+      """SELECT isBestScore, isBestRevScore, methodsMatched, CAST(n AS BIGINT) AS n
+         FROM (VALUES
+           (1500, 'N', 'N', 'Ensembl Compara|InParanoid|OMA', 13),
+           (1500, 'N', 'Y', 'Ensembl Compara|InParanoid|OMA', 84),
+           (1500, 'N', 'Y', 'OMA|PANTHER', 50),
+           (1500, 'Y', 'N', 'Ensembl Compara|InParanoid|OMA', 20),
+           (1500, 'Y', 'Y', 'Ensembl Compara|InParanoid|OMA', 183),
+           (1500, 'Y', 'Y', 'OMA|PANTHER', 48),
+           (15000, 'N', 'N', 'Ensembl Compara|InParanoid|OMA', 100),
+           (15000, 'N', 'Y', 'Ensembl Compara|InParanoid|OMA', 931),
+           (15000, 'N', 'Y', 'OMA|PANTHER', 500),
+           (15000, 'Y', 'N', 'Ensembl Compara|InParanoid|OMA', 193),
+           (15000, 'Y', 'Y', 'Ensembl Compara|InParanoid|OMA', 1776),
+           (15000, 'Y', 'Y', 'OMA|PANTHER', 500))
+           v(sfn, isBestScore, isBestRevScore, methodsMatched, n)
+         WHERE sfn = (SELECT count(*) FROM orders)"""
   )
 }

@@ -59,6 +59,36 @@ object Ann {
         .otherwise(0L)
     }
 
+  /** Driver-side bucket of a query vector under the same hyperplanes. */
+  def queryBucket(query: Seq[Double], planes: Seq[Seq[Double]]): Long =
+    planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      val d = p.zip(query).map { case (a, b) => a * b }.sum
+      if (d > 0) acc | (1L << i) else acc
+    }
+
+  /** Unit-normalized centroids - the driver-side precompute ivfAssign
+    * bakes into its plan (see there for why). */
+  def unitCentroids(centroids: Seq[Seq[Double]]): Seq[Seq[Double]] =
+    centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+
+  /** Driver-side probe-cell choice for ivfTopK: the nprobe cells whose
+    * centroids are cosine-closest to the query (lowest index on ties). */
+  def probeCells(query: Seq[Double], centroids: Seq[Seq[Double]],
+                 nprobe: Int): Seq[Int] = {
+    def norm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val qn = norm(query)
+    val cellSims = centroids.zipWithIndex.map { case (c, i) =>
+      val d = norm(c) * qn
+      val sim = if (d == 0) 0.0 else c.zip(query).map { case (a, b) => a * b }.sum / d
+      (i, sim)
+    }
+    cellSims.sortBy { case (i, sim) => (-sim, i) }
+      .take(math.max(1, nprobe)).map(_._1)
+  }
+
   /** ANN top-k: restrict the exact scan to the query's LSH bucket.
     * `bits` trades recall for speed (each bit halves the candidate set).
     * Falls back to nothing gracefully: callers wanting guaranteed k
@@ -68,10 +98,7 @@ object Ann {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(dim, bits, seed)
     // query bucket + optional 1-bit-flip probes, computed on the driver
-    val qBucket = planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
-      val d = p.zip(query).map { case (a, b) => a * b }.sum
-      if (d > 0) acc | (1L << i) else acc
-    }
+    val qBucket = queryBucket(query, planes)
     val probes: Seq[Long] =
       if (probe <= 0) Seq(qBucket)
       else qBucket +: (0 until bits).map(b => qBucket ^ (1L << b))
@@ -152,19 +179,10 @@ object Ann {
   def ivfTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
               centroids: Seq[Seq[Double]], nprobe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def norm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
-    val qn = norm(query)
-    val cellSims = centroids.zipWithIndex.map { case (c, i) =>
-      val d = norm(c) * qn
-      val sim = if (d == 0) 0.0 else c.zip(query).map { case (a, b) => a * b }.sum / d
-      (i, sim)
-    }
-    val probeCells = cellSims.sortBy { case (i, sim) => (-sim, i) }
-      .take(math.max(1, nprobe)).map(_._1)
-
+    val probes = probeCells(query, centroids, nprobe)
     val q = array(query.map(lit): _*)
     ivfAssign(embeddings, centroids, vecCol)
-      .filter(col("ivf_cell").isin(probeCells: _*)) // partition-prunable
+      .filter(col("ivf_cell").isin(probes: _*)) // partition-prunable
       .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
@@ -178,11 +196,7 @@ object Ann {
     // materialized once per row; a naive when-chain reduction over
     // per-centroid structs duplicates the accumulated tree at every step
     // (2^k leaf copies, all interpreted - measured 17s vs <2s at sf0.1).
-    val unitCents = centroids.map { c =>
-      val n = math.sqrt(c.map(x => x * x).sum)
-      if (n == 0) c else c.map(_ / n)
-    }
-    val cents = array(unitCents.map(c => array(c.map(lit): _*)): _*)
+    val cents = array(unitCentroids(centroids).map(c => array(c.map(lit): _*)): _*)
     embeddings
       .withColumn("ivf_sims", transform(cents, c => dot(col(vecCol), c)))
       // array_position finds the FIRST max, matching lowest-index tie-break
