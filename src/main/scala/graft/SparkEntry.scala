@@ -1337,11 +1337,11 @@ object SparkEntry {
          t2 AS (SELECT t.*,
                   SUM(CASE WHEN ev = maxev THEN 1 ELSE 0 END) OVER w AS cntatmax,
                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY ev DESC,
-                    lower(dsym) ASC NULLS LAST, dest ASC) AS rnev,
+                    lower(dsym) ASC NULLS LAST, dest ASC, src ASC) AS rnev,
                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY symm DESC, ev DESC,
-                    lower(dsym) ASC NULLS LAST, dest ASC) AS rnsym,
+                    lower(dsym) ASC NULLS LAST, dest ASC, src ASC) AS rnsym,
                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY
-                    lower(dsym) ASC NULLS LAST, dest ASC) AS rnalpha
+                    lower(dsym) ASC NULLS LAST, dest ASC, src ASC) AS rnalpha
            FROM t1 t WINDOW w AS (PARTITION BY grp))
          SELECT grp AS groupId, src AS srcRgdId, dest AS destRgdId,
                 xsrc AS xrefDataSrc, xset AS xrefDataSet, tier,

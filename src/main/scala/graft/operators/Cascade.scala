@@ -133,17 +133,25 @@ object Cascade {
     val maxEv = max(col("ev")).over(w)
     val cntAtMax = sum(when(col("ev") === maxEv, 1).otherwise(0)).over(w)
     val anyMatch = max(col("symMatch")).over(w)
+    // every ordering ends with (destRgdId, srcRgdId): the partition is
+    // (group, species pair), so reverse-direction partitions hold many
+    // srcs with the SAME dest - without srcRgdId the order keys tie and
+    // the winner depends on execution order (SURVEY section 4 accepts any
+    // comparator-total order; it must actually be total)
     // rule-1 ordering (strict evidence argmax; deterministic residual order)
     val rnEv = row_number().over(Window.partitionBy(pk: _*)
-      .orderBy(col("ev").desc, lower(col("destSymbol")).asc_nulls_last, col("destRgdId").asc))
+      .orderBy(col("ev").desc, lower(col("destSymbol")).asc_nulls_last,
+        col("destRgdId").asc, col("srcRgdId").asc))
     // rule-2 ordering (symbol match first, then evidence - matches the
     // reference's scan of the evidence-sorted list)
     val rnSym = row_number().over(Window.partitionBy(pk: _*)
       .orderBy(col("symMatch").desc, col("ev").desc,
-        lower(col("destSymbol")).asc_nulls_last, col("destRgdId").asc))
+        lower(col("destSymbol")).asc_nulls_last, col("destRgdId").asc,
+        col("srcRgdId").asc))
     // rule-3 ordering (case-insensitive min symbol over ALL candidates)
     val rnAlpha = row_number().over(Window.partitionBy(pk: _*)
-      .orderBy(lower(col("destSymbol")).asc_nulls_last, col("destRgdId").asc))
+      .orderBy(lower(col("destSymbol")).asc_nulls_last, col("destRgdId").asc,
+        col("srcRgdId").asc))
 
     val annotated = top
       .withColumn("n", n)
@@ -204,9 +212,12 @@ object Cascade {
     val payload = struct(col("srcRgdId"), col("destRgdId"), col("xrefDataSrc"),
       col("xrefDataSet"), col("tier"), col("symLower"), col("symMatch"))
 
-    // level 0: per (group, tier, evidence) bucket - the heavy combine level
-    val alphaKey0 = struct(col("symLower"), col("destRgdId"))
-    val symKey0 = struct((-col("symMatch")).as("nm"), col("symLower"), col("destRgdId"))
+    // level 0: per (group, tier, evidence) bucket - the heavy combine
+    // level. Keys end with (destRgdId, srcRgdId) for a total order (see
+    // the window variant's ordering note).
+    val alphaKey0 = struct(col("symLower"), col("destRgdId"), col("srcRgdId"))
+    val symKey0 = struct((-col("symMatch")).as("nm"), col("symLower"),
+      col("destRgdId"), col("srcRgdId"))
     val agg0 = withSyms
       .groupBy((pkN.map(col) :+ col("tier") :+ col("evN")): _*)
       .agg(
@@ -224,16 +235,17 @@ object Cascade {
         max(col("evN")).as("maxEv"),
         max_by(col("cnt"), col("evN")).as("cntAtMaxRaw"),
         max(col("anyMatchE")).as("anyMatch"),
-        // rule-1 order: ev desc, symbol asc, dest asc
+        // rule-1 order: ev desc, symbol asc, dest asc, src asc
         min_by(col("alphaWinE"), struct((-col("evN")).as("ne"),
-          col("alphaWinE.symLower"), col("alphaWinE.destRgdId"))).as("evWin"),
-        // rule-2 order: symbol-match desc, ev desc, symbol asc, dest asc
+          col("alphaWinE.symLower"), col("alphaWinE.destRgdId"),
+          col("alphaWinE.srcRgdId"))).as("evWin"),
+        // rule-2 order: symbol-match desc, ev desc, symbol asc, dest, src
         min_by(col("symWinE"), struct((-col("symWinE.symMatch")).as("nm"),
           (-col("evN")).as("ne"), col("symWinE.symLower"),
-          col("symWinE.destRgdId"))).as("symWin"),
-        // rule-3 order: symbol asc, dest asc (evidence plays no part)
+          col("symWinE.destRgdId"), col("symWinE.srcRgdId"))).as("symWin"),
+        // rule-3 order: symbol asc, dest asc, src asc (no evidence)
         min_by(col("alphaWinE"), struct(col("alphaWinE.symLower"),
-          col("alphaWinE.destRgdId"))).as("alphaWin"))
+          col("alphaWinE.destRgdId"), col("alphaWinE.srcRgdId"))).as("alphaWin"))
       // all-null-evidence groups have no "count at max evidence" (the
       // window formulation's sum over `ev === maxEv` is 0 there)
       .withColumn("cntAtMax",

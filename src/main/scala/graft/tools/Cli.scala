@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.Species
+import graft.operators.{Maintenance, Reports}
+import graft.pipeline.{AgrPipeline, Fixtures, OrthologPipeline}
+
+/** Flow-level CLI mirroring the reference's loading-manager entry point
+  * (OrthologRelationLoadingManager.main, :49-118):
+  *
+  * {{{
+  * runMain graft.tools.Cli --species rat         # one species load
+  * runMain graft.tools.Cli --species all         # every non-human species
+  * runMain graft.tools.Cli --agrOrthologs        # AGR TSV flow
+  * runMain graft.tools.Cli --fixXRefDataSet      # M7 maintenance rewrite
+  * }}}
+  *
+  * Extra (engine-side) flags: `--sfDir <dir>` source/state dir (default
+  * /root/testdata/sf0.001), `--out <dir>` output state dir (default
+  * /tmp/graft_cli_out), `--maxAgeDays <n>` freshness gate.
+  *
+  * Dispatch order matches the reference: --agrOrthologs short-circuits;
+  * --species all loops the searchable non-human species behind the D5
+  * freshness gate; a missing/human --species is a usage error; otherwise
+  * --fixXRefDataSet or the per-species run.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    var speciesArg: Option[String] = None
+    var fixXref = false
+    var agrOrthologs = false
+    var sfDir = "/root/testdata/sf0.001"
+    var out = "/tmp/graft_cli_out"
+    var maxAgeDays = 20000 // test-data orders dates are from 1998
+
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--species" => i += 1; speciesArg = Some(args(i))
+        case "--fixXRefDataSet" => fixXref = true
+        case "--agrOrthologs" => agrOrthologs = true
+        case "--sfDir" => i += 1; sfDir = args(i)
+        case "--out" => i += 1; out = args(i)
+        case "--maxAgeDays" => i += 1; maxAgeDays = args(i).toInt
+        case other => sys.error(s"unknown argument: $other")
+      }
+      i += 1
+    }
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val runTs = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")
+    val now = java.sql.Timestamp.valueOf("2026-08-12 00:00:00")
+    try {
+      val st = Fixtures.state(spark, sfDir)
+
+      if (agrOrthologs) {
+        val cutoff = java.sql.Timestamp.valueOf("2026-07-31 00:00:00")
+        val r = AgrPipeline.run(Fixtures.allianceLines(spark, sfDir),
+          st.agrOrthologs, st.xrefs, st.genes, st.rgdIds, runTs, cutoff)
+        write(r.agrOrthologs, s"$out/agr_orthologs")
+        println(s"AGR_ORTHOLOGS=${r.agrOrthologs.count()}")
+        return
+      }
+
+      val runForAll = speciesArg.exists(_.equalsIgnoreCase("all"))
+      val speciesTypeKey = speciesArg.map(Species.parse).getOrElse(Species.ALL)
+
+      if (runForAll) {
+        Reports.checkAllianceFreshness(st.agrOrthologs, now, maxAgeDays)
+        val searchable = Species.dim.map(_._1).filter(_ != Species.HUMAN)
+        searchable.foreach(sp => runSpecies(spark, sfDir, out, sp, runTs))
+        return
+      }
+
+      if (speciesTypeKey == Species.ALL || speciesTypeKey == Species.HUMAN) {
+        System.err.println(
+          "ERROR: --species not specified, unknown, or 'human'")
+        sys.exit(-1)
+      }
+
+      if (fixXref) {
+        val (newOrtho, updOrtho) = Maintenance.fixXrefDataSetInOrthologs(st.orthologs)
+        val (newAssoc, updAssoc) =
+          Maintenance.fixXrefDataSetInAssociations(st.associations)
+        write(newOrtho, s"$out/orthologs")
+        write(newAssoc, s"$out/associations")
+        println(s"FIXED_ORTHOLOGS=${updOrtho.count()} FIXED_ASSOCS=${updAssoc.count()}")
+      } else {
+        Reports.checkAllianceFreshness(st.agrOrthologs, now, maxAgeDays)
+        runSpecies(spark, sfDir, out, speciesTypeKey, runTs)
+      }
+    } finally spark.stop()
+  }
+
+  private def runSpecies(spark: SparkSession, sfDir: String, out: String,
+                         speciesTypeKey: Int, runTs: java.sql.Timestamp): Unit = {
+    val name = Species.dim.find(_._1 == speciesTypeKey).map(_._2)
+      .getOrElse(speciesTypeKey.toString)
+    val st = Fixtures.state(spark, sfDir)
+    val rel = Fixtures.relations(spark, sfDir)
+    val r = OrthologPipeline.runSpecies(rel, st, speciesTypeKey, runTs)
+    write(r.orthologs, s"$out/$name/orthologs")
+    write(r.associations, s"$out/$name/associations")
+    // the reference's +N/-N status report (X11 shape)
+    val diff = Reports.orthologCountDiff(st.orthologs, r.orthologs)
+      .select("srcSpeciesTypeKey", "destSpeciesTypeKey", "diff")
+      .collect().map(_.toSeq.mkString(":")).mkString(" ")
+    println(s"SPECIES=$name ORTHOLOGS=${r.orthologs.count()} " +
+      s"ASSOCIATIONS=${r.associations.count()} DIFF[$diff]")
+  }
+
+  private def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}
