@@ -14,26 +14,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen path once so per-query times measure the
-    // query, not first-call classloading
-    SparkEntry.queries.get("q_f2_filter").foreach { fn =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-    }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write forces full evaluation of every column (a bare count()
-      // would let Catalyst prune the work away)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop write forces full evaluation of every column (a bare count()
+        // would let Catalyst prune the work away)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // two full passes: the first carries JVM/codegen/classloader warmup,
+    // the second measures steady-state plan cost. The headline numbers
+    // are the WARM pass; the cold total rides along for reference.
+    val cold = pass()
+    val warm = pass()
+    val qs = warm.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = warm.map(_._2).sum
+    val coldTotal = cold.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

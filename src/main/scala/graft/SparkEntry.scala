@@ -518,12 +518,14 @@ object SparkEntry {
     }),
 
     // S4 downstream: HomoloGene group flow - resolve member genes,
-    // synthesize ordered cross-species pairs per group
+    // synthesize ordered cross-species pairs per group. Member ids mod
+    // 100 keep group fan-out at real-HomoloGene scale (tens of genes) -
+    // the within-group pair join is quadratic in members by definition
     "q_s4_homologene" -> ((s, dir) => {
       val groups = t(s, dir, "lineitem").filter(col("l_orderkey") % 2 === 1).select(
         (col("l_orderkey") % 200).cast("int").as("homologene_group_id"),
         lit(0).as("tax_id"),
-        concat(lit("G"), col("l_partkey") % 800).as("gene_id"))
+        concat(lit("G"), col("l_partkey") % 100).as("gene_id"))
       val resolution = t(s, dir, "customer").select(
         concat(lit("G"), col("c_custkey")).as("gene_id"),
         col("c_custkey").cast("int").as("rgdId"),
@@ -1425,7 +1427,7 @@ object SparkEntry {
            SELECT DISTINCT CAST(l_orderkey % 200 AS INT) AS g,
                   CAST(c_custkey AS INT) AS rgd,
                   CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 3 END AS sp
-           FROM lineitem JOIN customer ON l_partkey % 800 = c_custkey
+           FROM lineitem JOIN customer ON l_partkey % 100 = c_custkey
            WHERE l_orderkey % 2 = 1)
          SELECT a.g AS homologeneGroupId, a.rgd AS srcRgdId, b.rgd AS destRgdId,
                 a.sp AS srcSpeciesTypeKey, b.sp AS destSpeciesTypeKey

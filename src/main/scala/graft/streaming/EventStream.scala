@@ -33,6 +33,27 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value")).as("sum_value"))
 
+  /** The scale path for [[windowedTypeCounts]]: append-mode to a file
+    * sink. Complete-mode + memory sink (used by the harness query for a
+    * returnable DataFrame) accumulates every window on the driver;
+    * append mode emits each window once, when the watermark closes it,
+    * and the parquet sink scales with the cluster. Returns the started
+    * query; callers own awaitTermination/stop. */
+  def windowedTypeCountsToFiles(events: DataFrame, outDir: String,
+                                checkpointDir: String, window: String = "1 hour",
+                                watermark: String = "2 hours")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    windowedTypeCounts(events, window, watermark)
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Exactly-once-per-key dedupe within the watermark horizon - the
     * streaming form of exact dedup. `dropDuplicatesWithinWatermark` is
     * required for bounded state: a plain `dropDuplicates("event_id")`

@@ -26,7 +26,13 @@ object PlanAudit {
       "q_a1_groupagg",    // partial aggregation
       "q_w4_cascade",     // window chain
       "q_d_minhash_pairs",// LSH self-join
-      "q_ann_neardup")    // bucket join
+      "q_ann_neardup",    // bucket join
+      "q_m1_reconcile",   // full-outer classify + W3 windows + seq keys
+      "q_w24_cascade_run",// real cascade: 3 chained hash aggs
+      "q_a6_resolve",     // resolution joins + outcome agg
+      "q_m4_weaksync",    // anti join + full-outer diff
+      "q_d2_repair",      // swapped-key self-joins
+      "q_a2_group_merge") // token explode + merge agg + complement
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)

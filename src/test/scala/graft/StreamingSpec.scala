@@ -32,6 +32,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("append-mode file sink emits watermark-closed windows (scale path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // two early windows plus a late-hour event that advances the
+    // watermark far enough to close them
+    input.addData(
+      Event(1, ts(1), 7, "click", 1.0),
+      Event(2, ts(2), 7, "click", 2.0),
+      Event(3, ts(12), 8, "view", 5.0),
+      Event(4, java.sql.Timestamp.valueOf("2026-08-01 12:00:00"), 9, "late", 1.0))
+    val out = java.nio.file.Files.createTempDirectory("stream_out").toString
+    val ckp = java.nio.file.Files.createTempDirectory("stream_ckp").toString
+    val query = EventStream.windowedTypeCountsToFiles(
+      input.toDF(), out, ckp, "10 minutes", "20 minutes")
+    query.awaitTermination()
+
+    val rows = spark.read.parquet(out)
+      .select("event_type", "n_events").as[(String, Long)].collect().toSet
+    // windows more than the watermark behind 12:00 are closed + emitted;
+    // the 12:00 window itself is still open -> not in the files
+    assert(rows == Set(("click", 2L), ("view", 1L)))
+  }
+
   test("streaming dedupe drops replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
