@@ -584,6 +584,22 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.6)
         .select(col("id_a"), col("id_b"), col("jaccard"))),
 
+    // connected components over a pair graph (the keep-one-per-cluster
+    // step after near-dup pair generation): star clusters of 10 ids
+    // chained into runs of up to 5 stars - multi-hop label merging with
+    // known bounded diameter, recomputed by DuckDB via unrolled min-label
+    // propagation
+    "q_d_components" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val x = col("o_orderkey") % 5000
+      val hub = x - (x % 10)
+      val star = o.filter(x % 10 =!= 0)
+        .select(hub.cast("long").as("id_a"), x.cast("long").as("id_b"))
+      val chain = o.filter(x % 10 === 3 && hub % 50 =!= 40)
+        .select(hub.cast("long").as("id_a"), (hub + 10).cast("long").as("id_b"))
+      Dedup.connectedComponents(star.unionByName(chain).distinct())
+    }),
+
     "q_ann_bruteforce" -> ((s, dir) => {
       val dim = 64
       val query = Ann.hyperplanes(dim, 1, seed = 7L).head
@@ -1476,6 +1492,33 @@ object SparkEntry {
           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                   CAST(c.embedding AS DOUBLE[])) >= 0.4"""
+    },
+
+    // Independent recomputation of connected components: 10 unrolled
+    // rounds of neighbor-min propagation (component diameter <= 6 by
+    // construction - runs of <= 5 chained 10-id stars)
+    "q_d_components" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""l$i AS (SELECT n.id, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+           FROM l${i - 1} n LEFT JOIN (
+             SELECT s.u, min(x.lbl) AS mn FROM sym s JOIN l${i - 1} x ON x.id = s.v
+             GROUP BY s.u) m ON m.u = n.id)"""
+      }.mkString(",\n         ")
+      s"""WITH edges AS (
+           SELECT DISTINCT a, b FROM (
+             SELECT (o_orderkey % 5000) - (o_orderkey % 10) AS a,
+                    o_orderkey % 5000 AS b
+             FROM orders WHERE o_orderkey % 10 <> 0
+             UNION ALL
+             SELECT (o_orderkey % 5000) - (o_orderkey % 10),
+                    (o_orderkey % 5000) - (o_orderkey % 10) + 10
+             FROM orders WHERE o_orderkey % 10 = 3
+               AND ((o_orderkey % 5000) - (o_orderkey % 10)) % 50 <> 40)),
+         sym AS (SELECT a AS u, b AS v FROM edges
+                 UNION SELECT b, a FROM edges),
+         l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM sym),
+         $rounds
+         SELECT id, lbl AS component FROM l10"""
     },
 
     // batch recomputation of the watermarked tumbling-window stream

@@ -193,6 +193,77 @@ object Dedup {
     when(size(array_union(a, b)) === 0, 0.0)
       .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
 
+  /** Connected components over an undirected pair list (the output shape
+    * of the near-dup generators): every node gets the minimum id
+    * reachable from it as its component label.
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING - each round
+    * every node takes the min of its own label, its neighbors' labels,
+    * and its current label's label (lbl(lbl)). Plain neighbor
+    * propagation needs diameter-many rounds; the jump step halves the
+    * remaining distance each round, so convergence is O(log diameter) -
+    * the property that makes this viable on a 100 TB pair graph (the
+    * classic alternative is Kiveris et al.'s large-star/small-star,
+    * same bound). Each round is two equi-joins + one aggregation;
+    * iterates driver-side with localCheckpoint truncating lineage, and
+    * stops at the fixpoint (no label changed).
+    *
+    * Only nodes appearing in `pairs` are labeled; callers union isolated
+    * ids back (see [[nearDupSurvivors]]). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // min label over neighbors
+      val nbrMin = sym
+        .join(labels.select(col("id").as("v"), col("lbl").as("vLbl")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("vLbl")).as("nbrLbl"))
+        .withColumnRenamed("u", "id")
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbrLbl"), col("lbl"))).as("lbl"))
+      // pointer jump: also adopt lbl(lbl)
+      val parents = prop.select(col("id").as("p"), col("lbl").as("pLbl"))
+      val jumped = prop.join(parents, prop("lbl") === parents("p"), "left")
+        .select(prop("id"),
+          least(prop("lbl"), coalesce(col("pLbl"), prop("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = jumped
+        .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .filter(col("lbl") =!= col("old"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = jumped
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  /** Keep-one-per-cluster: the doc set minus near-duplicates. Survivors
+    * are the minimum id of each connected component of the pair graph,
+    * plus every document not in any pair. One CC run plus one hash
+    * anti-join on the doc id (the duplicate side can be huge, so no
+    * broadcast assumption). */
+  def nearDupSurvivors(df: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    // everything in a component that is NOT its min-id member is a dup
+    val dups = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(dups, Seq(idCol), "left_anti")
+  }
+
   /** N-gram-Jaccard near-dup: MinHash bands generate candidates, exact
     * shingle Jaccard verifies - the full two-stage pipeline. */
   def ngramJaccardPairs(df: DataFrame, idCol: String = "doc_id",

@@ -196,6 +196,39 @@ class LlmSpec extends SparkSpec {
     assert(full.count() == 500L * 499 / 2)
   }
 
+  test("connected components match brute-force union-find; survivors keep min id") {
+    // random sparse graph: 300 nodes, 280 random edges -> mix of chains,
+    // small clusters, and isolated nodes
+    val rnd = new scala.util.Random(11)
+    val edgeSeq = Seq.fill(280) {
+      val a = rnd.nextInt(300).toLong; val b = rnd.nextInt(300).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val edges = edgeSeq.toDF("id_a", "id_b")
+
+    // brute-force union-find
+    val parent = Array.tabulate(300)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edgeSeq.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inGraph = edgeSeq.flatMap(p => Seq(p._1, p._2)).toSet
+    val truth = inGraph.map(n => n -> find(n.toInt).toLong).toMap
+
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == truth)
+
+    // survivors: min id per component + isolated docs
+    val docs = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val survivors = Dedup.nearDupSurvivors(docs, edges).select("doc_id")
+      .as[Long].collect().toSet
+    val expected = (0L until 300L).filter(i =>
+      !inGraph.contains(i) || truth(i) == i).toSet
+    assert(survivors == expected)
+  }
+
   test("SCALE: no CartesianProduct / BroadcastNestedLoop in pair plans") {
     for (df <- Seq(
       Dedup.minhashLshPairs(docs),
