@@ -667,8 +667,12 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       // n_events only: the float sum is still computed by the stream but a
-      // cross-engine compare of an order-dependent double sum is noise
-      s.table(name).select(col("window.start").as("win_start"),
+      // cross-engine compare of an order-dependent double sum is noise.
+      // Window start as epoch seconds - the memory-sink roundtrip yields
+      // nanosecond timestamps while DuckDB produces microseconds, and the
+      // driver compare is type-exact.
+      s.table(name).select(
+        unix_timestamp(col("window.start")).as("win_start_s"),
         col("event_type"), col("n_events"))
     }),
 
@@ -1523,8 +1527,8 @@ object SparkEntry {
 
     // batch recomputation of the watermarked tumbling-window stream
     "q_stream_windowed" ->
-      """SELECT make_timestamp(((event_id % 86400) // 3600) * 3600 * 1000000)
-               AS win_start,
+      """SELECT CAST(((event_id % 86400) // 3600) * 3600 AS BIGINT)
+               AS win_start_s,
              event_type, count(*) AS n_events
          FROM events GROUP BY 1, 2""",
 
