@@ -1254,26 +1254,22 @@ object SparkEntry {
     // Independent recomputation of Resolve.resolveRelations
     "q_a6_resolve" ->
       """WITH rels AS (
-           SELECT 'EG' || (l_orderkey % 500) AS srcid,
-                  'EG' || (l_partkey % 500) AS destid
+           SELECT 'EG' || ((l_orderkey % 2000) - (l_orderkey % 2000) % 2) AS srcid,
+                  'EG' || ((l_partkey % 2000) - (l_partkey % 2000) % 2) AS destid
            FROM lineitem WHERE l_orderkey % 2 = 0),
          egids AS (SELECT DISTINCT egid FROM (
            SELECT srcid AS egid FROM rels UNION ALL SELECT destid FROM rels)),
          cands AS (
-           SELECT DISTINCT 'EG' || (o_custkey % 500) AS egid,
-                  CAST(o_orderkey % 1800 + 1 AS INT) AS rgdid
-           FROM orders
-           WHERE o_orderkey % 5 <> 0
-             AND EXISTS (SELECT 1 FROM customer g
-                   WHERE g.c_custkey = o_orderkey % 1800 + 1
-                     AND (CASE WHEN g.c_mktsegment='MACHINERY' THEN 'allele'
-                          ELSE 'protein-coding' END) NOT IN ('allele','splice'))
-             AND 'EG' || (o_custkey % 500) IN (SELECT egid FROM egids)),
+           SELECT DISTINCT 'EG' || (c_custkey - c_custkey % 2) AS egid,
+                  CAST(c_custkey AS INT) AS rgdid
+           FROM customer
+           WHERE c_custkey % 7 <> 0
+             AND (CASE WHEN c_mktsegment='MACHINERY' THEN 'allele'
+                  ELSE 'protein-coding' END) NOT IN ('allele','splice')
+             AND 'EG' || (c_custkey - c_custkey % 2) IN (SELECT egid FROM egids)),
          wstat AS (
-           SELECT c.egid, c.rgdid,
-                  CASE WHEN cu.c_custkey IS NULL THEN NULL
-                       ELSE cu.c_acctbal >= 0 END AS isactive
-           FROM cands c LEFT JOIN customer cu ON cu.c_custkey = c.rgdid),
+           SELECT c.egid, c.rgdid, cu.c_acctbal >= 0 AS isactive
+           FROM cands c JOIN customer cu ON cu.c_custkey = c.rgdid),
          repl AS (
            SELECT h.oldid, max(h.newid) AS replid FROM
              (SELECT CAST(c_custkey AS INT) AS oldid,

@@ -159,7 +159,9 @@ object Dedup {
     (0 until 64 % chunks).foreach(widths(_) += 1)
     val offsets = widths.scanLeft(0)(_ + _).init
     val chunkCols = (0 until chunks).map { c =>
-      val mask = (1L << widths(c)) - 1
+      // width 64 (maxHamming=0, one chunk): (1L << 64) == 1L in JVM shift
+      // semantics, which would zero the mask - use all-ones explicitly
+      val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1
       shiftright(col("sh"), offsets(c)).bitwiseAND(mask)
     }
 

@@ -122,15 +122,17 @@ object TpchShapes {
 
   // ---- Resolve.resolveRelations fixtures ----
 
-  /** EntrezGene xref crosswalk from orders: every 5th row a non-EG xdb
-    * key (filtered by the operator), rgd ids partly outside the customer
-    * range. */
+  /** EntrezGene xref crosswalk from customer: custkey pairs (2k, 2k+1)
+    * share one EG id, so per-id candidate fan-out is 1-2 and every
+    * resolution outcome (matched / multiple / withdrawn / replacement)
+    * occurs at gate scale. Every 7th row carries a non-EG xdb key
+    * (filtered out by the operator). */
   def resolveXrefs(s: SparkSession, dir: String): DataFrame =
-    rd(s, dir, "orders").select(
-      col("o_orderkey").as("accXdbKey"),
-      (col("o_orderkey") % 1800 + 1).cast("int").as("rgdId"),
-      when(col("o_orderkey") % 5 === 0, 5).otherwise(3).as("xdbKey"),
-      concat(lit("EG"), col("o_custkey") % 500).as("accId"),
+    rd(s, dir, "customer").select(
+      col("c_custkey").as("accXdbKey"),
+      col("c_custkey").cast("int").as("rgdId"),
+      when(col("c_custkey") % 7 === 0, 5).otherwise(3).as("xdbKey"),
+      concat(lit("EG"), col("c_custkey") - col("c_custkey") % 2).as("accId"),
       lit("x").as("srcPipeline"),
       lit(ts0).as("modificationDate"))
 
@@ -148,14 +150,18 @@ object TpchShapes {
       col("c_custkey").cast("int").as("oldRgdId"),
       (col("c_custkey") + 1).cast("int").as("newRgdId"))
 
-  /** Raw relations keyed by external EG ids, from lineitem. */
-  def resolveRelations(s: SparkSession, dir: String): DataFrame =
+  /** Raw relations keyed by external EG ids, from lineitem. The EG space
+    * (even ids 0..1998) is wider than the crosswalk's, so unmatched ids
+    * and dest-side failures occur alongside the matched bulk. */
+  def resolveRelations(s: SparkSession, dir: String): DataFrame = {
+    def eg(c: Column) = concat(lit("EG"), (c % 2000) - (c % 2000) % 2)
     rd(s, dir, "lineitem").filter(col("l_orderkey") % 2 === 0).select(
-      concat(lit("EG"), col("l_orderkey") % 500).as("srcOtherId"),
-      concat(lit("EG"), col("l_partkey") % 500).as("destOtherId"),
+      eg(col("l_orderkey")).as("srcOtherId"),
+      eg(col("l_partkey")).as("destOtherId"),
       lit(1).as("srcSpeciesTypeKey"), lit(3).as("destSpeciesTypeKey"),
       when(col("l_partkey") % 2 === 0, "HGNC").otherwise("NCBI").as("dataSource"),
       lit("Ensembl").as("dataSetName"))
+  }
 
   // ---- Cascade.run fixtures ----
 

@@ -35,15 +35,20 @@ object Cli {
     var maxAgeDays = 20000 // test-data orders dates are from 1998
 
     var i = 0
+    def value(flag: String): String = {
+      i += 1
+      if (i >= args.length) { System.err.println(s"ERROR: $flag needs a value"); sys.exit(-1) }
+      args(i)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--species" => i += 1; speciesArg = Some(args(i))
+        case "--species" => speciesArg = Some(value("--species"))
         case "--fixXRefDataSet" => fixXref = true
         case "--agrOrthologs" => agrOrthologs = true
-        case "--sfDir" => i += 1; sfDir = args(i)
-        case "--out" => i += 1; out = args(i)
-        case "--maxAgeDays" => i += 1; maxAgeDays = args(i).toInt
-        case other => sys.error(s"unknown argument: $other")
+        case "--sfDir" => sfDir = value("--sfDir")
+        case "--out" => out = value("--out")
+        case "--maxAgeDays" => maxAgeDays = value("--maxAgeDays").toInt
+        case other => System.err.println(s"ERROR: unknown argument: $other"); sys.exit(-1)
       }
       i += 1
     }
@@ -78,11 +83,13 @@ object Cli {
       if (runForAll) {
         Reports.checkAllianceFreshness(st.agrOrthologs, now, maxAgeDays)
         val searchable = Species.dim.map(_._1).filter(_ != Species.HUMAN)
-        searchable.foreach(sp => runSpecies(spark, sfDir, out, sp, runTs))
+        searchable.foreach(sp => runSpecies(spark, sfDir, out, st, sp, runTs))
         return
       }
 
-      if (speciesTypeKey == Species.ALL || speciesTypeKey == Species.HUMAN) {
+      // -1 = Species.parse couldn't map the name (typos must not run the
+      // pipeline under a bogus key)
+      if (speciesTypeKey <= Species.ALL || speciesTypeKey == Species.HUMAN) {
         System.err.println(
           "ERROR: --species not specified, unknown, or 'human'")
         sys.exit(-1)
@@ -97,16 +104,16 @@ object Cli {
         println(s"FIXED_ORTHOLOGS=${updOrtho.count()} FIXED_ASSOCS=${updAssoc.count()}")
       } else {
         Reports.checkAllianceFreshness(st.agrOrthologs, now, maxAgeDays)
-        runSpecies(spark, sfDir, out, speciesTypeKey, runTs)
+        runSpecies(spark, sfDir, out, st, speciesTypeKey, runTs)
       }
     } finally spark.stop()
   }
 
   private def runSpecies(spark: SparkSession, sfDir: String, out: String,
-                         speciesTypeKey: Int, runTs: java.sql.Timestamp): Unit = {
+                         st: OrthologPipeline.State, speciesTypeKey: Int,
+                         runTs: java.sql.Timestamp): Unit = {
     val name = Species.dim.find(_._1 == speciesTypeKey).map(_._2)
       .getOrElse(speciesTypeKey.toString)
-    val st = Fixtures.state(spark, sfDir)
     val rel = Fixtures.relations(spark, sfDir)
     val r = OrthologPipeline.runSpecies(rel, st, speciesTypeKey, runTs)
     write(r.orthologs, s"$out/$name/orthologs")

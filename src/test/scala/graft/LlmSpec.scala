@@ -96,6 +96,11 @@ class LlmSpec extends SparkSpec {
     assert(capped == 0)
     val uncapped = Dedup.simhashPairs(degenerate, maxBucketSize = 1000).count()
     assert(uncapped == 300L * 299 / 2)
+    // maxHamming=0 -> one 64-bit chunk; the mask must be all-ones
+    // ((1L << 64) == 1L would zero it and bucket everything together)
+    val exactOnly = Dedup.simhashPairs(degenerate, maxHamming = 0,
+      maxBucketSize = 1000).count()
+    assert(exactOnly == 300L * 299 / 2)
   }
 
   test("minhash pairs match brute-force shingle Jaccard away from threshold") {
