@@ -21,38 +21,15 @@ import graft.pipeline.{AgrPipeline, Fixtures, OrthologPipeline}
   *
   * Dispatch order matches the reference: --agrOrthologs short-circuits;
   * --species all loops the searchable non-human species behind the D5
-  * freshness gate; a missing/human --species is a usage error; otherwise
-  * --fixXRefDataSet or the per-species run.
+  * freshness gate; a missing/unknown/human --species is a usage error;
+  * otherwise --fixXRefDataSet or the per-species run.
+  *
+  * `run` is the testable core: takes the session, returns an exit code,
+  * never calls sys.exit or spark.stop (main owns process concerns).
   */
 object Cli {
 
   def main(args: Array[String]): Unit = {
-    var speciesArg: Option[String] = None
-    var fixXref = false
-    var agrOrthologs = false
-    var sfDir = "/root/testdata/sf0.001"
-    var out = "/tmp/graft_cli_out"
-    var maxAgeDays = 20000 // test-data orders dates are from 1998
-
-    var i = 0
-    def value(flag: String): String = {
-      i += 1
-      if (i >= args.length) { System.err.println(s"ERROR: $flag needs a value"); sys.exit(-1) }
-      args(i)
-    }
-    while (i < args.length) {
-      args(i) match {
-        case "--species" => speciesArg = Some(value("--species"))
-        case "--fixXRefDataSet" => fixXref = true
-        case "--agrOrthologs" => agrOrthologs = true
-        case "--sfDir" => sfDir = value("--sfDir")
-        case "--out" => out = value("--out")
-        case "--maxAgeDays" => maxAgeDays = value("--maxAgeDays").toInt
-        case other => System.err.println(s"ERROR: unknown argument: $other"); sys.exit(-1)
-      }
-      i += 1
-    }
-
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
       .appName("graft-cli")
@@ -62,51 +39,80 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val code = try run(args, spark) finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Parse + dispatch; returns a process exit code (0 = success). */
+  def run(args: Array[String], spark: SparkSession): Int = {
+    var speciesArg: Option[String] = None
+    var fixXref = false
+    var agrOrthologs = false
+    var sfDir = "/root/testdata/sf0.001"
+    var out = "/tmp/graft_cli_out"
+    var maxAgeDays = 20000 // test-data orders dates are from 1998
+
+    var i = 0
+    def value(flag: String): Option[String] = {
+      i += 1
+      if (i >= args.length) { System.err.println(s"ERROR: $flag needs a value"); None }
+      else Some(args(i))
+    }
+    while (i < args.length) {
+      args(i) match {
+        case "--species" => speciesArg = value("--species"); if (speciesArg.isEmpty) return -1
+        case "--fixXRefDataSet" => fixXref = true
+        case "--agrOrthologs" => agrOrthologs = true
+        case "--sfDir" => value("--sfDir") match { case Some(v) => sfDir = v; case None => return -1 }
+        case "--out" => value("--out") match { case Some(v) => out = v; case None => return -1 }
+        case "--maxAgeDays" => value("--maxAgeDays") match { case Some(v) => maxAgeDays = v.toInt; case None => return -1 }
+        case other => System.err.println(s"ERROR: unknown argument: $other"); return -1
+      }
+      i += 1
+    }
 
     val runTs = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")
     val now = java.sql.Timestamp.valueOf("2026-08-12 00:00:00")
-    try {
-      val st = Fixtures.state(spark, sfDir)
+    val st = Fixtures.state(spark, sfDir)
 
-      if (agrOrthologs) {
-        val cutoff = java.sql.Timestamp.valueOf("2026-07-31 00:00:00")
-        val r = AgrPipeline.run(Fixtures.allianceLines(spark, sfDir),
-          st.agrOrthologs, st.xrefs, st.genes, st.rgdIds, runTs, cutoff)
-        write(r.agrOrthologs, s"$out/agr_orthologs")
-        println(s"AGR_ORTHOLOGS=${r.agrOrthologs.count()}")
-        return
-      }
+    if (agrOrthologs) {
+      val cutoff = java.sql.Timestamp.valueOf("2026-07-31 00:00:00")
+      val r = AgrPipeline.run(Fixtures.allianceLines(spark, sfDir),
+        st.agrOrthologs, st.xrefs, st.genes, st.rgdIds, runTs, cutoff)
+      write(r.agrOrthologs, s"$out/agr_orthologs")
+      println(s"AGR_ORTHOLOGS=${r.agrOrthologs.count()}")
+      return 0
+    }
 
-      val runForAll = speciesArg.exists(_.equalsIgnoreCase("all"))
-      val speciesTypeKey = speciesArg.map(Species.parse).getOrElse(Species.ALL)
+    val runForAll = speciesArg.exists(_.equalsIgnoreCase("all"))
+    val speciesTypeKey = speciesArg.map(Species.parse).getOrElse(Species.ALL)
 
-      if (runForAll) {
-        Reports.checkAllianceFreshness(st.agrOrthologs, now, maxAgeDays)
-        val searchable = Species.dim.map(_._1).filter(_ != Species.HUMAN)
-        searchable.foreach(sp => runSpecies(spark, sfDir, out, st, sp, runTs))
-        return
-      }
+    if (runForAll) {
+      Reports.checkAllianceFreshness(st.agrOrthologs, now, maxAgeDays)
+      val searchable = Species.dim.map(_._1).filter(_ != Species.HUMAN)
+      searchable.foreach(sp => runSpecies(spark, sfDir, out, st, sp, runTs))
+      return 0
+    }
 
-      // -1 = Species.parse couldn't map the name (typos must not run the
-      // pipeline under a bogus key)
-      if (speciesTypeKey <= Species.ALL || speciesTypeKey == Species.HUMAN) {
-        System.err.println(
-          "ERROR: --species not specified, unknown, or 'human'")
-        sys.exit(-1)
-      }
+    // -1 = Species.parse couldn't map the name (typos must not run the
+    // pipeline under a bogus key)
+    if (speciesTypeKey <= Species.ALL || speciesTypeKey == Species.HUMAN) {
+      System.err.println("ERROR: --species not specified, unknown, or 'human'")
+      return -1
+    }
 
-      if (fixXref) {
-        val (newOrtho, updOrtho) = Maintenance.fixXrefDataSetInOrthologs(st.orthologs)
-        val (newAssoc, updAssoc) =
-          Maintenance.fixXrefDataSetInAssociations(st.associations)
-        write(newOrtho, s"$out/orthologs")
-        write(newAssoc, s"$out/associations")
-        println(s"FIXED_ORTHOLOGS=${updOrtho.count()} FIXED_ASSOCS=${updAssoc.count()}")
-      } else {
-        Reports.checkAllianceFreshness(st.agrOrthologs, now, maxAgeDays)
-        runSpecies(spark, sfDir, out, st, speciesTypeKey, runTs)
-      }
-    } finally spark.stop()
+    if (fixXref) {
+      val (newOrtho, updOrtho) = Maintenance.fixXrefDataSetInOrthologs(st.orthologs)
+      val (newAssoc, updAssoc) =
+        Maintenance.fixXrefDataSetInAssociations(st.associations)
+      write(newOrtho, s"$out/orthologs")
+      write(newAssoc, s"$out/associations")
+      println(s"FIXED_ORTHOLOGS=${updOrtho.count()} FIXED_ASSOCS=${updAssoc.count()}")
+    } else {
+      Reports.checkAllianceFreshness(st.agrOrthologs, now, maxAgeDays)
+      runSpecies(spark, sfDir, out, st, speciesTypeKey, runTs)
+    }
+    0
   }
 
   private def runSpecies(spark: SparkSession, sfDir: String, out: String,
