@@ -188,6 +188,54 @@ object Ann {
       .limit(k)
   }
 
+  /** Lloyd k-means over the embedding column - the "train the IVF
+    * centroids offline" step. Assignment reuses [[ivfAssign]] (cosine,
+    * like the probe search); the update step computes per-(cell,
+    * dimension) means with one hash aggregation (posexplode rows combine
+    * map-side, so the shuffle carries k*dim partial sums per mapper, not
+    * the data). Only the k*dim centroid matrix ever reaches the driver -
+    * that is the IVF contract (centroids are a broadcastable literal).
+    *
+    * Deterministic farthest-point init (k-means++ without the random
+    * draw): seed 1 is the lowest-id vector; each next seed is the vector
+    * minimizing its max cosine to the seeds so far (ties by id). One
+    * min_by aggregation per seed - k-1 passes over the data, each a
+    * map-side-combining scan, no collect beyond the k seed vectors.
+    * Separated clusters always get one seed each, which plain
+    * lowest-k-ids or hash-bucket sampling cannot guarantee. Empty cells
+    * during Lloyd keep their previous centroid. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int = 5,
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[Double]] = {
+    val rows = embeddings.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val first = rows.orderBy(col("id")).limit(1)
+      .collect().map(_.getSeq[Double](1).toSeq)
+    require(first.nonEmpty, "kmeansCentroids on an empty table")
+    val init: Seq[Seq[Double]] = (1 until k).foldLeft(first.toVector) { (seeds, _) =>
+      val sims = seeds.map(sv => cosine(col("v"), array(sv.map(lit): _*)))
+      val maxSim = sims.reduce((a, b) => greatest(a, b))
+      val next = rows
+        .agg(min_by(col("v"), struct(maxSim.as("s"), col("id"))).as("v"))
+        .head().getSeq[Double](0).toSeq
+      seeds :+ next
+    }
+    require(init.size == k, s"need at least $k vectors, found ${init.size}")
+    (0 until iters).foldLeft(init) { (cents, _) =>
+      val means = ivfAssign(embeddings, cents, vecCol)
+        .select(col("ivf_cell"), posexplode(col(vecCol)))
+        .groupBy(col("ivf_cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents.indices.map { c =>
+        byCell.get(c)
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          .getOrElse(cents(c))
+      }
+    }
+  }
+
   def ivfAssign(embeddings: DataFrame, centroids: Seq[Seq[Double]],
                 vecCol: String = "embedding"): DataFrame = {
     // argmax_i cos(v, c_i) = argmax_i dot(v, c_i/|c_i|): the row norm |v|

@@ -276,6 +276,33 @@ class LlmSpec extends SparkSpec {
     assert(ivf1.nonEmpty && ivf1.forall(_ % 3 == 0))
   }
 
+  test("k-means centroids recover planted clusters; IVF assignment segregates them") {
+    val rnd = new scala.util.Random(5)
+    val centres = Seq.fill(3)(Seq.fill(8)(rnd.nextGaussian() * 3))
+    val vecs = (for {
+      c <- 0 until 3; v <- 0 until 40
+    } yield ((c * 40 + v).toLong,
+      centres(c).map(x => (x + rnd.nextGaussian() * 0.1).toFloat)))
+      .toDF("vec_id", "embedding")
+
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val learned = Ann.kmeansCentroids(vecs, k = 3, iters = 5)
+    // each planted centre is cosine-close to exactly one learned centroid
+    val matches = centres.map(t => learned.map(l => cos(t, l)).max)
+    assert(matches.forall(_ > 0.99), s"matches=$matches")
+    // assignment under the learned centroids keeps each cluster together
+    val cells = Ann.ivfAssign(vecs, learned)
+      .select($"vec_id", $"ivf_cell").as[(Long, Int)].collect()
+    val byCluster = cells.groupBy(_._1 / 40).map { case (cl, xs) =>
+      cl -> xs.map(_._2).distinct.size
+    }
+    assert(byCluster.values.forall(_ == 1)) // no cluster split across cells
+    assert(cells.map(_._2).distinct.size == 3) // and no two share a cell
+  }
+
   test("text analysis: counts, quality, langid, fingerprint") {
     val t = Seq((1L, "The quick brown fox, and the lazy dog!"),
       (2L, "der hund und die katze ist nicht da"),
