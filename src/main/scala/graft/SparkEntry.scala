@@ -447,6 +447,14 @@ object SparkEntry {
           concat(col("p_brand"), lit("|"), col("p_name"), lit("|"), col("p_brand")))
           .as("algos"))),
 
+    // X1: positional tab split (the readers' fixed-column access pattern)
+    "q_x1_tabsplit" -> ((s, dir) => {
+      val line = concat_ws("\t", col("p_name"), col("p_brand"), col("p_type"))
+      t(s, dir, "part").select(col("p_partkey"),
+        split(line, "\t").getItem(1).as("f1"),
+        split(line, "\t").getItem(2).as("f2"))
+    }),
+
     // X12: percent / absolute threshold parse (the real driver-side math)
     "q_x12_threshold" -> ((s, dir) => {
       import s.implicits._
@@ -1233,6 +1241,14 @@ object SparkEntry {
              array_to_string(list_sort(list_distinct(
                string_split(p_brand || '|' || p_name || '|' || p_brand, '|'))),
                '|') AS algos
+         FROM part""",
+
+    "q_x1_tabsplit" ->
+      """SELECT p_partkey,
+             string_split(p_name || chr(9) || p_brand || chr(9) || p_type,
+               chr(9))[2] AS f1,
+             string_split(p_name || chr(9) || p_brand || chr(9) || p_type,
+               chr(9))[3] AS f2
          FROM part""",
 
     "q_x12_threshold" ->
