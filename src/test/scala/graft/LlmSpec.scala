@@ -72,7 +72,7 @@ class LlmSpec extends SparkSpec {
     val d = mutationDocs
     val hashes = d.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .as[(Long, Long)].collect().sortBy(_._1)
-    for (maxHamming <- Seq(3, 8)) { // 4x16-bit chunks; 9 uneven chunks
+    for (maxHamming <- Seq(3, 8, 16)) { // 4x16-bit; 9 and 17 uneven chunks
       val brute = (for {
         (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
         if java.lang.Long.bitCount(ha ^ hb) <= maxHamming
