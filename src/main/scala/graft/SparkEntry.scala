@@ -32,13 +32,30 @@ object SparkEntry {
   /** Flagship: the full --species pipeline (resolve -> group -> cascade ->
     * merge -> weak sync) over ortholog-shaped fixtures derived from the
     * sf0.001 test tables; returns the strong-ortholog picks. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val st = Fixtures.state(spark, dir)
-    val rel = Fixtures.relations(spark, dir)
-    val runTs = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")
-    OrthologPipeline.runSpecies(rel, st, graft.model.Species.RAT, runTs).strongPicks
-  }
+  def entry(spark: SparkSession): DataFrame =
+    pipelineResult(spark, "/root/testdata/sf0.001").strongPicks
+
+  /** The flagship --species run, computed once per (session, sf dir) and
+    * shared by every registered query that derives from it (see
+    * pipeline.Memo). */
+  private def pipelineResult(s: SparkSession, dir: String): OrthologPipeline.Result =
+    graft.pipeline.Memo.once(s, s"pipeline:$dir") {
+      val st = Fixtures.state(s, dir)
+      val rel = Fixtures.relations(s, dir)
+      val runTs = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")
+      OrthologPipeline.runSpecies(rel, st, graft.model.Species.RAT, runTs)
+    }
+
+  /** The flagship --agrOrthologs run, memoized the same way. */
+  private def agrResult(s: SparkSession, dir: String): graft.pipeline.AgrPipeline.Result =
+    graft.pipeline.Memo.once(s, s"agr:$dir") {
+      val st = Fixtures.state(s, dir)
+      val runTs = java.sql.Timestamp.valueOf("2026-08-01 12:00:00")
+      val cutoff = java.sql.Timestamp.valueOf("2026-08-01 11:00:00")
+      graft.pipeline.AgrPipeline.run(
+        Fixtures.allianceLines(s, dir), st.agrOrthologs, st.xrefs,
+        st.genes, st.rgdIds, runTs, cutoff)
+    }
 
   // decimal-exact sum: cast before and after so Spark and DuckDB agree
   // on both value and arrow type (decimal(18,2))
@@ -684,55 +701,33 @@ object SparkEntry {
         col("event_type"), col("n_events"))
     }),
 
-    // flagship pipeline as a registered (rows-only) query
-    "q_pipeline_e2e" -> ((s, dir) => {
-      val st = Fixtures.state(s, dir)
-      val rel = Fixtures.relations(s, dir)
-      val runTs = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")
-      OrthologPipeline.runSpecies(rel, st, graft.model.Species.RAT, runTs)
-        .strongPicks
+    // flagship pipeline as a registered (rows-only) query; the run itself
+    // is computed once per session and shared with q_pipeline_counts
+    "q_pipeline_e2e" -> ((s, dir) =>
+      pipelineResult(s, dir).strongPicks
         .select(col("groupId"), col("srcRgdId"), col("destRgdId"),
-          col("xrefDataSrc"), col("xrefDataSet"), col("tier"), col("method"))
-    }),
+          col("xrefDataSrc"), col("xrefDataSet"), col("tier"), col("method"))),
 
     // flagship projection under the driver's hash gate: per-(tier, method)
     // pick counts, oracled against a pinned golden table (below)
-    "q_pipeline_counts" -> ((s, dir) => {
-      val st = Fixtures.state(s, dir)
-      val rel = Fixtures.relations(s, dir)
-      val runTs = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")
-      OrthologPipeline.runSpecies(rel, st, graft.model.Species.RAT, runTs)
-        .strongPicks.groupBy(col("tier"), col("method"))
-        .agg(count(lit(1)).as("n"))
-    }),
+    "q_pipeline_counts" -> ((s, dir) =>
+      pipelineResult(s, dir).strongPicks
+        .groupBy(col("tier"), col("method"))
+        .agg(count(lit(1)).as("n"))),
 
     // AGR flagship projection: per-(flags, methods) counts, pinned golden
-    "q_agr_counts" -> ((s, dir) => {
-      val st = Fixtures.state(s, dir)
-      val runTs = java.sql.Timestamp.valueOf("2026-08-01 12:00:00")
-      val cutoff = java.sql.Timestamp.valueOf("2026-08-01 11:00:00")
-      graft.pipeline.AgrPipeline.run(
-        Fixtures.allianceLines(s, dir), st.agrOrthologs, st.xrefs,
-        st.genes, st.rgdIds, runTs, cutoff)
-        .agrOrthologs
+    "q_agr_counts" -> ((s, dir) =>
+      agrResult(s, dir).agrOrthologs
         .groupBy(col("isBestScore"), col("isBestRevScore"), col("methodsMatched"))
-        .agg(count(lit(1)).as("n"))
-    }),
+        .agg(count(lit(1)).as("n"))),
 
     // --agrOrthologs flow end-to-end as a registered (rows-only) query:
     // M5 curie cascade (symbol + special-id branches) -> S9 upsert ->
     // A8 guard -> M6 curie QC
-    "q_agr_e2e" -> ((s, dir) => {
-      val st = Fixtures.state(s, dir)
-      val runTs = java.sql.Timestamp.valueOf("2026-08-01 12:00:00")
-      val cutoff = java.sql.Timestamp.valueOf("2026-08-01 11:00:00")
-      graft.pipeline.AgrPipeline.run(
-        Fixtures.allianceLines(s, dir), st.agrOrthologs, st.xrefs,
-        st.genes, st.rgdIds, runTs, cutoff)
-        .agrOrthologs
+    "q_agr_e2e" -> ((s, dir) =>
+      agrResult(s, dir).agrOrthologs
         .select(col("geneRgdId1"), col("geneRgdId2"),
-          col("isBestScore"), col("isBestRevScore"), col("methodsMatched"))
-    })
+          col("isBestScore"), col("isBestRevScore"), col("methodsMatched")))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -71,23 +71,45 @@ object Cascade {
         col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
         col("xrefDataSrc"), col("xrefDataSet"), lit(4).as("tier"))
 
-    // tier 3: Alliance mutual-best (F10), both storage directions (J3/U4):
-    // symmetrize agr once, then a single equi-join + partner-species filter
+    // tier 3: Alliance mutual-best (F10), both storage directions (J3/U4).
+    // The AGR state is unique on (gene1, gene2, methodsMatched) - the S9
+    // upsert key (Agr.upsertAgrOrthologs); `distinct` enforces that
+    // invariant defensively. Then PRE-AGGREGATE per (src gene, partner
+    // species) BEFORE joining the group keys: the cascade only ever needs
+    // the sole tier-3 candidate (cnt=1 -> tierPick) or the fact of a
+    // conflict (cnt>1 -> no pick), so a hub gene with thousands of
+    // mutual-best partners contributes ONE aggregate row instead of
+    // fanning every group it appears in out by its partner count
+    // (measured: 1.53M -> ~70k cascade input rows on the skewed synthetic
+    // state at sf0.1). A conflict keeps its n>1 semantics downstream by
+    // emitting the minimal candidate twice.
     val mutualBest = agr.filter(col("isBestScore") === "Y" && col("isBestRevScore") === "Y")
     val agrSym = mutualBest.select(col("geneRgdId1").as("aSrc"),
         col("geneRgdId2").as("aDest"), col("methodsMatched"))
       .unionByName(mutualBest.select(col("geneRgdId2").as("aSrc"),
         col("geneRgdId1").as("aDest"), col("methodsMatched")))
+      .distinct()
+
+    val cand3 = struct(col("aDest"), col("methodsMatched"))
+    val tier3 = agrSym
+      .join(genes.select(col("rgdId"), col("speciesTypeKey").as("partnerSp")),
+        col("aDest") === col("rgdId"))
+      .groupBy(col("aSrc"), col("partnerSp"))
+      .agg(count(lit(1)).as("cnt3"), min_by(cand3, cand3).as("c3"))
 
     val alliance = keys
-      .join(agrSym, keys("srcRgdId") === agrSym("aSrc"))
-      .join(genes.select(col("rgdId"), col("speciesTypeKey").as("partnerSp")),
-        agrSym("aDest") === col("rgdId"))
-      .filter(col("partnerSp") === keys("destSpeciesTypeKey"))
-      .select(col("groupId"), col("srcRgdId"), col("aDest").as("destRgdId"),
+      .join(tier3, keys("srcRgdId") === tier3("aSrc") &&
+        keys("destSpeciesTypeKey") === tier3("partnerSp"))
+      .select(col("groupId"), col("srcRgdId"),
+        col("c3.aDest").as("destRgdId"),
         col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
-        lit("Alliance").as("xrefDataSrc"), col("methodsMatched").as("xrefDataSet"),
-        lit(3).as("tier"))
+        lit("Alliance").as("xrefDataSrc"),
+        col("c3.methodsMatched").as("xrefDataSet"),
+        lit(3).as("tier"), col("cnt3"))
+      .withColumn("dup",
+        explode(when(col("cnt3") > 1, array(lit(1), lit(2)))
+          .otherwise(array(lit(1)))))
+      .drop("cnt3", "dup")
 
     incoming.unionByName(manual).unionByName(alliance)
   }

@@ -66,7 +66,10 @@ object Grouping {
     * set-dedupe is a no-op here; groupId (the human gene) is tagged on
     * both directions so the cascade can partition by group.
     * Ref: OrthologGroup.java:66-91. */
-  def withComplementaryRelations(merged: DataFrame): DataFrame = {
+  def withComplementaryRelations(merged0: DataFrame): DataFrame = {
+    // both union legs read the (aggregated) input; persist so the merge
+    // aggregation runs once per materialization (lazy until consumed)
+    val merged = merged0.persist()
     val fwd = merged.withColumn("groupId", col("srcRgdId"))
     val rev = merged.select(
       col("destRgdId").as("srcRgdId"),

@@ -89,9 +89,15 @@ object Merge {
 
     // rank state rows per (src, destSp); best is the comparison target,
     // the rest are duplicate-conflict deletes (minus manual per F11)
+    // the ranked state, the classification join, the keyed inserts, and
+    // the counted post-merge state each feed several outputs below;
+    // persist the shared nodes so one reconcile evaluates each subtree
+    // once (MEMORY_AND_DISK - spills instead of recomputing at scale).
+    // Laziness is preserved: nothing materializes until a consumer runs.
     val stateSym = withSymbols(state, genes)
     val wState = Window.partitionBy(key.map(col): _*).orderBy(w3OrderCols(): _*)
     val rankedState = stateSym.withColumn("rnState", row_number().over(wState))
+      .persist()
 
     val bestState = rankedState.filter(col("rnState") === 1)
     val dupDeletes = rankedState.filter(col("rnState") > 1 &&
@@ -106,6 +112,7 @@ object Merge {
       struct(bestState.columns.map(col): _*).as("ex"))
 
     val cmp = joinedComparison(i.join(s, Seq("k_src", "k_dsp"), "full_outer"))
+      .persist()
 
     val touched = cmp.filter(col("cls") === "match")
       .select(col("ex.*")).drop("rnState", "symMatch", "srcSymbol", "destSymbol")
@@ -137,6 +144,8 @@ object Merge {
       .withColumn("lastModifiedBy", lit(pipelineUserId))
       .withColumn("lastModifiedDate", lit(runTs))
       .select(state.columns.map(col): _*)
+      .persist() // assignSequential leaves SQL-plan land (RDD zipWithIndex);
+                 // without this every consumer re-runs its count job + sort
 
     // state after match/insert/replace/dup-cleanup
     val deletes0 = dupDeletes.select(col("key"))
@@ -163,7 +172,7 @@ object Merge {
       (col("srcSpeciesTypeKey") === speciesTypeKey &&
         col("destSpeciesTypeKey") === human)
     val wCnt = Window.partitionBy(key.map(col): _*)
-    val withCnt = merged.withColumn("pairCnt", count(lit(1)).over(wCnt))
+    val withCnt = merged.withColumn("pairCnt", count(lit(1)).over(wCnt)).persist()
     val stale = withCnt.filter(inPair &&
       col("lastModifiedDate") < lit(runTs) &&
       col("xrefDataSrc") =!= "RGD" &&
@@ -221,7 +230,7 @@ object Merge {
       : (DataFrame, DataFrame) = {
     val w = Window.partitionBy(col("srcRgdId"), col("destRgdId"))
       .orderBy(Exprs.sourcePriority(col("xrefDataSrc")).desc, col("key").asc)
-    val ranked = state.withColumn("rn", row_number().over(w))
+    val ranked = state.withColumn("rn", row_number().over(w)).persist()
     val toDelete = ranked.filter(col("rn") > 1 && col("createdBy") === pipelineUserId)
     (ranked.join(toDelete.select(col("key")), Seq("key"), "left_anti").drop("rn"),
       toDelete.drop("rn"))

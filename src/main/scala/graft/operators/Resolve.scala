@@ -97,7 +97,10 @@ object Resolve {
 
     val ids = relations.select(col("srcOtherId").as("egId"))
       .union(relations.select(col("destOtherId").as("egId")))
-    val egMap = resolutionMap(ids, xrefs, genes, rgdIds, history)
+    // the map is probed for both relation sides, and the joined frame
+    // feeds both the audit and the resolved output: persist the shared
+    // nodes so one resolution pass serves all consumers (lazy)
+    val egMap = resolutionMap(ids, xrefs, genes, rgdIds, history).persist()
 
     val srcMap = egMap.select(
       col("egId").as("srcOtherId"),
@@ -113,6 +116,7 @@ object Resolve {
       .join(destMap, Seq("destOtherId"), "left")
       .withColumn("srcOutcome", coalesce(col("srcOutcome"), lit(OUTCOME_UNMATCHED)))
       .withColumn("destOutcome", coalesce(col("destOutcome"), lit(OUTCOME_UNMATCHED)))
+      .persist()
 
     // src failure shadows dest (reference returns before resolving dest)
     val outcome = when(col("srcOutcome") =!= OUTCOME_MATCHED, col("srcOutcome"))

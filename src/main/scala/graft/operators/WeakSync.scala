@@ -76,7 +76,9 @@ object WeakSync {
       .select(uniqueKey.map(col) :+ col("assocSubType").as("incSubType")
         :+ col("creationDate").as("incCreationDate"): _*)
 
-    val j = assocState.join(inc, uniqueKey, "full_outer")
+    // four outputs filter the same full-outer join; persist the shared
+    // node so one sync evaluates the join once (lazy until consumed)
+    val j = assocState.join(inc, uniqueKey, "full_outer").persist()
 
     // incoming presence is gated on incCreationDate (never null for an
     // incoming row), NOT incSubType: a key-matched incoming row whose
@@ -126,6 +128,7 @@ object WeakSync {
       orthologState.select(col("srcRgdId").as("destRgdId"),
         col("destRgdId").as("srcRgdId")),
       Seq("srcRgdId", "destRgdId"), "left_anti")
+      .persist() // shared by the delete/insert/detach outputs below
 
     val nonManual = asym.filter(col("xrefDataSrc") =!= "RGD")
 
@@ -195,12 +198,14 @@ object WeakSync {
       orthologState.select(col("srcRgdId").as("detailRgdId"),
         col("destRgdId").as("masterRgdId")),
       Seq("masterRgdId", "detailRgdId"), "left_anti")
+      .persist() // shared by the withRev/withoutRev split below
 
     val revAssoc = assocState.filter(col("assocType") === "weak_ortholog")
       .select(col("masterRgdId").as("detailRgdId"),
         col("detailRgdId").as("masterRgdId"))
     val withRev = noRevOrtho.join(revAssoc.distinct(), Seq("masterRgdId", "detailRgdId"),
       "left_semi")
+      .persist() // shared by fwdQueued/revQueued/detachKeys
     val withoutRev = noRevOrtho.join(revAssoc.distinct(), Seq("masterRgdId", "detailRgdId"),
       "left_anti")
 

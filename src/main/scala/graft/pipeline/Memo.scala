@@ -1,0 +1,32 @@
+package graft.pipeline
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped memo for flagship pipeline results.
+  *
+  * The registry exposes both a full flagship result (q_pipeline_e2e,
+  * q_agr_e2e) and derived projections of the same run (q_pipeline_counts,
+  * q_agr_counts). In production the run's phase outputs are parquet state
+  * tables that every downstream report reads; computing the pipeline once
+  * per session and deriving the projections from the materialized result
+  * is the same topology in-process. Without this, each registered query
+  * re-executes the whole multi-phase run.
+  *
+  * Results are keyed by (session identity, caller key). The cached values
+  * hold DataFrames whose plans are rooted at localCheckpoint RDDs, so a
+  * cached entry MUST NOT be used after those RDDs are unpersisted -
+  * callers that unpersist (Bench between passes) must `clear()` first.
+  */
+object Memo {
+  private val cache = TrieMap.empty[(Int, String), Any]
+
+  def once[T](spark: SparkSession, key: String)(build: => T): T =
+    cache.getOrElseUpdate((System.identityHashCode(spark), key), build)
+      .asInstanceOf[T]
+
+  /** Drop all cached results (does not unpersist the underlying RDDs -
+    * the caller owns that, e.g. via `sc.getPersistentRDDs`). */
+  def clear(): Unit = cache.clear()
+}

@@ -27,37 +27,54 @@ object PipelineProfile {
     }
 
     val st = Fixtures.state(spark, dir)
-    val rel = timed("read relations") {
-      val r = Fixtures.relations(spark, dir).localCheckpoint(); r.count(); r
-    }
     val runTs = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")
 
-    val (resolved, _) = timed("resolve") {
-      val p = graft.operators.Resolve.resolveRelations(
-        rel, st.xrefs, st.genes, st.rgdIds, st.history)
-      (p._1.localCheckpoint(), p._2)
-    }
-    val merged = timed("group+complement") {
-      graft.operators.Grouping.withComplementaryRelations(
-        graft.operators.Grouping.mergeRelations(
-          graft.operators.Resolve.dropUnmapped(resolved))).localCheckpoint()
-    }
-    val picks = timed("cascade") {
-      graft.operators.Cascade.run(merged, st.orthologs, st.agrOrthologs,
-        st.genes).localCheckpoint()
-    }
-    val m = timed("reconcile") {
-      val incoming = picks.select(col("srcRgdId"), col("destRgdId"),
-        col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
-        col("xrefDataSrc"), col("xrefDataSet"))
-      val r = graft.operators.Merge.reconcile(incoming, st.orthologs,
-        st.genes, runTs, graft.model.Species.RAT)
-      r.newState.localCheckpoint().count(); r
-    }
-    timed("full runSpecies") {
-      val r = OrthologPipeline.runSpecies(rel, st, graft.model.Species.RAT, runTs)
-      r.strongPicks.write.format("noop").mode("overwrite").save()
-      r.associations.write.format("noop").mode("overwrite").save()
+    // two iterations: the first carries JVM/codegen warmup, the second is
+    // the steady-state per-phase cost
+    for (iter <- 1 to 2) {
+      println(s"--- iteration $iter")
+      val rel = timed("read relations") {
+        val r = Fixtures.relations(spark, dir).localCheckpoint(); r.count(); r
+      }
+      val (resolved, _) = timed("resolve") {
+        val p = graft.operators.Resolve.resolveRelations(
+          rel, st.xrefs, st.genes, st.rgdIds, st.history)
+        (p._1.localCheckpoint(), p._2)
+      }
+      val merged = timed("group+complement") {
+        graft.operators.Grouping.withComplementaryRelations(
+          graft.operators.Grouping.mergeRelations(
+            graft.operators.Resolve.dropUnmapped(resolved))).localCheckpoint()
+      }
+      val cands = timed("cascade:candidates") {
+        graft.operators.Cascade.candidates(merged, st.orthologs,
+          st.agrOrthologs, st.genes).localCheckpoint()
+      }
+      println(s"  candidate rows: ${cands.count()}")
+      timed("cascade:pick(agg)") {
+        graft.operators.Cascade.pickStrongOrthologsAgg(cands, st.genes)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val picks = timed("cascade") {
+        graft.operators.Cascade.run(merged, st.orthologs, st.agrOrthologs,
+          st.genes).localCheckpoint()
+      }
+      timed("reconcile") {
+        val incoming = picks.select(col("srcRgdId"), col("destRgdId"),
+          col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
+          col("xrefDataSrc"), col("xrefDataSet"))
+        val r = graft.operators.Merge.reconcile(incoming, st.orthologs,
+          st.genes, runTs, graft.model.Species.RAT)
+        r.newState.localCheckpoint().count(); r
+      }
+      timed("full runSpecies") {
+        val r = OrthologPipeline.runSpecies(rel, st, graft.model.Species.RAT, runTs)
+        r.strongPicks.write.format("noop").mode("overwrite").save()
+        r.associations.write.format("noop").mode("overwrite").save()
+      }
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }
