@@ -565,6 +565,19 @@ object SparkEntry {
           sum(floor(col("value") * 100).cast("long")).as("sum_value_cents"),
           countDistinct(col("event_type")).as("n_types"))),
 
+    // event-time sessionization (session_window, gap = 15 min); the same
+    // plan runs streaming with a watermark (EventStream.sessionStats,
+    // StreamingSpec). Event time derives from event_id as in
+    // q_stream_windowed; the double sum is dropped from the projection
+    // (order-dependent cross-engine noise)
+    "q_e_sessions" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionStats(
+        t(s, dir, "events")
+          .withColumn("ts", timestamp_seconds(pmod(col("event_id"), lit(86400L)))),
+        gap = "15 minutes")
+        .select(col("sess_start_s"), col("sess_end_s"), col("user_id"),
+          col("n_events"))),
+
     // ---- LLM-pipeline operators over documents/embeddings ----
     "q_d_exact_dedup" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"))),
@@ -1531,6 +1544,26 @@ object SparkEntry {
          $rounds
          SELECT id, lbl AS component FROM l10"""
     },
+
+    // gap-based sessionization recomputed via lag + running break count;
+    // a session breaks at gap >= 900s (Spark session windows merge only
+    // on strict overlap), end = last event + gap
+    "q_e_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(event_id % 86400 AS BIGINT) AS t
+                    FROM events),
+              o AS (SELECT user_id, t,
+                           CASE WHEN lag(t) OVER w IS NULL
+                                  OR t - lag(t) OVER w >= 900
+                                THEN 1 ELSE 0 END AS brk
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+              s AS (SELECT user_id, t,
+                           sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM o)
+         SELECT CAST(min(t) AS BIGINT) AS sess_start_s,
+                CAST(max(t) + 900 AS BIGINT) AS sess_end_s,
+                user_id, count(*) AS n_events
+         FROM s GROUP BY user_id, sid""",
 
     // batch recomputation of the watermarked tumbling-window stream
     "q_stream_windowed" ->

@@ -144,9 +144,12 @@ object Agr {
     * comparison - driver-side by design. */
   def deleteStaleWithGuard(state: DataFrame, cutoff: java.sql.Timestamp,
                            initialCount: Long, threshold: String): (DataFrame, Boolean) = {
-    val total = state.count()
+    // one scalar-aggregate job for both guard inputs (total + stale)
+    val counts = state.agg(count(lit(1)),
+      sum(when(col("lastUpdateDate") < lit(cutoff), 1L).otherwise(0L))).first()
+    val total = counts.getLong(0)
     val maxDeletable: Long = parseThreshold(threshold, total)
-    val staleCount = state.filter(col("lastUpdateDate") < lit(cutoff)).count()
+    val staleCount = if (counts.isNullAt(1)) 0L else counts.getLong(1)
     val newCount = total - staleCount
     if (math.abs(newCount - initialCount) > maxDeletable) {
       (state, false) // refuse: circuit breaker tripped

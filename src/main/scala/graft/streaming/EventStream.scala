@@ -63,6 +63,28 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Event-time sessionization: gap-based session windows per user. An
+    * event extends its session while it arrives strictly within `gap` of
+    * the previous event; the first event at or past the gap opens a new
+    * session. The SAME plan runs in batch (used by the oracled
+    * q_e_sessions registry query) and as a stream (`streaming = true`
+    * adds the watermark session-window state eviction requires; run it
+    * in append mode - sessions emit once, when the watermark closes
+    * them). State is one open session per (user, session) key, purged at
+    * close - bounded by activity, not history. */
+  def sessionStats(events: DataFrame, gap: String = "15 minutes",
+                   watermark: String = "2 hours",
+                   streaming: Boolean = false): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        unix_timestamp(col("session_window.start")).as("sess_start_s"),
+        unix_timestamp(col("session_window.end")).as("sess_end_s"),
+        col("user_id"), col("n_events"), col("sum_value"))
+  }
+
   /** Custom keyed state: per-user running session via
     * flatMapGroupsWithState - emits an update per batch and, when a
     * processing-time timeout is configured (timeoutMs > 0), a final

@@ -72,6 +72,30 @@ object PipelineProfile {
         r.strongPicks.write.format("noop").mode("overwrite").save()
         r.associations.write.format("noop").mode("overwrite").save()
       }
+      // AGR flow step timing
+      val agrTs = java.sql.Timestamp.valueOf("2026-08-01 12:00:00")
+      val agrCut = java.sql.Timestamp.valueOf("2026-08-01 11:00:00")
+      val lines = Fixtures.allianceLines(spark, dir)
+      timed("agr:initialCount") { st.agrOrthologs.count() }
+      val resolvedAgr = timed("agr:resolveCuries") {
+        val curies = lines.select(col("curie1").as("curie"),
+            col("geneSymbol1").as("geneSymbol"),
+            col("speciesTypeKey1").as("speciesTypeKey"))
+          .unionByName(lines.select(col("curie2").as("curie"),
+            col("geneSymbol2").as("geneSymbol"),
+            col("speciesTypeKey2").as("speciesTypeKey")))
+          .distinct()
+        val maxRgd = st.genes.agg(coalesce(max(col("rgdId")), lit(0))).first().getInt(0)
+        graft.operators.Agr.assignNewGenes(
+          graft.operators.Agr.resolveCuries(curies, st.xrefs, st.genes, st.rgdIds),
+          maxRgd).localCheckpoint()
+      }
+      println(s"  resolved curies: ${resolvedAgr.count()}")
+      timed("agr:full run") {
+        val r = graft.pipeline.AgrPipeline.run(lines, st.agrOrthologs, st.xrefs,
+          st.genes, st.rgdIds, agrTs, agrCut)
+        r.agrOrthologs.write.format("noop").mode("overwrite").save()
+      }
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -71,6 +71,60 @@ class StreamingSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM deduped").as[Long].head() == 2L)
   }
 
+  test("session windows close at the gap and emit once on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 7: events at 10:01 and 10:05 (one session, gap 10 min), then
+    // 10:30 (past the gap -> second session); the 13:00 event advances
+    // the watermark far enough to close and emit all of user 7's sessions
+    input.addData(
+      Event(1, ts(1), 7, "click", 1.0),
+      Event(2, ts(5), 7, "click", 2.0),
+      Event(3, ts(30), 7, "view", 4.0),
+      Event(4, java.sql.Timestamp.valueOf("2026-08-01 13:00:00"), 9, "late", 1.0))
+    val query = EventStream.sessionStats(input.toDF(), gap = "10 minutes",
+        watermark = "30 minutes", streaming = true)
+      .writeStream.format("memory").queryName("session_windows")
+      .outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.sql(
+      """SELECT user_id, n_events, sum_value,
+                sess_end_s - sess_start_s AS len_s
+         FROM session_windows""")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // session 1: 10:01-10:05 + 10-min gap = 840s span; session 2: one
+    // event + gap = 600s. The 13:00 session is still open -> not emitted.
+    assert(rows == Set((7L, 2L, 3.0, 840L), (7L, 1L, 4.0, 600L)))
+  }
+
+  test("batch and streaming session stats agree (same plan, same result)") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(1), 7, "click", 1.0),
+      Event(2, ts(5), 7, "click", 2.0),
+      Event(3, ts(30), 7, "view", 4.0),
+      Event(4, ts(2), 9, "view", 8.0))
+    val batch = EventStream.sessionStats(events.toDF(), gap = "10 minutes")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+
+    val input = MemoryStream[Event]
+    input.addData(events: _*)
+    input.addData(Event(5, java.sql.Timestamp.valueOf("2026-08-01 13:00:00"),
+      1, "late", 0.0)) // watermark push so every earlier session closes
+    val query = EventStream.sessionStats(input.toDF(), gap = "10 minutes",
+        watermark = "30 minutes", streaming = true)
+      .writeStream.format("memory").queryName("session_both")
+      .outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("session_both")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+
+    assert(batch.filter(_._3 != 1L) == streamed.filter(_._3 != 1L))
+  }
+
   test("keyed session state accumulates per user") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
