@@ -665,8 +665,10 @@ object SparkEntry {
         threshold = 0.4, bits = 4)
         .select(col("id_a"), col("id_b"))),
 
-    // multimodal plumbing (rows-only): asset metadata projection (binary
-    // column pruned from the scan) and video frame sampling
+    // multimodal plumbing: asset metadata projection (binary column
+    // pruned from the scan) and video frame sampling; the synthetic
+    // metadata is arithmetic over (doc_id, length) so DuckDB recomputes
+    // both queries independently
     "q_mm_assets_meta" -> ((s, dir) =>
       graft.llm.Multimodal.metadataOnly(
         graft.llm.Multimodal.syntheticAssets(t(s, dir, "documents"), "doc_id", "text"))),
@@ -1544,6 +1546,29 @@ object SparkEntry {
          $rounds
          SELECT id, lbl AS component FROM l10"""
     },
+
+    // synthetic asset metadata recomputed from (doc_id, text length)
+    "q_mm_assets_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS asset_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             CAST((length(text)*7 + doc_id*13) % 1920 + 1 AS INT) AS width,
+             CAST((length(text)*11 + doc_id*17) % 1080 + 1 AS INT) AS height,
+             CAST((length(text)*7919 + doc_id*31) % 600000 + 1 AS INT)
+               AS duration_ms
+         FROM documents""",
+
+    // frame sampling: one row per 60s frame of each video asset
+    "q_mm_frames" ->
+      """WITH a AS (
+           SELECT CAST(doc_id AS BIGINT) AS asset_id,
+                  CAST((length(text)*7919 + doc_id*31) % 600000 + 1 AS INT)
+                    AS duration_ms
+           FROM documents WHERE doc_id % 3 = 2)
+         SELECT asset_id, CAST(f AS INT) AS frame_idx,
+                CAST(f * 60000 AS INT) AS frame_ts_ms
+         FROM a, UNNEST(generate_series(0,
+           greatest(CAST(floor(duration_ms / 60000.0) AS INT) - 1, 0))) AS t(f)""",
 
     // gap-based sessionization recomputed via lag + running break count;
     // a session breaks at gap >= 900s (Spark session windows merge only

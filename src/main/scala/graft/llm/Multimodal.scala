@@ -39,18 +39,22 @@ object Multimodal {
 
   /** Build an asset table from any (id, payload-string) source - used by
     * tests and the documents-table demo; payload bytes stand in for real
-    * media. Metadata is synthesized deterministically from the bytes. */
+    * media. Metadata is synthesized deterministically from the payload
+    * length and id - plain integer arithmetic, so an external engine can
+    * recompute it (the driver's DuckDB oracle checks both registered
+    * multimodal queries end-to-end). */
   def syntheticAssets(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val bytes = col(payloadCol).cast("binary")
+    val id = col(idCol).cast("long")
+    val len = length(col(payloadCol)).cast("long")
     df.select(
-      col(idCol).cast("long").as("asset_id"),
+      id.as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(xxhash64(col(idCol)), lit(3)) + 1).cast("int")).as("media_type"),
-      bytes.as("bytes"),
+        (pmod(id, lit(3)) + 1).cast("int")).as("media_type"),
+      col(payloadCol).cast("binary").as("bytes"),
       struct(
-        (pmod(xxhash64(bytes, lit(1)), lit(1920)) + 1).cast("int").as("width"),
-        (pmod(xxhash64(bytes, lit(2)), lit(1080)) + 1).cast("int").as("height"),
-        (pmod(xxhash64(bytes, lit(3)), lit(600000)) + 1).cast("int").as("duration_ms"),
+        (pmod(len * 7 + id * 13, lit(1920)) + 1).cast("int").as("width"),
+        (pmod(len * 11 + id * 17, lit(1080)) + 1).cast("int").as("height"),
+        (pmod(len * 7919 + id * 31, lit(600000)) + 1).cast("int").as("duration_ms"),
         lit(16000).as("sample_rate"),
         lit("synthetic").as("codec")).as("meta"))
   }
