@@ -599,6 +599,14 @@ object SparkEntry {
       TextAnalysis.withFingerprint(t(s, dir, "documents"))
         .select(col("doc_id"), col("content_md5"))),
 
+    // Gopher-style repetition/boilerplate signals; the ratios are exact
+    // small-integer divisions, bit-identical across engines
+    "q_t_repetition" -> ((s, dir) =>
+      TextAnalysis.withRepetitionSignals(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_lines"), col("dup_line_ratio"),
+          col("dup_word_ratio"), col("bullet_line_ratio"),
+          col("ellipsis_line_ratio"))),
+
     "q_t_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.wordCount(col("text")).as("n_ws_tokens"),
@@ -1054,6 +1062,34 @@ object SparkEntry {
                + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
                AS INT) AS n_bpe_tokens
          FROM documents""",
+
+    // repetition signals recomputed over DuckDB list lambdas
+    "q_t_repetition" ->
+      """WITH s AS (
+           SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+               l -> trim(l)), l -> l <> '') AS lines,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               w -> w <> '') AS words
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             len(lines) AS nl, len(list_distinct(lines)) AS nul,
+             len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+               AS n_bullet,
+             len(list_filter(lines, l -> l LIKE '%...')) AS n_ellipsis,
+             len(words) AS nw, len(list_distinct(words)) AS nuw
+           FROM s)
+         SELECT doc_id, CAST(nl AS INT) AS n_lines,
+           CASE WHEN nl>0 THEN (nl-nul)/CAST(nl AS DOUBLE) ELSE 0.0 END
+             AS dup_line_ratio,
+           CASE WHEN nw>0 THEN (nw-nuw)/CAST(nw AS DOUBLE) ELSE 0.0 END
+             AS dup_word_ratio,
+           CASE WHEN nl>0 THEN n_bullet/CAST(nl AS DOUBLE) ELSE 0.0 END
+             AS bullet_line_ratio,
+           CASE WHEN nl>0 THEN n_ellipsis/CAST(nl AS DOUBLE) ELSE 0.0 END
+             AS ellipsis_line_ratio
+         FROM c""",
 
     // Independent DuckDB recomputation of Merge.reconcile over the
     // TpchShapes fixture frames (keep in lockstep with TpchShapes.scala)

@@ -97,6 +97,37 @@ object TextAnalysis {
       .drop("__words", "__scores")
   }
 
+  /** Repetition signals (Gopher-style boilerplate detection): fraction
+    * of duplicate lines, fraction of duplicate words, and the share of
+    * lines that are bullets or ellipsis-truncated. High values mark
+    * template/spam documents that content-hash dedup misses because of
+    * small unique substitutions. Pure map stage - no shuffle; the line
+    * and word arrays are staged as columns so each interpreted
+    * higher-order lambda evaluates its producer once. */
+  def withRepetitionSignals(df0: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val df = df0
+      .withColumn("__lines",
+        filter(transform(split(t, "\n", -1), l => trim(l)), l => l =!= ""))
+      .withColumn("__rwords",
+        filter(split(lower(trim(t)), "\\s+", -1), w => w =!= ""))
+    val lines = col("__lines")
+    val words = col("__rwords")
+    val nLines = size(lines)
+    val nWords = size(words)
+    val ratio = (num: Column, den: Column) =>
+      when(den > 0, num.cast("double") / den).otherwise(0.0)
+
+    df.withColumn("n_lines", nLines)
+      .withColumn("dup_line_ratio", ratio(nLines - size(array_distinct(lines)), nLines))
+      .withColumn("dup_word_ratio", ratio(nWords - size(array_distinct(words)), nWords))
+      .withColumn("bullet_line_ratio",
+        ratio(size(filter(lines, l => l.rlike("^[-*•]"))), nLines))
+      .withColumn("ellipsis_line_ratio",
+        ratio(size(filter(lines, l => l.endsWith("..."))), nLines))
+      .drop("__lines", "__rwords")
+  }
+
   /** Document fingerprint: 64-bit polynomial rolling hash over the
     * normalized text (lowercased, whitespace collapsed) - a Rabin-style
     * content fingerprint computed with `aggregate` over the character

@@ -333,6 +333,25 @@ class LlmSpec extends SparkSpec {
     assert(r == ((4, 5))) // 4 ws tokens; 4 alnum runs + '!' = 5
   }
 
+  test("repetition signals flag boilerplate (dup lines/words, bullets)") {
+    val t = Seq(
+      (1L, "Buy now!\nBuy now!\nBuy now!\nCall today..."),
+      (2L, "- first point\n- second point\nplain closing line"),
+      (3L, "all words unique here"),
+      (4L, "spam spam spam spam")).toDF("doc_id", "text")
+    val r = TextAnalysis.withRepetitionSignals(t)
+      .select("doc_id", "n_lines", "dup_line_ratio", "dup_word_ratio",
+        "bullet_line_ratio", "ellipsis_line_ratio")
+      .as[(Long, Int, Double, Double, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L)._2 == 4)
+    assert(r(1L)._3 == 0.5) // 2 of 4 lines are repeats
+    assert(r(1L)._6 == 0.25) // one "..." line
+    assert(r(2L)._5 == 2.0 / 3) // two bullet lines of three
+    assert(r(3L)._4 == 0.0) // no duplicate words
+    assert(r(4L)._4 == 0.75) // 3 of 4 words are repeats
+  }
+
   test("multimodal: metadata prunes, frames sample, stub features are stable") {
     val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
     assert(assets.schema.fieldNames.toSeq ==
