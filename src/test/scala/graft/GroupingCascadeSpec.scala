@@ -140,6 +140,37 @@ class GroupingCascadeSpec extends SparkSpec {
       Seq((3, "Alliance", "tierPick")))
   }
 
+  test("W4 conflict: >1 mutual-best partner yields NO pick and does not " +
+    "fall through to lower tiers") {
+    val agr = Seq(
+      (1, 3, "stringent", "Y", "Y", "OMA"),
+      (1, 4, "stringent", "Y", "Y", "OMA")).toDF(
+      "geneRgdId1", "geneRgdId2", "confidence", "isBestScore",
+      "isBestRevScore", "methodsMatched")
+    // tier-2 HGNC candidate exists, but the tier-3 conflict masks it
+    assert(pick(relDf(rel(1, 2, "HGNC", "X")), agr = agr) == Seq())
+  }
+
+  test("SCALE: a hub gene's partner list pre-aggregates to a bounded " +
+    "candidate count (1 row if sole partner, 2 if conflict)") {
+    // 500 mutual-best partners for gene 1 (a degenerate hub), 1 for gene 9
+    val hub = (101 to 600).map(d => (1, d, "stringent", "Y", "Y", "OMA"))
+    val agr = (hub :+ ((9, 101, "stringent", "Y", "Y", "OMA"))).toDF(
+      "geneRgdId1", "geneRgdId2", "confidence", "isBestScore",
+      "isBestRevScore", "methodsMatched")
+    val gdim = genes(((101 to 600) :+ 1 :+ 9).map(i => (i, s"g$i")): _*)
+    val rels = relDf(rel(1, 101, "HGNC", "X"), rel(9, 101, "HGNC", "X"))
+      .withColumn("groupId", col("srcRgdId"))
+    val cands = Cascade.candidates(rels, emptyOrthologs, agr, gdim)
+    val tier3 = cands.filter(col("tier") === 3)
+      .groupBy("srcRgdId").count().as[(Int, Long)].collect().toMap
+    assert(tier3(1) == 2L, "hub conflict collapses to exactly 2 marker rows")
+    assert(tier3(9) == 1L, "sole partner stays a single candidate")
+    // end-to-end: hub -> conflict (no pick), sole partner -> tierPick
+    val picks = pick(rels.drop("groupId"), agr = agr, gs = gdim)
+    assert(picks == Seq((101, "Alliance", "tierPick")))
+  }
+
   test("property: a pick always comes from the maximal tier present " +
     "(seeded random trials)") {
     val rnd = new scala.util.Random(42)
