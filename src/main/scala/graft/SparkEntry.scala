@@ -607,6 +607,17 @@ object SparkEntry {
           col("dup_word_ratio"), col("bullet_line_ratio"),
           col("ellipsis_line_ratio"))),
 
+    // PII/URL scrub: typed placeholders + per-kind counts
+    "q_t_scrub" -> ((s, dir) =>
+      TextAnalysis.withScrubbedText(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_urls"), col("n_emails"),
+          col("n_ips"), col("scrubbed"))),
+
+    // deterministic content-hash train/val/test assignment
+    "q_split_hash" -> ((s, dir) =>
+      graft.llm.Splitting.assignSplit(t(s, dir, "documents"))
+        .select(col("doc_id"), col("split_bucket"), col("split"))),
+
     "q_t_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.wordCount(col("text")).as("n_ws_tokens"),
@@ -1061,6 +1072,39 @@ object SparkEntry {
                     t -> t <> ''))
                + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
                AS INT) AS n_bpe_tokens
+         FROM documents""",
+
+    // scrub: counts taken on the progressively-scrubbed text, like the
+    // engine (URL swallows embedded emails/IPs)
+    "q_t_scrub" ->
+      """WITH s1 AS (SELECT doc_id, text AS t0,
+             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t1
+           FROM documents),
+         s2 AS (SELECT doc_id, t0, t1,
+             regexp_replace(t1,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t2
+           FROM s1)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t0, 'https?://[^\s]+')) AS INT)
+             AS n_urls,
+           CAST(len(regexp_extract_all(t1,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t2,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT)
+             AS n_ips,
+           regexp_replace(t2,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+             '<IP>', 'g') AS scrubbed
+         FROM s2""",
+
+    // content-hash split: first md5 byte, hex-string range compare
+    "q_split_hash" ->
+      """SELECT doc_id, substr(md5(text), 1, 2) AS split_bucket,
+             CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
          FROM documents""",
 
     // repetition signals recomputed over DuckDB list lambdas

@@ -128,6 +128,27 @@ object TextAnalysis {
       .drop("__lines", "__rwords")
   }
 
+  // RE2-compatible patterns (no lookarounds), so Java regex (Spark) and
+  // RE2 (DuckDB oracle, and most scrubbing services) apply identically
+  private val urlRe = "https?://[^\\s]+"
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII/URL scrubbing: URLs, then emails, then IPv4 literals are
+    * replaced with typed placeholder tokens; each count is taken on the
+    * text AFTER the previous replacement, so an address inside a URL is
+    * counted once as URL, not again as email/IP. A pure map stage of
+    * three codegen'd regexp passes. */
+  def withScrubbedText(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, urlRe, "<URL>")
+    val t2 = regexp_replace(t1, emailRe, "<EMAIL>")
+    df.withColumn("n_urls", regexp_count(t0, lit(urlRe)).cast("int"))
+      .withColumn("n_emails", regexp_count(t1, lit(emailRe)).cast("int"))
+      .withColumn("n_ips", regexp_count(t2, lit(ipRe)).cast("int"))
+      .withColumn("scrubbed", regexp_replace(t2, ipRe, "<IP>"))
+  }
+
   /** Document fingerprint: 64-bit polynomial rolling hash over the
     * normalized text (lowercased, whitespace collapsed) - a Rabin-style
     * content fingerprint computed with `aggregate` over the character

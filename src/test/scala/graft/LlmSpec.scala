@@ -352,6 +352,35 @@ class LlmSpec extends SparkSpec {
     assert(r(4L)._4 == 0.75) // 3 of 4 words are repeats
   }
 
+  test("scrub replaces urls/emails/ips with typed tokens, counting each once") {
+    val t = Seq(
+      (1L, "mail me at a.b+c@d-e.org or visit https://x.co/a?u=v@w.io now"),
+      (2L, "server 10.0.0.1 and 192.168.1.255 up"),
+      (3L, "clean text")).toDF("doc_id", "text")
+    val r = TextAnalysis.withScrubbedText(t)
+      .select("doc_id", "n_urls", "n_emails", "n_ips", "scrubbed")
+      .as[(Long, Int, Int, Int, String)].collect().map(x => x._1 -> x).toMap
+    // the v@w.io inside the URL is swallowed by the URL replacement
+    assert(r(1L) == ((1L, 1, 1, 0,
+      "mail me at <EMAIL> or visit <URL> now")))
+    assert(r(2L) == ((2L, 0, 0, 2, "server <IP> and <IP> up")))
+    assert(r(3L) == ((3L, 0, 0, 0, "clean text")))
+  }
+
+  test("content-hash split is deterministic and lands near its fractions") {
+    val docs500 = (1 to 2000).map(i => (i.toLong, s"document body number $i"))
+      .toDF("doc_id", "text")
+    val s1 = graft.llm.Splitting.assignSplit(docs500)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val s2 = graft.llm.Splitting.assignSplit(docs500)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1 == s2) // pure function of content
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 204.0 / 256) < 0.05)
+    assert(math.abs(frac("val") - 26.0 / 256) < 0.03)
+    assert(math.abs(frac("test") - 26.0 / 256) < 0.03)
+  }
+
   test("multimodal: metadata prunes, frames sample, stub features are stable") {
     val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
     assert(assets.schema.fieldNames.toSeq ==
