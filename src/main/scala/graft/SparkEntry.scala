@@ -618,6 +618,18 @@ object SparkEntry {
       graft.llm.Splitting.assignSplit(t(s, dir, "documents"))
         .select(col("doc_id"), col("split_bucket"), col("split"))),
 
+    // benchmark-contamination screen: every 97th doc plays the held-out
+    // eval set; unhashed shingles so DuckDB recomputes the join (the
+    // hashed variant is the scale path, pinned equal in LlmSpec)
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.Contamination.ngramOverlap(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0)
+          .withColumnRenamed("doc_id", "bench_id"),
+        hashed = false)
+    }),
+
     "q_t_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.wordCount(col("text")).as("n_ws_tokens"),
@@ -1106,6 +1118,21 @@ object SparkEntry {
                   WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
                   ELSE 'test' END AS split
          FROM documents""",
+
+    // contamination: distinct 3-gram overlap between train and holdout
+    "q_contamination" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS ws
+           FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+             array_to_string(ws[i : i + 2], ' ') AS shingle
+           FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0)))
+             AS t(i))
+         SELECT tr.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+         FROM (SELECT * FROM g WHERE doc_id % 97 <> 0) tr
+         JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) b USING (shingle)
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
 
     // repetition signals recomputed over DuckDB list lambdas
     "q_t_repetition" ->

@@ -1,0 +1,52 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination screening: which training documents contain
+  * word n-grams of a held-out evaluation set?
+  *
+  * The standard decontamination pass (GPT-3 appendix C / PaLM style):
+  * shingle both corpora into word n-grams, join on the shingle, and
+  * score each (train doc, benchmark doc) pair by the number of DISTINCT
+  * shared n-grams. Pairs above `minOverlap` are flagged for removal.
+  *
+  * Scale shape: explode -> equi-join -> count aggregation. Both sides
+  * are deduped per document BEFORE the join (array_distinct), so the
+  * join carries each (doc, shingle) once; the benchmark side is tiny by
+  * construction (eval sets are ~1e3-1e5 docs vs 1e9 training docs) and
+  * broadcasts. With `hashed = true` the join key is the shingle's
+  * xxhash64 instead of the string - same pairs (modulo 2^-64 collisions),
+  * ~10x narrower shuffle rows; the registered query runs `hashed = false`
+  * so the DuckDB oracle can recompute it, and a unit test pins
+  * hashed == unhashed on real text.
+  */
+object Contamination {
+
+  /** One row per (doc id, distinct word n-gram). */
+  private def shingles(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, hashed: Boolean): DataFrame = {
+    val words = filter(split(lower(trim(col(textCol))), "\\s+", -1), w => w =!= "")
+    val grams = transform(
+      sequence(lit(1), greatest(size(col("__w")) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(col("__w"), i, lit(n))))
+    val key: Column => Column = if (hashed) (c: Column) => xxhash64(c) else identity
+    df.select(col(idCol), words.as("__w"))
+      .select(col(idCol), explode(array_distinct(grams)).as("__g"))
+      .select(col(idCol), key(col("__g")).as("shingle"))
+  }
+
+  /** Score (train, benchmark) pairs by distinct shared n-grams; keep
+    * pairs with at least `minOverlap`. */
+  def ngramOverlap(train: DataFrame, bench: DataFrame,
+                   trainId: String = "doc_id", benchId: String = "bench_id",
+                   textCol: String = "text", n: Int = 3,
+                   minOverlap: Int = 2, hashed: Boolean = true): DataFrame = {
+    val t = shingles(train, trainId, textCol, n, hashed)
+    val b = broadcast(shingles(bench, benchId, textCol, n, hashed))
+    t.join(b, Seq("shingle"))
+      .groupBy(col(trainId), col(benchId))
+      .agg(count(lit(1)).as("n_shared")) // inputs deduped -> count = distinct
+      .filter(col("n_shared") >= minOverlap)
+  }
+}

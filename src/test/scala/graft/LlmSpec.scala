@@ -381,6 +381,27 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(frac("test") - 26.0 / 256) < 0.03)
   }
 
+  test("contamination screen finds n-gram overlap; hashed == unhashed") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content with no overlap at all here"),
+      (3L, "the quick brown cat sleeps")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "watch the quick brown fox jumps over a fence")).toDF("bench_id", "text")
+
+    def run(hashed: Boolean) =
+      graft.llm.Contamination.ngramOverlap(train, bench, hashed = hashed)
+        .select("doc_id", "bench_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+
+    val plain = run(hashed = false)
+    // doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps",
+    // "fox jumps over" = 4 trigrams; doc 3 only "the quick brown" (below
+    // minOverlap); doc 2 nothing
+    assert(plain == Set((1L, 100L, 4L)))
+    assert(run(hashed = true) == plain) // scale path, same answer
+  }
+
   test("multimodal: metadata prunes, frames sample, stub features are stable") {
     val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
     assert(assets.schema.fieldNames.toSeq ==
