@@ -1134,11 +1134,12 @@ object SparkEntry {
          JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) b USING (shingle)
          GROUP BY 1, 2 HAVING count(*) >= 2""",
 
-    // repetition signals recomputed over DuckDB list lambdas
+    // repetition signals recomputed over DuckDB list lambdas (\r?\n
+    // split matches the engine's CRLF handling)
     "q_t_repetition" ->
       """WITH s AS (
            SELECT doc_id,
-             list_filter(list_transform(string_split(text, chr(10)),
+             list_filter(list_transform(string_split_regex(text, '\r?\n'),
                l -> trim(l)), l -> l <> '') AS lines,
              list_filter(string_split_regex(lower(trim(text)), '\s+'),
                w -> w <> '') AS words
@@ -1462,8 +1463,10 @@ object SparkEntry {
          agr0 AS (SELECT CAST(o_custkey % 500 AS INT) AS g1,
                   CAST(o_orderkey % 1500 + 1 AS INT) AS g2
            FROM orders WHERE o_orderstatus='O' AND o_totalprice > 100000),
+         -- UNION (not ALL): the engine dedupes the symmetrized AGR rows
+         -- on the upsert key (Cascade agrSym .distinct())
          agrsym AS (SELECT g1 AS a, g2 AS b FROM agr0
-           UNION ALL SELECT g2, g1 FROM agr0),
+           UNION SELECT g2, g1 FROM agr0),
          alliance AS (
            SELECT k.grp, k.src, sym.b AS dest, 'Alliance' AS xsrc,
                   'OrthoFinder|PANTHER' AS xset, 3 AS tier
@@ -1678,14 +1681,15 @@ object SparkEntry {
            greatest(CAST(floor(duration_ms / 60000.0) AS INT) - 1, 0))) AS t(f)""",
 
     // gap-based sessionization recomputed via lag + running break count;
-    // a session breaks at gap >= 900s (Spark session windows merge only
-    // on strict overlap), end = last event + gap
+    // a session breaks only at gap > 900s - Spark session windows merge
+    // when they touch, so two events exactly 900s apart share a session
+    // (verified against session_window at the exact-gap boundary)
     "q_e_sessions" ->
       """WITH e AS (SELECT user_id, CAST(event_id % 86400 AS BIGINT) AS t
                     FROM events),
               o AS (SELECT user_id, t,
                            CASE WHEN lag(t) OVER w IS NULL
-                                  OR t - lag(t) OVER w >= 900
+                                  OR t - lag(t) OVER w > 900
                                 THEN 1 ELSE 0 END AS brk
                     FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
               s AS (SELECT user_id, t,

@@ -26,12 +26,15 @@ object Contamination {
   /** One row per (doc id, distinct word n-gram). */
   private def shingles(df: DataFrame, idCol: String, textCol: String,
                        n: Int, hashed: Boolean): DataFrame = {
-    val words = filter(split(lower(trim(col(textCol))), "\\s+", -1), w => w =!= "")
     val grams = transform(
-      sequence(lit(1), greatest(size(col("__w")) - (n - 1), lit(0))),
+      sequence(lit(1), size(col("__w")) - (n - 1)),
       i => concat_ws(" ", slice(col("__w"), i, lit(n))))
     val key: Column => Column = if (hashed) (c: Column) => xxhash64(c) else identity
-    df.select(col(idCol), words.as("__w"))
+    df.select(col(idCol), TextAnalysis.normalizedWords(col(textCol)).as("__w"))
+      // docs shorter than n words have no n-grams; without this guard
+      // sequence(1, size-(n-1)) counts DOWN (Spark auto-steps -1) and
+      // slice(_, 0, n) throws
+      .filter(size(col("__w")) >= n)
       .select(col(idCol), explode(array_distinct(grams)).as("__g"))
       .select(col(idCol), key(col("__g")).as("shingle"))
   }

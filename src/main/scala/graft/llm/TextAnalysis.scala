@@ -15,6 +15,12 @@ object TextAnalysis {
   def wordCount(text: Column): Column =
     size(split(trim(text), "\\s+", -1))
 
+  /** Shared tokenization: lowercased, whitespace-split, empties dropped.
+    * Single definition - the repetition signals and the contamination
+    * screen (and their DuckDB oracles) must agree on what a "word" is. */
+  def normalizedWords(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+", -1), w => w =!= "")
+
   /** BPE-ish token estimate: alphanumeric runs count as one token each,
     * every non-alnum non-space character as one more (a cheap
     * deterministic proxy for a real BPE vocabulary; lookaround-free so
@@ -107,10 +113,9 @@ object TextAnalysis {
   def withRepetitionSignals(df0: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val df = df0
-      .withColumn("__lines",
-        filter(transform(split(t, "\n", -1), l => trim(l)), l => l =!= ""))
-      .withColumn("__rwords",
-        filter(split(lower(trim(t)), "\\s+", -1), w => w =!= ""))
+      .withColumn("__lines", // \r?\n so CRLF text keeps no trailing \r
+        filter(transform(split(t, "\r?\n", -1), l => trim(l)), l => l =!= ""))
+      .withColumn("__rwords", normalizedWords(t))
     val lines = col("__lines")
     val words = col("__rwords")
     val nLines = size(lines)

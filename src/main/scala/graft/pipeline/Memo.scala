@@ -14,19 +14,28 @@ import org.apache.spark.sql.SparkSession
   * is the same topology in-process. Without this, each registered query
   * re-executes the whole multi-phase run.
   *
-  * Results are keyed by (session identity, caller key). The cached values
-  * hold DataFrames whose plans are rooted at localCheckpoint RDDs, so a
-  * cached entry MUST NOT be used after those RDDs are unpersisted -
-  * callers that unpersist (Bench between passes) must `clear()` first.
+  * Results are keyed by session IDENTITY (a WeakHashMap on the session
+  * object - identity hashes collide across objects and must not be the
+  * key, and entries for collected sessions must not pin their plans
+  * forever) plus a caller key. The cached values hold DataFrames whose
+  * plans are rooted at localCheckpoint RDDs, so a cached entry MUST NOT
+  * be used after those RDDs are unpersisted - callers that unpersist
+  * (Bench between passes) must `clear()` first.
   */
 object Memo {
-  private val cache = TrieMap.empty[(Int, String), Any]
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, Any]]()
 
-  def once[T](spark: SparkSession, key: String)(build: => T): T =
-    cache.getOrElseUpdate((System.identityHashCode(spark), key), build)
-      .asInstanceOf[T]
+  def once[T](spark: SparkSession, key: String)(build: => T): T = {
+    val perSession = cache.synchronized {
+      val m = cache.get(spark)
+      if (m != null) m
+      else { val m2 = TrieMap.empty[String, Any]; cache.put(spark, m2); m2 }
+    }
+    perSession.getOrElseUpdate(key, build).asInstanceOf[T]
+  }
 
   /** Drop all cached results (does not unpersist the underlying RDDs -
     * the caller owns that, e.g. via `sc.getPersistentRDDs`). */
-  def clear(): Unit = cache.clear()
+  def clear(): Unit = cache.synchronized(cache.clear())
 }

@@ -64,9 +64,10 @@ object EventStream {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Event-time sessionization: gap-based session windows per user. An
-    * event extends its session while it arrives strictly within `gap` of
-    * the previous event; the first event at or past the gap opens a new
-    * session. The SAME plan runs in batch (used by the oracled
+    * event extends its session while it arrives within `gap` of the
+    * previous event (inclusive - windows merge when they touch, so two
+    * events exactly `gap` apart share a session); the first event past
+    * the gap opens a new one. The SAME plan runs in batch (used by the oracled
     * q_e_sessions registry query) and as a stream (`streaming = true`
     * adds the watermark session-window state eviction requires; run it
     * in append mode - sessions emit once, when the watermark closes
