@@ -618,6 +618,13 @@ object SparkEntry {
       graft.llm.Splitting.assignSplit(t(s, dir, "documents"))
         .select(col("doc_id"), col("split_bucket"), col("split"))),
 
+    // single-pass column profiling (integer-valued columns only: quartile
+    // interpolation at dyadic fractions of integers is exact in double,
+    // so the cross-engine compare is bit-stable)
+    "q_profile_stats" -> ((s, dir) =>
+      graft.operators.Profile.summarize(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_linenumber", "l_partkey"))),
+
     // benchmark-contamination screen: every 97th doc plays the held-out
     // eval set; unhashed shingles so DuckDB recomputes the join (the
     // hashed variant is the scale path, pinned equal in LlmSpec)
@@ -1118,6 +1125,20 @@ object SparkEntry {
                   WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
                   ELSE 'test' END AS split
          FROM documents""",
+
+    // profiling recomputed per column (quantile_cont == Spark's exact
+    // interpolated percentile)
+    "q_profile_stats" -> Seq("l_quantity", "l_linenumber", "l_partkey").map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+              count(*) - count($c) AS n_null,
+              count(DISTINCT $c) AS n_distinct,
+              CAST(min($c) AS DOUBLE) AS min_v,
+              CAST(max($c) AS DOUBLE) AS max_v,
+              quantile_cont(CAST($c AS DOUBLE), 0.25) AS p25,
+              quantile_cont(CAST($c AS DOUBLE), 0.5) AS p50,
+              quantile_cont(CAST($c AS DOUBLE), 0.75) AS p75
+          FROM lineitem"""
+    }.mkString(" UNION ALL "),
 
     // contamination: distinct 3-gram overlap between train and holdout
     "q_contamination" ->

@@ -381,6 +381,20 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(frac("test") - 26.0 / 256) < 0.03)
   }
 
+  test("column profile: one-pass counts, nulls, and exact quartiles") {
+    val t = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, null))
+      .toDF("a", "b")
+    val p = graft.operators.Profile.summarize(t, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("a").getLong(1) == 5 && p("a").getLong(2) == 0)
+    assert(p("a").getDouble(6) == 2.0 && p("a").getDouble(7) == 3.0) // p25/p50
+    assert(p("b").getLong(2) == 1) // one null
+    assert(p("b").getLong(3) == 4) // distinct non-null
+    // percentile ignores nulls: 10,20,30,40 -> p50 = 25
+    assert(p("b").getDouble(7) == 25.0)
+  }
+
   test("contamination screen finds n-gram overlap; hashed == unhashed") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
