@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.Exprs
 import graft.llm.{Ann, Dedup, TextAnalysis}
-import graft.operators.{Agr, Grouping, Keys, Merge, Resolve, WeakSync}
+import graft.operators.{Agr, Grouping, Keys, Merge, Resolve, TemporalJoins, WeakSync}
 import graft.pipeline.{Fixtures, OrthologPipeline, TpchShapes}
 import graft.sources.Readers
 
@@ -578,9 +578,93 @@ object SparkEntry {
         .select(col("sess_start_s"), col("sess_end_s"), col("user_id"),
           col("n_events"))),
 
+    // as-of join (the temporal operator Spark lacks natively): each
+    // click gets the latest view at-or-before it per user, via the
+    // union + running-last plan in TemporalJoins (one shuffle, no join)
+    "q_j_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_s", pmod(col("event_id"), lit(86400L)))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_s"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_s"),
+          col("event_id").as("view_event_id"))
+      TemporalJoins.asofJoin(clicks, views, Seq("user_id"), "ts_s", "ts_s",
+        Seq("view_event_id"), tiebreak = "view_event_id")
+        .select(col("event_id"), col("user_id"), col("ts_s"),
+          col("view_event_id"))
+    }),
+
+    // bucketed range join: (click, view) pairs with the click 0-600s
+    // after the view - time-quantized equi-join, no BroadcastNestedLoop
+    "q_j_range" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_s", pmod(col("event_id"), lit(86400L)))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_s").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts_s").as("view_ts"))
+      TemporalJoins.rangeJoinBucketed(clicks, views, Seq("user_id"),
+        "click_ts", "view_ts", 0L, 600L)
+        .select(col("click_id"), col("view_id"),
+          (col("click_ts") - col("view_ts")).as("delta_s"))
+    }),
+
     // ---- LLM-pipeline operators over documents/embeddings ----
     "q_d_exact_dedup" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"))),
+
+    // EXACT n-gram Jaccard pairs via the shingle inverted index (the
+    // deterministic, LSH-free near-dup path; df-cut mirrored in the
+    // oracle)
+    "q_d_jaccard_exact" -> ((s, dir) =>
+      Dedup.jaccardPairsExact(t(s, dir, "documents"), threshold = 0.5,
+        maxDf = 400)),
+
+    // corpus vocabulary top-k under a TOTAL order (count desc, term asc)
+    "q_t_vocab" -> ((s, dir) =>
+      TextAnalysis.topTerms(t(s, dir, "documents"), 20)),
+
+    // per-document top term by (tf desc, df asc, term asc) - the
+    // integer-exact TF-IDF argmax
+    "q_t_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTermPerDoc(t(s, dir, "documents"))),
+
+    // C4/Gopher-style composite quality filter: keep flag + first
+    // failing rule
+    "q_t_filter" -> ((s, dir) =>
+      TextAnalysis.withQualityFilter(t(s, dir, "documents"))
+        .select(col("doc_id"), col("keep"), col("drop_reason"))),
+
+    // deterministic per-source down-sampling (data mixing)
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.llm.Splitting.sampleStratified(t(s, dir, "documents"),
+        rates = Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0,
+          "src3" -> 1.0), defaultRate = 0.75)
+        .select(col("doc_id"), col("source"), col("sample_bucket"),
+          col("kept"))),
+
+    // token-budget sequence packing: next-fit bin by cumulative offset
+    "q_pack_bins" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.wordCount(col("text")))
+      graft.llm.Packing.assignBins(docs, budgetTokens = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("pack_bin"))
+    }),
+
+    // random-projection reduction + scalar quantization, flattened to
+    // (vec_id, dim_idx, grid cell) rows; DuckDB recomputes from the
+    // same literal planes
+    "q_emb_project" -> ((s, dir) => {
+      val planes = Ann.hyperplanes(64, 8, seed = 19L)
+      Ann.randomProject(t(s, dir, "embeddings"), planes)
+        .select(col("vec_id"),
+          posexplode(Ann.quantize(col("projected"), 1000.0)))
+        .withColumnRenamed("pos", "dim_idx").withColumnRenamed("col", "q")
+    }),
 
     "q_d_norm_dedup" -> ((s, dir) =>
       Dedup.normalized(t(s, dir, "documents"))),
@@ -1027,6 +1111,168 @@ object SparkEntry {
     "q_d_exact_dedup" ->
       """SELECT text, min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY text""",
+
+    // as-of join recomputed as a correlated latest-prior lookup
+    "q_j_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, event_id % 86400 AS ts_s,
+                            event_type FROM events),
+              c AS (SELECT event_id, user_id, ts_s FROM ev
+                    WHERE event_type = 'click'),
+              v AS (SELECT event_id AS view_event_id, user_id, ts_s FROM ev
+                    WHERE event_type = 'view')
+         SELECT c.event_id, c.user_id, c.ts_s,
+           (SELECT v.view_event_id FROM v
+            WHERE v.user_id = c.user_id AND v.ts_s <= c.ts_s
+            ORDER BY v.ts_s DESC, v.view_event_id DESC LIMIT 1)
+             AS view_event_id
+         FROM c""",
+
+    // range join recomputed as a plain BETWEEN join
+    "q_j_range" ->
+      """WITH ev AS (SELECT event_id, user_id, event_id % 86400 AS ts_s,
+                            event_type FROM events)
+         SELECT c.event_id AS click_id, v.event_id AS view_id,
+                c.ts_s - v.ts_s AS delta_s
+         FROM (SELECT * FROM ev WHERE event_type = 'click') c
+         JOIN (SELECT * FROM ev WHERE event_type = 'view') v
+           ON c.user_id = v.user_id
+          AND c.ts_s BETWEEN v.ts_s AND v.ts_s + 600""",
+
+    // exact inverted-index Jaccard recomputed with the same tokenizer
+    // ([a-z0-9_] runs of the lowercased text), 3-gram shingles, <3
+    // tokens degrading to one whole-text shingle, and the df<=400 cut
+    "q_d_jaccard_exact" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               t -> t <> '') AS ws
+           FROM documents),
+         g AS (SELECT doc_id,
+             unnest(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+               ELSE list_distinct(list_transform(
+                 generate_series(1, len(ws) - 2),
+                 i -> array_to_string(ws[i : i + 2], ' '))) END) AS shingle
+           FROM w),
+         sz AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY doc_id),
+         kept AS (SELECT * FROM g
+           QUALIFY count(*) OVER (PARTITION BY shingle) <= 400),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM kept a JOIN kept b USING (shingle)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common) AS jaccard
+         FROM p JOIN sz na ON na.doc_id = p.id_a
+                JOIN sz nb ON nb.doc_id = p.id_b
+         WHERE CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common) >= 0.5""",
+
+    "q_t_vocab" ->
+      """SELECT term, count(*) AS n FROM (
+           SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+             AS term
+           FROM documents)
+         GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""",
+
+    "q_t_top_terms" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         d AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT doc_id, term AS top_term, tf, df FROM (
+           SELECT tf.doc_id, tf.term, tf.tf, d.df,
+                  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                    ORDER BY tf.tf DESC, d.df ASC, tf.term ASC) AS rn
+           FROM tf JOIN d USING (term))
+         WHERE rn = 1""",
+
+    // quality filter: same features as q_t_quality / q_t_repetition,
+    // same rule order, first failing rule is the reason
+    "q_t_filter" ->
+      """WITH f AS (
+           SELECT doc_id,
+             length(text) AS nc,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT)
+               AS nw,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               w -> list_contains(['the','a','an','and','or','of','to','in',
+                 'is','it','that','for','on','with','as','was','at','by'], w)))
+               AS INT) AS nstop,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+               AS npunct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS ndigit,
+             list_filter(list_transform(string_split_regex(text, '\r?\n'),
+               l -> trim(l)), l -> l <> '') AS lines,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               w -> w <> '') AS words
+           FROM documents),
+         r AS (
+           SELECT doc_id, nw,
+             CASE WHEN nw > 0 THEN (nc - nw + 1) / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS awl,
+             CASE WHEN nw > 0 THEN nstop / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS stopr,
+             CASE WHEN nc > 0 THEN npunct / CAST(nc AS DOUBLE)
+                  ELSE 0.0 END AS punctr,
+             CASE WHEN nc > 0 THEN ndigit / CAST(nc AS DOUBLE)
+                  ELSE 0.0 END AS digitr,
+             CASE WHEN len(lines) > 0 THEN
+               (len(lines) - len(list_distinct(lines)))
+                 / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS duplr,
+             CASE WHEN len(words) > 0 THEN
+               (len(words) - len(list_distinct(words)))
+                 / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS dupwr
+           FROM f)
+         SELECT doc_id,
+           CAST(reason IS NULL AS INT) AS keep, reason AS drop_reason
+         FROM (
+           SELECT doc_id,
+             CASE WHEN nw < 10 THEN 'too_few_words'
+                  WHEN nw > 100000 THEN 'too_many_words'
+                  WHEN awl < 2.0 THEN 'short_words'
+                  WHEN awl > 12.0 THEN 'long_words'
+                  WHEN stopr < 0.01 THEN 'low_stopword'
+                  WHEN punctr > 0.2 THEN 'high_punct'
+                  WHEN digitr > 0.2 THEN 'high_digit'
+                  WHEN duplr > 0.5 THEN 'repetitive_lines'
+                  WHEN dupwr > 0.85 THEN 'repetitive_words'
+                  END AS reason
+           FROM r)""",
+
+    // stratified sampling: cutoffs are rateCutoffHex() of the rates in
+    // the registered query ('g' = keep-all sentinel above every hex)
+    "q_sample_stratified" ->
+      """SELECT doc_id, source,
+             substr(md5('sample-v1' || text), 1, 8) AS sample_bucket,
+             CAST(substr(md5('sample-v1' || text), 1, 8) <
+               CASE source WHEN 'src0' THEN '40000000'
+                    WHEN 'src1' THEN '80000000'
+                    WHEN 'src2' THEN '00000000'
+                    WHEN 'src3' THEN 'g'
+                    ELSE 'c0000000' END AS INT) AS kept
+         FROM documents""",
+
+    "q_pack_bins" ->
+      """SELECT doc_id, source, n_tokens,
+             CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_bin
+         FROM (
+           SELECT doc_id, source, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM (SELECT doc_id, source,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+                     AS n_tokens
+                 FROM documents))""",
+
+    "q_emb_project" -> {
+      val planes = Ann.hyperplanes(64, 8, seed = 19L)
+      planes.zipWithIndex.map { case (p, i) =>
+        s"""SELECT vec_id, $i AS dim_idx,
+               CAST(floor(${dotSql(p)} * 1000) AS BIGINT) AS q
+            FROM embeddings"""
+      }.mkString(" UNION ALL ")
+    },
 
     "q_d_norm_dedup" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))

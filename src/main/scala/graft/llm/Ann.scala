@@ -66,6 +66,28 @@ object Ann {
       if (d > 0) acc | (1L << i) else acc
     }
 
+  /** Random-projection dimensionality reduction: project each embedding
+    * onto `planes` (a literal matrix of driver-side rows, e.g. from
+    * [[hyperplanes]]) - the Johnson-Lindenstrauss sketch that shrinks a
+    * 1024-dim embedding column to 8-64 dims while approximately
+    * preserving pairwise distances. Pure map stage of codegen'd dot
+    * products; the plane matrix inlines into the expression tree, so
+    * nothing is broadcast or joined. Adds `projected: array<double>`. */
+  def randomProject(embeddings: DataFrame, planes: Seq[Seq[Double]],
+                    vecCol: String = "embedding"): DataFrame =
+    embeddings.withColumn("projected",
+      array(planes.map(p => dot(col(vecCol), array(p.map(lit): _*))): _*))
+
+  /** Scalar quantization of an array<double> column to int64 grid
+    * cells (`floor(x * scale)`): the compressed representation stored
+    * by vector indexes (per-component int8/int16 in real indexes; the
+    * grid index is the engine-level primitive). Quantization also makes
+    * projected values comparable across engines - a raw double dot
+    * product differs by ~1 ulp between summation orders, a grid cell at
+    * any sane scale does not. */
+  def quantize(vec: Column, scale: Double): Column =
+    transform(vec, x => floor(x * scale).cast("long"))
+
   /** Unit-normalized centroids - the driver-side precompute ivfAssign
     * bakes into its plan (see there for why). */
   def unitCentroids(centroids: Seq[Seq[Double]]): Seq[Seq[Double]] =

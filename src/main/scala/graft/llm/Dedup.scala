@@ -266,6 +266,56 @@ object Dedup {
     df.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** EXACT all-pairs n-gram Jaccard via a shingle inverted index - the
+    * deterministic alternative to [[ngramJaccardPairs]] (whose MinHash
+    * candidate stage can miss pairs below the band guarantee). Every
+    * pair sharing at least one indexed shingle is scored with its true
+    * Jaccard; pairs sharing no shingle have Jaccard 0 and are correctly
+    * absent for any threshold > 0.
+    *
+    * Plan shape: explode to (shingle, id, |S(id)|) postings, self-join
+    * on the shingle, count common shingles per pair, then
+    * J = common / (|A| + |B| - common) from the per-doc set sizes
+    * carried on the postings - no second pass over the text.
+    *
+    * Scale guard: `maxDf` drops shingles occurring in more than that
+    * many documents BEFORE the self-join (a document-frequency cut -
+    * the posting-list join costs sum(df^2) and a boilerplate shingle
+    * shared by 1e6 docs is 1e12 candidate pairs). The cut is the one
+    * approximation: a pair whose every common shingle is df-cut is
+    * missed, and a surviving pair's `common` counts indexed shingles
+    * only (its jaccard can undercount). Set maxDf above the corpus'
+    * boilerplate threshold, or Int.MaxValue for the fully exact answer.
+    * The classic exact-at-scale refinement is prefix filtering
+    * (PPJoin); the df-cut keeps the same equi-join plan and is the
+    * standard first line at web scale. */
+  def jaccardPairsExact(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", shingleN: Int = 3,
+                        threshold: Double = 0.5,
+                        maxDf: Int = 1000): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    val postings = withSh.select(col("id"), col("nsh"),
+      explode(col("sh")).as("shingle"))
+
+    // document-frequency cut (see scaladoc)
+    val wS = Window.partitionBy(col("shingle"))
+    val kept = postings.withColumn("df", count(lit(1)).over(wS))
+      .filter(col("df") <= maxDf).drop("df")
+
+    val a = kept.select(col("shingle"), col("id").as("id_a"), col("nsh").as("nsh_a"))
+    val b = kept.select(col("shingle"), col("id").as("id_b"), col("nsh").as("nsh_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("nsh_a"), col("nsh_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("nsh_a") + col("nsh_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** N-gram-Jaccard near-dup: MinHash bands generate candidates, exact
     * shingle Jaccard verifies - the full two-stage pipeline. */
   def ngramJaccardPairs(df: DataFrame, idCol: String = "doc_id",

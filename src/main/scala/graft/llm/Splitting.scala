@@ -28,4 +28,42 @@ object Splitting {
           .when(bucket < valUpperHex, "val")
           .otherwise("test"))
   }
+
+  /** 8-hex-digit (32-bit) cutoff for a keep rate: a row survives when
+    * its hash prefix compares below this string. */
+  private[llm] def rateCutoffHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0, 1]")
+    // rate 1.0 must keep EVERY row including bucket "ffffffff": "g"
+    // sorts above every hex digit, so `bucket < "g"` is always true
+    if (rate >= 1.0) "g"
+    else f"${math.round(rate * 4294967296.0)}%08x"
+  }
+
+  /** Deterministic per-stratum down-sampling (the data-mixing step:
+    * web crawl at 5%, books at 100%): keep a row iff the first 8 hex
+    * chars of md5(salt || content) fall under its stratum's rate
+    * cutoff. Like [[assignSplit]], survival is a pure function of the
+    * content - no seed, no row order, re-runs reproduce the mixture
+    * exactly. The salt decorrelates the sampling decision from the
+    * split assignment (both read md5 prefixes; with no salt the kept
+    * set would be a prefix-biased subset of the train split).
+    *
+    * Adds `sample_bucket` (the hex prefix) and `kept` (1/0); callers
+    * filter on `kept`. Strata missing from `rates` fall back to
+    * `defaultRate`. Pure map stage over a tiny when-chain - the rate
+    * map is driver-side configuration, not a joined table. */
+  def sampleStratified(df: DataFrame, rates: Map[String, Double],
+                       strataCol: String = "source",
+                       contentCol: String = "text",
+                       salt: String = "sample-v1",
+                       defaultRate: Double = 1.0): DataFrame = {
+    val bucket = substring(
+      md5(concat(lit(salt), col(contentCol)).cast("binary")), 1, 8)
+    val cutoff = rates.foldLeft(lit(rateCutoffHex(defaultRate))) {
+      case (rest, (stratum, rate)) =>
+        when(col(strataCol) === stratum, rateCutoffHex(rate)).otherwise(rest)
+    }
+    df.withColumn("sample_bucket", bucket)
+      .withColumn("kept", (bucket < cutoff).cast("int"))
+  }
 }

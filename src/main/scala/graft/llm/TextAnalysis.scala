@@ -154,6 +154,83 @@ object TextAnalysis {
       .withColumn("scrubbed", regexp_replace(t2, ipRe, "<IP>"))
   }
 
+  /** Corpus vocabulary top-k (heavy hitters): the k most frequent
+    * normalized words with their total counts. Plan: explode -> hash
+    * aggregate with map-side partial combine (the per-partition combine
+    * absorbs the Zipfian head, so the shuffle carries at most
+    * |vocab per partition| rows, not |tokens|) -> TakeOrdered(k) with a
+    * TOTAL order (count desc, term asc) so the cut at k is
+    * deterministic. Nothing but the k winners reaches the driver. */
+  def topTerms(df: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    df.select(explode(normalizedWords(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(k)
+
+  /** Per-document top term, TF-IDF style: term frequency within the
+    * document, document frequency across the corpus, and the winner by
+    * (tf desc, df asc, term asc) - most frequent, rarest-on-tie. The
+    * integer (tf, df) ordering keeps every compared value exact across
+    * engines (a float tf*ln(N/df) score is ulp-fragile); consumers
+    * wanting the real TF-IDF weight can compute any monotone idf from
+    * the returned integer (tf, df) pair.
+    *
+    * Plan: one aggregation to (doc, term, tf), one to (term, df) - a
+    * vocabulary-sized frame, shuffled not broadcast (web-scale vocab
+    * with typos/ids can be billions of terms) - one equi-join back on
+    * the term, one per-doc top-1 window. */
+  def topTermPerDoc(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(normalizedWords(col(textCol))).as("term"))
+    val tf = words.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("term").as("top_term"), col("tf"), col("df"))
+  }
+
+  /** Rule names in evaluation order; the FIRST failing rule is the
+    * drop reason (C4/Gopher-style document filtering). */
+  case class QualityThresholds(minWords: Int = 10, maxWords: Int = 100000,
+                               minAvgWordLen: Double = 2.0,
+                               maxAvgWordLen: Double = 12.0,
+                               minStopwordRatio: Double = 0.01,
+                               maxPunctRatio: Double = 0.2,
+                               maxDigitRatio: Double = 0.2,
+                               maxDupLineRatio: Double = 0.5,
+                               maxDupWordRatio: Double = 0.85)
+
+  /** Composite document-quality filter (the C4 / Gopher rule family)
+    * over the feature columns of [[withQualityFeatures]] and
+    * [[withRepetitionSignals]]: adds `keep` (1/0) and `drop_reason`
+    * (first failing rule, null when kept). Every compared ratio is an
+    * exact int/int double division, so the keep/drop decision is
+    * bit-stable across engines. Pure map stage. */
+  def withQualityFilter(df: DataFrame, textCol: String = "text",
+                        t: QualityThresholds = QualityThresholds()): DataFrame = {
+    val feats = withRepetitionSignals(withQualityFeatures(df, textCol), textCol)
+    val rules: Seq[(String, Column)] = Seq(
+      "too_few_words" -> (col("n_words") < t.minWords),
+      "too_many_words" -> (col("n_words") > t.maxWords),
+      "short_words" -> (col("avg_word_len") < t.minAvgWordLen),
+      "long_words" -> (col("avg_word_len") > t.maxAvgWordLen),
+      "low_stopword" -> (col("stopword_ratio") < t.minStopwordRatio),
+      "high_punct" -> (col("punct_ratio") > t.maxPunctRatio),
+      "high_digit" -> (col("digit_ratio") > t.maxDigitRatio),
+      "repetitive_lines" -> (col("dup_line_ratio") > t.maxDupLineRatio),
+      "repetitive_words" -> (col("dup_word_ratio") > t.maxDupWordRatio))
+    val reason = rules.foldRight(lit(null).cast("string")) {
+      case ((name, fails), rest) => when(fails, name).otherwise(rest)
+    }
+    feats.withColumn("drop_reason", reason)
+      .withColumn("keep", col("drop_reason").isNull.cast("int"))
+  }
+
   /** Document fingerprint: 64-bit polynomial rolling hash over the
     * normalized text (lowercased, whitespace collapsed) - a Rabin-style
     * content fingerprint computed with `aggregate` over the character

@@ -46,4 +46,47 @@ object Profile {
     }: _*)
     one.select(explode(entries).as("p")).select(col("p.*"))
   }
+
+  /** The 100 TB path promised by [[summarize]]'s scaladoc: identical
+    * plan shape and output schema, with sketches in place of the exact
+    * aggregates - `approx_count_distinct` (HyperLogLog++, fixed-size
+    * state regardless of cardinality) and `approx_percentile`
+    * (bounded-error quantile sketch). Exact countDistinct re-shuffles
+    * each column's values; the sketches keep the whole profile one
+    * partial-aggregable scan with O(cols) state per partition.
+    *
+    * @param rsd relative error for the distinct-count sketch
+    * @param percentileAccuracy 1/eps for the quantile sketch
+    */
+  def summarizeApprox(df: DataFrame, numericCols: Seq[String],
+                      rsd: Double = 0.02,
+                      percentileAccuracy: Int = 10000): DataFrame = {
+    require(numericCols.nonEmpty, "no columns to profile")
+    val aggs = numericCols.flatMap { c =>
+      val d = col(c).cast("double")
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        count(col(c)).as(s"${c}__nn"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__nd"),
+        min(d).as(s"${c}__min"),
+        max(d).as(s"${c}__max"),
+        percentile_approx(d, lit(0.25), lit(percentileAccuracy)).as(s"${c}__p25"),
+        percentile_approx(d, lit(0.5), lit(percentileAccuracy)).as(s"${c}__p50"),
+        percentile_approx(d, lit(0.75), lit(percentileAccuracy)).as(s"${c}__p75"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = array(numericCols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").as("n_rows"),
+        (col(s"${c}__n") - col(s"${c}__nn")).as("n_null"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min_v"),
+        col(s"${c}__max").as("max_v"),
+        col(s"${c}__p25").cast("double").as("p25"),
+        col(s"${c}__p50").cast("double").as("p50"),
+        col(s"${c}__p75").cast("double").as("p75"))
+    }: _*)
+    one.select(explode(entries).as("p")).select(col("p.*"))
+  }
 }

@@ -416,6 +416,160 @@ class LlmSpec extends SparkSpec {
     assert(run(hashed = true) == plain) // scale path, same answer
   }
 
+  test("exact inverted-index Jaccard matches brute force; df-cut bounds skew") {
+    val d = mutationDocs
+    val sh = d.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().map { case (i, s) => (i, s.toSet) }
+    def jac(a: Set[String], b: Set[String]) =
+      if ((a ++ b).isEmpty) 0.0 else (a & b).size.toDouble / (a ++ b).size
+    val brute = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib if jac(sa, sb) >= 0.5
+    } yield ((ia, ib), jac(sa, sb))).toMap
+    assert(brute.nonEmpty)
+    val got = Dedup.jaccardPairsExact(d, threshold = 0.5, maxDf = Int.MaxValue)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(got.keySet == brute.keySet,
+      s"missing=${(brute.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- brute.keySet).take(5)}")
+    for ((k, j) <- got) assert(math.abs(j - brute(k)) < 1e-12)
+
+    // df-cut: 300 identical docs share every shingle; the cut suppresses
+    // the quadratic posting join instead of producing 300*299/2 pairs
+    val degenerate = (0 until 300)
+      .map(i => (i.toLong, "same boilerplate text body repeated"))
+      .toDF("doc_id", "text")
+    assert(Dedup.jaccardPairsExact(degenerate, maxDf = 100).count() == 0)
+    assert(Dedup.jaccardPairsExact(degenerate, maxDf = 400).count() ==
+      300L * 299 / 2)
+  }
+
+  test("vocabulary top-k: exact counts under a total order") {
+    val d = Seq((1L, "alpha beta beta gamma"), (2L, "beta gamma gamma delta"),
+      (3L, "ALPHA beta")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTerms(d, 3)
+      .as[(String, Long)].collect().toSeq
+    // beta 4, gamma 3, alpha 2 (case-normalized), delta 1 cut at k=3
+    assert(got == Seq(("beta", 4L), ("gamma", 3L), ("alpha", 2L)))
+    // tie at the cut is deterministic: alpha/gamma tie broken by term asc
+    val tied = Seq((1L, "x x y y z")).toDF("doc_id", "text")
+    assert(TextAnalysis.topTerms(tied, 2).as[(String, Long)].collect()
+      .toSeq == Seq(("x", 2L), ("y", 2L)))
+  }
+
+  test("per-doc top term: tf desc, then rarest (df asc), then term asc") {
+    val d = Seq(
+      (1L, "apple apple banana common"), // tf: apple 2 wins
+      (2L, "banana common banana common"), // tf tie 2-2: banana df=2 < common df=3
+      (3L, "common zebra")                // tf tie 1-1: zebra df=1 wins
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topTermPerDoc(d)
+      .select("doc_id", "top_term", "tf", "df")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "apple", 2L, 1L), (2L, "banana", 2L, 2L),
+      (3L, "zebra", 1L, 1L)))
+  }
+
+  test("quality filter: first failing rule wins; clean docs keep") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs away to the forest with a spring in its step for a while"
+    val d = Seq(
+      (1L, good),
+      (2L, "too short"),                          // too_few_words
+      (3L, Seq.fill(20)("zzzz").mkString(" ")),   // low_stopword (no the/a)
+      (4L, ("the " + "!!!!!!!! " * 19).trim),     // high_punct (has stopword)
+      (5L, ("the " + "12345678 " * 19).trim),     // high_digit
+      (6L, (1 to 20).map(_ => "the fox runs").mkString("\n")) // repetitive_lines
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withQualityFilter(d)
+      .select("doc_id", "keep", "drop_reason")
+      .as[(Long, Int, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 1, None)))
+    assert(got(1) == ((2L, 0, Some("too_few_words"))))
+    assert(got(2) == ((3L, 0, Some("low_stopword"))))
+    assert(got(3) == ((4L, 0, Some("high_punct"))))
+    assert(got(4) == ((5L, 0, Some("high_digit"))))
+    assert(got(5) == ((6L, 0, Some("repetitive_lines"))))
+  }
+
+  test("stratified sampling: deterministic, rate-accurate, salt-decorrelated") {
+    val d = (1 to 4000).map(i =>
+      (i.toLong, if (i % 2 == 0) "web" else "books", s"content body $i"))
+      .toDF("doc_id", "source", "text")
+    def run(salt: String) = graft.llm.Splitting.sampleStratified(d,
+      Map("web" -> 0.25, "books" -> 1.0), salt = salt)
+      .filter($"kept" === 1).select("doc_id").as[Long].collect().toSet
+    val k1 = run("sample-v1")
+    assert(k1 == run("sample-v1")) // pure function of content
+    val webKept = k1.count(_ % 2 == 0) / 2000.0
+    assert(math.abs(webKept - 0.25) < 0.04, s"web rate $webKept")
+    assert(k1.count(_ % 2 == 1) == 2000) // books rate 1.0 keeps ALL rows
+    // different salt -> different subset at the same rate
+    val k2 = run("sample-v2")
+    assert(k2 != k1 &&
+      math.abs(k2.count(_ % 2 == 0) / 2000.0 - 0.25) < 0.04)
+    // rate 0 keeps nothing
+    assert(graft.llm.Splitting.sampleStratified(d, Map.empty,
+      defaultRate = 0.0).filter($"kept" === 1).count() == 0)
+  }
+
+  test("packing: next-fit bins respect the token budget per stratum") {
+    val d = (1 to 100).map(i =>
+      (i.toLong, s"s${i % 3}", 60L)).toDF("doc_id", "source", "n_tokens")
+    val got = graft.llm.Packing.assignBins(d, budgetTokens = 200)
+      .select("source", "doc_id", "pack_bin")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    for ((_, bins) <- got) {
+      // bins are contiguous and non-decreasing in doc order
+      assert(bins.zip(bins.tail).forall { case (a, b) => b == a || b == a + 1 })
+      // next-fit at 60 tokens / 200 budget: a bin overflows by at most
+      // one doc (sum <= budget + docTokens), so sizes alternate 4,3,3
+      val sizes = bins.groupBy(identity).view.mapValues(_.size).toMap
+      assert(sizes.filter(_._1 < bins.max).values
+        .forall(n => n * 60 <= 200 + 60 && n >= 3))
+    }
+    // a doc longer than the budget still lands in exactly one bin and
+    // the next doc starts a fresh bin
+    val big = Seq((1L, "s", 500L), (2L, "s", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val bb = graft.llm.Packing.assignBins(big, budgetTokens = 200)
+      .select("doc_id", "pack_bin").as[(Long, Long)].collect().toMap
+    assert(bb(1L) == 0L && bb(2L) == 2L) // next starts at offset 500 -> bin 2
+  }
+
+  test("random projection + quantization match driver-side arithmetic") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val planes = Ann.hyperplanes(16, 4, seed = 19L)
+    val got = Ann.randomProject(vecs.toDF("vec_id", "embedding"), planes)
+      .select($"vec_id", Ann.quantize($"projected", 1000.0).as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((id, v) <- vecs) {
+      val expect = planes.map(p =>
+        math.floor(p.zip(v).map { case (a, b) => a * b.toDouble }.sum * 1000.0).toLong)
+      assert(got(id) == expect, s"vec $id")
+    }
+  }
+
+  test("approx profile tracks the exact profile within sketch error") {
+    val t = (1 to 20000).map(i => i.toLong).toDF("a")
+    val exact = graft.operators.Profile.summarize(t, Seq("a")).collect().head
+    val approx = graft.operators.Profile.summarizeApprox(t, Seq("a"))
+      .collect().head
+    assert(approx.getString(0) == "a" && approx.getLong(1) == 20000)
+    // HLL++ at rsd=0.02: allow 3 sigma
+    val nd = approx.getLong(3).toDouble
+    assert(math.abs(nd - 20000) / 20000 < 0.06, s"distinct $nd")
+    assert(approx.getDouble(4) == exact.getDouble(4)) // min exact
+    assert(approx.getDouble(5) == exact.getDouble(5)) // max exact
+    // quantile sketch at accuracy 10000 on 20k rows: within 1% of exact
+    for (i <- 6 to 8)
+      assert(math.abs(approx.getDouble(i) - exact.getDouble(i)) <= 200.0,
+        s"quantile field $i: ${approx.getDouble(i)} vs ${exact.getDouble(i)}")
+  }
+
   test("multimodal: metadata prunes, frames sample, stub features are stable") {
     val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
     assert(assets.schema.fieldNames.toSeq ==
