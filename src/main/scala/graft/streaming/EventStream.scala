@@ -86,6 +86,33 @@ object EventStream {
         col("user_id"), col("n_events"), col("sum_value"))
   }
 
+  /** Stream-stream interval join: left events matched to right events
+    * with the same key and left.ts in [right.ts + lo, right.ts + hi] -
+    * the streaming twin of
+    * [[graft.operators.TemporalJoins.rangeJoinBucketed]] (clicks joined
+    * to the views that preceded them, impressions to conversions).
+    *
+    * Both sides MUST be watermarked and the join condition MUST bound
+    * event time on both sides: that pair is what lets the engine evict
+    * join state (a right row can be dropped once the left watermark
+    * passes right.ts + hi, and vice versa) - without it stream-stream
+    * join state grows forever. Inner join; each side's columns are
+    * prefixed (`l_`/`r_`) so same-named key/ts columns survive.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   loSec: Long, hiSec: Long, tsCol: String = "ts",
+                   watermark: String = "2 hours"): DataFrame = {
+    require(hiSec >= loSec, s"empty interval [$loSec, $hiSec]")
+    def prefixed(df: DataFrame, p: String) =
+      df.select(df.columns.map(c => col(c).as(p + c)): _*)
+    val l = prefixed(left, "l_").withWatermark(s"l_$tsCol", watermark)
+    val r = prefixed(right, "r_").withWatermark(s"r_$tsCol", watermark)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col(s"l_$tsCol") >= col(s"r_$tsCol") + expr(s"INTERVAL $loSec seconds") &&
+        col(s"l_$tsCol") <= col(s"r_$tsCol") + expr(s"INTERVAL $hiSec seconds"))
+  }
+
   /** Custom keyed state: per-user running session via
     * flatMapGroupsWithState - emits an update per batch and, when a
     * processing-time timeout is configured (timeoutMs > 0), a final

@@ -143,4 +143,40 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Double, Boolean)].collect().toSet
     assert(rows == Set((7L, 2L, 3.5, false), (9L, 1L, 4.0, false)))
   }
+
+  test("stream-stream interval join matches batch; bounds respected") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    // user 7: view at :01, clicks at :02 (in 0-5min window), :20 (out);
+    // user 9: click at :02 with no view; user 8: view only
+    clicks.addData(
+      Event(10, ts(2), 7, "click", 1.0),
+      Event(11, ts(20), 7, "click", 1.0),
+      Event(12, ts(2), 9, "click", 1.0))
+    views.addData(
+      Event(20, ts(1), 7, "view", 1.0),
+      Event(21, ts(3), 8, "view", 1.0))
+    val joined = EventStream.intervalJoin(
+      clicks.toDF(), views.toDF(), key = "user_id",
+      loSec = 0, hiSec = 300)
+    val query = joined.select($"l_event_id", $"r_event_id")
+      .writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.sql("SELECT l_event_id, r_event_id FROM ij")
+      .as[(Long, Long)].collect().toSet
+    assert(rows == Set((10L, 20L)))
+
+    // the same operator over batch frames gives the same pairs
+    val bClicks = Seq(Event(10, ts(2), 7, "click", 1.0),
+      Event(11, ts(20), 7, "click", 1.0),
+      Event(12, ts(2), 9, "click", 1.0)).toDF()
+    val bViews = Seq(Event(20, ts(1), 7, "view", 1.0),
+      Event(21, ts(3), 8, "view", 1.0)).toDF()
+    val batch = EventStream.intervalJoin(bClicks, bViews, "user_id", 0, 300)
+      .select($"l_event_id", $"r_event_id").as[(Long, Long)].collect().toSet
+    assert(batch == rows)
+  }
 }
