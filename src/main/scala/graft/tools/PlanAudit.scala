@@ -32,7 +32,12 @@ object PlanAudit {
       "q_a6_resolve",     // resolution joins + outcome agg
       "q_m4_weaksync",    // anti join + full-outer diff
       "q_d2_repair",      // swapped-key self-joins
-      "q_a2_group_merge") // token explode + merge agg + complement
+      "q_a2_group_merge", // token explode + merge agg + complement
+      "q_j_asof",         // as-of: union + running window, join-free
+      "q_j_range",        // bucketed range join: equi, no BNLJ
+      "q_d_jaccard_exact",// inverted-index exact Jaccard
+      "q_t_top_terms",    // tf/df aggs + term join + top-1 window
+      "q_pack_bins")      // per-stratum cumulative window
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
