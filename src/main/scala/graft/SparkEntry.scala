@@ -632,6 +632,12 @@ object SparkEntry {
     "q_t_top_terms" -> ((s, dir) =>
       TextAnalysis.topTermPerDoc(t(s, dir, "documents"))),
 
+    // OOV rate vs the corpus' own top-10 vocabulary (broadcast join)
+    "q_t_oov" -> ((s, dir) =>
+      TextAnalysis.withOovRate(t(s, dir, "documents"), vocabSize = 10)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("oov_rate"))),
+
     // C4/Gopher-style composite quality filter: keep flag + first
     // failing rule
     "q_t_filter" -> ((s, dir) =>
@@ -1185,6 +1191,26 @@ object SparkEntry {
                     ORDER BY tf.tf DESC, d.df ASC, tf.term ASC) AS rn
            FROM tf JOIN d USING (term))
          WHERE rn = 1""",
+
+    "q_t_oov" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS term
+           FROM documents),
+         v AS (SELECT term FROM (
+           SELECT term, count(*) AS n FROM w GROUP BY term
+           ORDER BY n DESC, term ASC LIMIT 10)),
+         c AS (SELECT w.doc_id, count(*) AS n_tokens,
+                      CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov
+               FROM w LEFT JOIN v ON w.term = v.term
+               GROUP BY w.doc_id)
+         SELECT d.doc_id, coalesce(c.n_tokens, 0) AS n_tokens,
+                coalesce(c.n_oov, 0) AS n_oov,
+                CASE WHEN c.n_tokens > 0
+                     THEN c.n_oov / CAST(c.n_tokens AS DOUBLE)
+                     ELSE 0.0 END AS oov_rate
+         FROM documents d LEFT JOIN c USING (doc_id)""",
 
     // quality filter: same features as q_t_quality / q_t_repetition,
     // same rule order, first failing rule is the reason

@@ -194,6 +194,37 @@ object TextAnalysis {
       .select(col(idCol), col("term").as("top_term"), col("tf"), col("df"))
   }
 
+  /** Out-of-vocabulary rate against the corpus' own top-`vocabSize`
+    * vocabulary - the cheap proxy for "is this document gibberish /
+    * the wrong language / binary junk" (a real pipeline swaps in a
+    * fixed reference vocabulary; pass one as `vocab`).
+    *
+    * Two-pass: the vocabulary is k rows (driver-bounded by topTerms'
+    * TakeOrdered) and BROADCASTS into the second pass's join - the per
+    * -doc scoring is explode -> broadcast left join -> count, no
+    * shuffle of the token stream beyond the doc-id aggregation. Adds
+    * n_tokens / n_oov / oov_rate (exact int/int division; token-less
+    * docs get 0). */
+  def withOovRate(df: DataFrame, vocabSize: Int = 10000,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  vocab: Option[DataFrame] = None): DataFrame = {
+    val v = broadcast(vocab.getOrElse(topTerms(df, vocabSize, textCol))
+      .select(col("term"), lit(1).as("__in_vocab")))
+    val words = df.select(col(idCol),
+      explode(normalizedWords(col(textCol))).as("term"))
+    val counts = words.join(v, Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1).otherwise(0)).cast("long")
+          .as("n_oov"))
+    df.join(counts, Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          col("n_oov").cast("double") / col("n_tokens")).otherwise(0.0))
+  }
+
   /** Rule names in evaluation order; the FIRST failing rule is the
     * drop reason (C4/Gopher-style document filtering). */
   case class QualityThresholds(minWords: Int = 10, maxWords: Int = 100000,

@@ -470,6 +470,28 @@ class LlmSpec extends SparkSpec {
       (3L, "zebra", 1L, 1L)))
   }
 
+  test("OOV rate against a top-k vocabulary; token-less docs get zero") {
+    val d = Seq(
+      (1L, "alpha alpha beta beta"), // all in top-2 vocab
+      (2L, "alpha zz qq"),           // 2 of 3 OOV
+      (3L, "...")                    // no word tokens after normalization
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withOovRate(d, vocabSize = 2)
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // vocab = {alpha(3), beta(2)} - counts strictly above the 1-ties
+    assert(got(0) == ((1L, 4L, 0L, 0.0)))
+    assert(got(1) == ((2L, 3L, 2L, 2.0 / 3)))
+    // "..." has no [a-z0-9] word tokens -> "..." itself is one token
+    // under whitespace normalization; it is OOV
+    assert(got(2)._1 == 3L && got(2)._2 == 1L && got(2)._3 == 1L)
+    // explicit external vocabulary
+    val ext = Seq("zz").toDF("term")
+    val extGot = TextAnalysis.withOovRate(d, vocab = Some(ext))
+      .filter($"doc_id" === 2L).select("n_oov").as[Long].collect()
+    assert(extGot.toSeq == Seq(2L)) // alpha and qq OOV, zz known
+  }
+
   test("quality filter: first failing rule wins; clean docs keep") {
     val good = "the quick brown fox jumps over the lazy dog and then " +
       "it runs away to the forest with a spring in its step for a while"
