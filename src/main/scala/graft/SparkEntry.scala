@@ -675,6 +675,27 @@ object SparkEntry {
     "q_d_norm_dedup" -> ((s, dir) =>
       Dedup.normalized(t(s, dir, "documents"))),
 
+    // sub-document boilerplate removal: 10-word chunks shared by >=2
+    // docs are deleted, survivors re-joined in order
+    "q_d_boilerplate" -> ((s, dir) =>
+      Dedup.removeBoilerplateChunks(t(s, dir, "documents"),
+        chunkWords = 10, minDocs = 2)),
+
+    // incremental dedup of the crawl (src != src0) against a reference
+    // corpus (src0 stands in for the existing training set)
+    "q_d_against_ref" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupAgainstReference(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+        .select(col("doc_id"), col("source"), col("norm_md5"))
+    }),
+
+    // per-source corpus health report (dominant drop reason under a
+    // total order; integer aggregates + one int/int division)
+    "q_t_source_report" -> ((s, dir) =>
+      TextAnalysis.sourceQualityReport(t(s, dir, "documents"))),
+
     "q_t_quality" -> ((s, dir) =>
       TextAnalysis.withQualityFeatures(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_words"), col("punct_ratio"),
@@ -1306,6 +1327,119 @@ object SparkEntry {
              min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents
          GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""",
+
+    // 10-word chunks, md5 per chunk, drop chunks in >=2 distinct docs,
+    // reassemble survivors in position order
+    "q_d_boilerplate" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '') AS ws
+           FROM documents),
+         segs AS (
+           SELECT doc_id, i,
+                  array_to_string(ws[(i-1)*10+1 : i*10], ' ') AS chunk
+           FROM w, LATERAL (SELECT unnest(range(1,
+             CAST(ceil(len(ws) / 10.0) AS BIGINT) + 1)) AS i)),
+         boiler AS (
+           SELECT md5(chunk) AS h FROM segs
+           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         kept AS (
+           SELECT s.doc_id, s.i, s.chunk FROM segs s
+           LEFT JOIN boiler b ON md5(s.chunk) = b.h WHERE b.h IS NULL),
+         agg AS (
+           SELECT doc_id, string_agg(chunk, ' ' ORDER BY i) AS clean_text,
+                  CAST(count(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY doc_id),
+         tot AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+           FROM segs GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+                coalesce(t.n_chunks, 0) AS n_chunks,
+                coalesce(t.n_chunks, 0) - coalesce(a.n_kept, 0) AS n_removed
+         FROM documents d
+         LEFT JOIN tot t USING (doc_id)
+         LEFT JOIN agg a USING (doc_id)""",
+
+    "q_d_against_ref" ->
+      """SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS norm_md5
+         FROM documents
+         WHERE source <> 'src0'
+           AND md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             NOT IN (SELECT md5(regexp_replace(lower(trim(text)), '\s+',
+                       ' ', 'g'))
+                     FROM documents WHERE source = 'src0')""",
+
+    // per-source report over the same rule family as q_t_filter; the
+    // dominant drop reason is picked under (count desc, reason asc)
+    "q_t_source_report" ->
+      """WITH f AS (
+           SELECT doc_id, source,
+             length(text) AS nc,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT)
+               AS nw,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               w -> list_contains(['the','a','an','and','or','of','to','in',
+                 'is','it','that','for','on','with','as','was','at','by'], w)))
+               AS INT) AS nstop,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+               AS npunct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS ndigit,
+             list_filter(list_transform(string_split_regex(text, '\r?\n'),
+               l -> trim(l)), l -> l <> '') AS lines,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               w -> w <> '') AS words
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, nc, nw,
+             CASE WHEN nw > 0 THEN (nc - nw + 1) / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS awl,
+             CASE WHEN nw > 0 THEN nstop / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS stopr,
+             CASE WHEN nc > 0 THEN npunct / CAST(nc AS DOUBLE)
+                  ELSE 0.0 END AS punctr,
+             CASE WHEN nc > 0 THEN ndigit / CAST(nc AS DOUBLE)
+                  ELSE 0.0 END AS digitr,
+             CASE WHEN len(lines) > 0 THEN
+               (len(lines) - len(list_distinct(lines)))
+                 / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS duplr,
+             CASE WHEN len(words) > 0 THEN
+               (len(words) - len(list_distinct(words)))
+                 / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS dupwr
+           FROM f),
+         cls AS (
+           SELECT doc_id, source, nc, nw,
+             CASE WHEN nw < 10 THEN 'too_few_words'
+                  WHEN nw > 100000 THEN 'too_many_words'
+                  WHEN awl < 2.0 THEN 'short_words'
+                  WHEN awl > 12.0 THEN 'long_words'
+                  WHEN stopr < 0.01 THEN 'low_stopword'
+                  WHEN punctr > 0.2 THEN 'high_punct'
+                  WHEN digitr > 0.2 THEN 'high_digit'
+                  WHEN duplr > 0.5 THEN 'repetitive_lines'
+                  WHEN dupwr > 0.85 THEN 'repetitive_words'
+                  END AS reason
+           FROM r),
+         base AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN reason IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(sum(nw) AS BIGINT) AS total_words,
+             CAST(sum(nc) AS BIGINT) AS total_chars
+           FROM cls GROUP BY source),
+         tops AS (
+           SELECT source, reason AS top_drop_reason FROM (
+             SELECT source, reason, count(*) AS n,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY count(*) DESC, reason ASC) AS rn
+             FROM cls WHERE reason IS NOT NULL GROUP BY source, reason)
+           WHERE rn = 1)
+         SELECT b.source, b.n_docs, b.n_kept,
+                b.n_kept / CAST(b.n_docs AS DOUBLE) AS keep_rate,
+                b.total_words, b.total_chars, t.top_drop_reason
+         FROM base b LEFT JOIN tops t USING (source)""",
 
     "q_t_quality" ->
       """SELECT doc_id,

@@ -331,4 +331,75 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Sub-document boilerplate removal (CCNet-style chunk dedup): split
+    * each document into fixed `chunkWords`-word chunks, hash each chunk,
+    * and delete every chunk whose hash occurs in at least `minDocs`
+    * DISTINCT documents - the navigation bars / license footers /
+    * cookie banners that whole-document dedup can never touch because
+    * each page differs somewhere else. Surviving chunks are re-joined
+    * in original order into `clean_text`.
+    *
+    * Scale: the chunk stream is ~|tokens|/chunkWords rows and shuffles
+    * twice - once keyed by the 16-byte md5 for the distinct-doc count
+    * (map-side partial combine; the boilerplate head aggregates early),
+    * once keyed by doc id for ordered reassembly. Both are equi-shuffles
+    * with no skew beyond the boilerplate hashes themselves, which the
+    * count aggregation absorbs; the anti-join against the (small,
+    * filtered) boilerplate set is hash-only payload. No windows over a
+    * global order, no collect. */
+  def removeBoilerplateChunks(df: DataFrame, chunkWords: Int = 10,
+                              minDocs: Int = 2, idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    val k = chunkWords
+    require(k > 0, s"chunkWords $k must be positive")
+    val withWords = df.select(col(idCol),
+      filter(split(trim(col(textCol)), "\\s+", -1), w => w =!= "").as("__w"))
+    val nChunks = ceil(size(col("__w")).cast("double") / k).cast("int")
+    val segs = withWords
+      .withColumn("__chunks",
+        when(size(col("__w")) > 0,
+          transform(sequence(lit(1), nChunks),
+            i => array_join(slice(col("__w"), (i - 1) * k + 1, lit(k)), " ")))
+          .otherwise(array().cast("array<string>")))
+      .select(col(idCol), posexplode(col("__chunks")).as(Seq("pos", "chunk")))
+      .withColumn("h", md5(col("chunk").cast("binary")))
+    val boiler = segs.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val rebuilt = segs.join(boiler, Seq("h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = segs.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+    df.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("n_chunks", coalesce(col("n_chunks"), lit(0L)))
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("n_removed", col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
+      .select(col(idCol), col("clean_text"), col("n_chunks"), col("n_removed"))
+  }
+
+  /** Incremental dedup against a reference corpus: drop every corpus
+    * document whose normalized-text md5 already appears in `reference`
+    * (the new-crawl-vs-existing-training-set step; same normalization
+    * as [[normalized]]). Returns surviving corpus rows plus `norm_md5`.
+    *
+    * Scale: the reference may be the full existing training set, so it
+    * is NOT broadcast - it is projected to its 16-byte hash, made
+    * distinct, and anti-joined on that uniformly-distributed key (a
+    * shuffle whose payload is hashes only, never reference text). */
+  def dedupAgainstReference(corpus: DataFrame, reference: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    def norm(c: Column): Column =
+      md5(regexp_replace(lower(trim(c)), "\\s+", " ").cast("binary"))
+    val refHashes = reference.select(norm(col(textCol)).as("norm_md5")).distinct()
+    corpus.withColumn("norm_md5", norm(col(textCol)))
+      .join(refHashes, Seq("norm_md5"), "left_anti")
+  }
 }

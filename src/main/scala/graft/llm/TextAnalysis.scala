@@ -278,4 +278,40 @@ object TextAnalysis {
     df.withColumn("fingerprint", rolling)
       .withColumn("content_md5", md5(norm.cast("binary")))
   }
+
+  /** Per-source corpus health report: document/keep counts, token and
+    * char volume, and the dominant drop reason for each stratum of
+    * `strataCol` - the dashboard a data-mixing decision reads (which
+    * crawl is rotting, which source the quality filter is eating).
+    *
+    * Every aggregate is an integer sum/count (engine-exact); the one
+    * double, `keep_rate`, is a single int/int division. The dominant
+    * reason is picked under a TOTAL order (count desc, reason asc) so
+    * ties are deterministic. Two hash aggregations over |sources| keys
+    * plus a |sources|-sized window - map-side combine absorbs the
+    * per-doc stream, so the shuffle carries one row per (source,
+    * reason). */
+  def sourceQualityReport(df: DataFrame, strataCol: String = "source",
+                          textCol: String = "text",
+                          t: QualityThresholds = QualityThresholds()): DataFrame = {
+    val scored = withQualityFilter(df, textCol, t)
+    val base = scored.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).cast("long").as("n_kept"),
+        sum(col("n_words")).cast("long").as("total_words"),
+        sum(col("n_chars_calc")).cast("long").as("total_chars"))
+      .withColumn("keep_rate", col("n_kept").cast("double") / col("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("n").desc, col("drop_reason").asc)
+    val top = scored.filter(col("drop_reason").isNotNull)
+      .groupBy(col(strataCol), col("drop_reason"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(strataCol), col("drop_reason").as("top_drop_reason"))
+    base.join(top, Seq(strataCol), "left")
+      .select(col(strataCol), col("n_docs"), col("n_kept"), col("keep_rate"),
+        col("total_words"), col("total_chars"), col("top_drop_reason"))
+  }
 }

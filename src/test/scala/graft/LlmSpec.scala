@@ -615,4 +615,55 @@ class LlmSpec extends SparkSpec {
       .as[Seq[Float]].collect()
     assert(f1.toSeq == f2.toSeq && f1.forall(_.size == 8))
   }
+
+  test("boilerplate chunks shared by >=2 docs are removed in order") {
+    val d = Seq(
+      (1L, "nav bar alpha beta"),  // chunk "nav bar" shared -> dropped
+      (2L, "nav bar gamma delta"),
+      (3L, "solo words only here"),
+      (4L, ""),                    // no tokens -> 0 chunks, empty text
+      (5L, "a b c")                // odd tail chunk "c" survives
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateChunks(d, chunkWords = 2, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "alpha beta", 2L, 1L),
+      (2L, "gamma delta", 2L, 1L),
+      (3L, "solo words only here", 2L, 0L),
+      (4L, "", 0L, 0L),
+      (5L, "a b c", 2L, 0L)))
+  }
+
+  test("dedup against reference drops normalized matches only") {
+    val ref = Seq((100L, "The  Quick   Fox"), (101L, "unrelated")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick fox"),   // normalized match -> dropped
+      (2L, "a new document")   // survives
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstReference(corpus, ref)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("source quality report: counts, volumes, dominant drop reason") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs away to the forest with a spring in its step for a while"
+    val d = Seq(
+      (1L, "a", good),
+      (2L, "a", "too short"),
+      (3L, "a", "also short"),
+      (4L, "a", Seq.fill(20)("zzzz").mkString(" ")), // low_stopword x1
+      (5L, "b", good)
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceQualityReport(d)
+      .as[(String, Long, Long, Double, Long, Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    val a = got(0)
+    // source a: 4 docs, 1 kept; too_few_words (2) beats low_stopword (1)
+    assert(a._1 == "a" && a._2 == 4L && a._3 == 1L && a._4 == 0.25)
+    assert(a._5 == (26L + 2 + 2 + 20) && a._7 == Some("too_few_words"))
+    val b = got(1)
+    assert(b._1 == "b" && b._2 == 1L && b._3 == 1L && b._4 == 1.0 &&
+      b._7 == None)
+  }
 }
