@@ -353,15 +353,16 @@ object Dedup {
                               textCol: String = "text"): DataFrame = {
     val k = chunkWords
     require(k > 0, s"chunkWords $k must be positive")
-    val withWords = df.select(col(idCol),
-      filter(split(trim(col(textCol)), "\\s+", -1), w => w =!= "").as("__w"))
+    val words = filter(split(trim(col(textCol)), "\\s+", -1), w => w =!= "")
     val nChunks = ceil(size(col("__w")).cast("double") / k).cast("int")
-    val segs = withWords
+    val chunked = df.select(col(idCol), words.as("__w"))
       .withColumn("__chunks",
         when(size(col("__w")) > 0,
           transform(sequence(lit(1), nChunks),
             i => array_join(slice(col("__w"), (i - 1) * k + 1, lit(k)), " ")))
           .otherwise(array().cast("array<string>")))
+      .select(col(idCol), col("__chunks"))
+    val segs = chunked
       .select(col(idCol), posexplode(col("__chunks")).as(Seq("pos", "chunk")))
       .withColumn("h", md5(col("chunk").cast("binary")))
     val boiler = segs.groupBy(col("h"))
@@ -374,11 +375,10 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
           s => s.getField("chunk")), " ").as("clean_text"),
         count(lit(1)).as("n_kept"))
-    val totals = segs.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
-    df.select(col(idCol))
-      .join(totals, Seq(idCol), "left")
+    // n_chunks comes from the un-exploded array - a map-side size(),
+    // not a second pass over the exploded chunk stream
+    chunked.select(col(idCol), size(col("__chunks")).cast("long").as("n_chunks"))
       .join(rebuilt, Seq(idCol), "left")
-      .withColumn("n_chunks", coalesce(col("n_chunks"), lit(0L)))
       .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
       .withColumn("n_removed", col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
       .select(col(idCol), col("clean_text"), col("n_chunks"), col("n_removed"))
