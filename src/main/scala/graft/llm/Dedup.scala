@@ -355,6 +355,9 @@ object Dedup {
     require(k > 0, s"chunkWords $k must be positive")
     val words = filter(split(trim(col(textCol)), "\\s+", -1), w => w =!= "")
     val nChunks = ceil(size(col("__w")).cast("double") / k).cast("int")
+    // persisted: three consumers (boilerplate count, anti-join rebuild,
+    // map-side totals) would each re-run the regex tokenization
+    // otherwise (MEMORY_AND_DISK - spills instead of recomputing)
     val chunked = df.select(col(idCol), words.as("__w"))
       .withColumn("__chunks",
         when(size(col("__w")) > 0,
@@ -362,6 +365,7 @@ object Dedup {
             i => array_join(slice(col("__w"), (i - 1) * k + 1, lit(k)), " ")))
           .otherwise(array().cast("array<string>")))
       .select(col(idCol), col("__chunks"))
+      .persist()
     val segs = chunked
       .select(col(idCol), posexplode(col("__chunks")).as(Seq("pos", "chunk")))
       .withColumn("h", md5(col("chunk").cast("binary")))

@@ -37,7 +37,11 @@ object PlanAudit {
       "q_j_range",        // bucketed range join: equi, no BNLJ
       "q_d_jaccard_exact",// inverted-index exact Jaccard
       "q_t_top_terms",    // tf/df aggs + term join + top-1 window
-      "q_pack_bins")      // per-stratum cumulative window
+      "q_pack_bins",      // per-stratum cumulative window
+      "q_t_oov",          // broadcast vocab join
+      "q_d_boilerplate",  // chunk-hash count + anti-join + reassembly
+      "q_d_against_ref",  // hash-projection anti-join
+      "q_t_source_report")// two aggs + tiny window
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
