@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.Exprs
-import graft.llm.{Ann, Dedup, TextAnalysis}
+import graft.llm.{Ann, Dedup, Features, TextAnalysis}
 import graft.operators.{Agr, Grouping, Keys, Merge, Resolve, TemporalJoins, WeakSync}
 import graft.pipeline.{Fixtures, OrthologPipeline, TpchShapes}
 import graft.sources.Readers
@@ -570,6 +570,17 @@ object SparkEntry {
     // StreamingSpec). Event time derives from event_id as in
     // q_stream_windowed; the double sum is dropped from the projection
     // (order-dependent cross-engine noise)
+    // trailing-window features per user (10-min + 1-h horizons): one
+    // shuffle on user_id, RANGE frames tie-safe, ROWS features under a
+    // total (t, event_id) order
+    "q_e_rolling" -> ((s, dir) =>
+      Features.rollingFeatures(
+        t(s, dir, "events")
+          .withColumn("t", pmod(col("event_id"), lit(86400L))))
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("n_600s"), col("min_v_600s"), col("max_v_600s"),
+          col("n_3600s"), col("gap_s"), col("seq_n").cast("long").as("seq_n"))),
+
     "q_e_sessions" -> ((s, dir) =>
       graft.streaming.EventStream.sessionStats(
         t(s, dir, "events")
@@ -2111,6 +2122,27 @@ object SparkEntry {
     // a session breaks only at gap > 900s - Spark session windows merge
     // when they touch, so two events exactly 900s apart share a session
     // (verified against session_window at the exact-gap boundary)
+    // trailing windows: RANGE h-1 PRECEDING = (t-h, t]; ROWS features
+    // under the total (t, event_id) order
+    "q_e_rolling" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+                           CAST(event_id % 86400 AS BIGINT) AS t
+                    FROM events)
+         SELECT event_id, user_id, t,
+                count(*) OVER w6 AS n_600s,
+                min(value) OVER w6 AS min_v_600s,
+                max(value) OVER w6 AS max_v_600s,
+                count(*) OVER w36 AS n_3600s,
+                t - lag(t) OVER wo AS gap_s,
+                row_number() OVER wo AS seq_n
+         FROM e
+         WINDOW
+           w6 AS (PARTITION BY user_id ORDER BY t
+                  RANGE BETWEEN 599 PRECEDING AND CURRENT ROW),
+           w36 AS (PARTITION BY user_id ORDER BY t
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW),
+           wo AS (PARTITION BY user_id ORDER BY t, event_id)""",
+
     "q_e_sessions" ->
       """WITH e AS (SELECT user_id, CAST(event_id % 86400 AS BIGINT) AS t
                     FROM events),

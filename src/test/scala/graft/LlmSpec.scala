@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.llm.{Ann, Dedup, Features, Multimodal, TextAnalysis}
 
 /** LLM-pipeline operators: dedup, ANN, text analysis, multimodal
   * plumbing - including the scale-safety plan checks (no crossJoin, no
@@ -643,6 +643,26 @@ class LlmSpec extends SparkSpec {
     val got = Dedup.dedupAgainstReference(corpus, ref)
       .select("doc_id").as[Long].collect().toSeq
     assert(got == Seq(2L))
+  }
+
+  test("rolling features: (t-h, t] frames, tie peers, gap and seq") {
+    val d = Seq(
+      (1L, 1L, 0L, 5.0), (2L, 1L, 100L, 3.0), (3L, 1L, 700L, 9.0),
+      (4L, 2L, 50L, 1.0),
+      (10L, 3L, 500L, 2.0), (11L, 3L, 500L, 4.0) // tie in t
+    ).toDF("event_id", "user_id", "t", "value")
+    val got = Features.rollingFeatures(d, horizonsSec = Seq(600L))
+      .select("event_id", "n_600s", "min_v_600s", "max_v_600s", "gap_s", "seq_n")
+      .as[(Long, Long, Double, Double, Option[Long], Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 1L, 5.0, 5.0, None, 1)))
+    assert(got(1) == ((2L, 2L, 3.0, 5.0, Some(100L), 2)))
+    // (700-600, 700] excludes the t=100 event: the frame is half-open
+    assert(got(2) == ((3L, 1L, 9.0, 9.0, Some(600L), 3)))
+    assert(got(3) == ((4L, 1L, 1.0, 1.0, None, 1)))
+    // tied timestamps are RANGE peers: both rows see both values
+    assert(got(4) == ((10L, 2L, 2.0, 4.0, None, 1)))
+    assert(got(5) == ((11L, 2L, 2.0, 4.0, Some(0L), 2)))
   }
 
   test("source quality report: counts, volumes, dominant drop reason") {
