@@ -707,6 +707,15 @@ object SparkEntry {
     "q_t_source_report" -> ((s, dir) =>
       TextAnalysis.sourceQualityReport(t(s, dir, "documents"))),
 
+    // corpus bigram top-k under a total order (count desc, bigram asc)
+    "q_t_bigrams" -> ((s, dir) =>
+      TextAnalysis.topBigrams(t(s, dir, "documents"), 20)),
+
+    // best-5-docs-per-source curation by quality score (total order,
+    // per-stratum window rank - no global sort)
+    "q_t_curate" -> ((s, dir) =>
+      TextAnalysis.curateTopK(t(s, dir, "documents"), 5)),
+
     "q_t_quality" -> ((s, dir) =>
       TextAnalysis.withQualityFeatures(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_words"), col("punct_ratio"),
@@ -1381,6 +1390,60 @@ object SparkEntry {
              NOT IN (SELECT md5(regexp_replace(lower(trim(text)), '\s+',
                        ' ', 'g'))
                      FROM documents WHERE source = 'src0')""",
+
+    "q_t_bigrams" ->
+      """WITH w AS (SELECT list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+             AS ws
+           FROM documents),
+         b AS (SELECT unnest(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i+1])) AS bigram
+           FROM w)
+         SELECT bigram, count(*) AS n FROM b GROUP BY 1
+         ORDER BY n DESC, bigram ASC LIMIT 20""",
+
+    // per-source top-5 by the q_t_quality score formula; identical
+    // per-row double arithmetic in both engines makes the ordering
+    // engine-exact, and (score desc, doc_id asc) is a total order
+    "q_t_curate" ->
+      """WITH f AS (
+           SELECT doc_id, source, length(text) AS nc,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT)
+               AS nw,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               w -> list_contains(['the','a','an','and','or','of','to','in',
+                 'is','it','that','for','on','with','as','was','at','by'], w)))
+               AS INT) AS nstop,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+               AS npunct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS ndigit
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+             CASE WHEN nw > 0 THEN nstop / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS sr,
+             CASE WHEN nc > 0 THEN npunct / CAST(nc AS DOUBLE)
+                  ELSE 0.0 END AS pr,
+             CASE WHEN nc > 0 THEN ndigit / CAST(nc AS DOUBLE)
+                  ELSE 0.0 END AS dr
+           FROM f),
+         s AS (
+           SELECT doc_id, source,
+             least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+               CAST(0.4 AS DOUBLE) * least(sr * 4, CAST(1.0 AS DOUBLE)) +
+               CAST(0.3 AS DOUBLE) *
+                 (CAST(1.0 AS DOUBLE) - least(pr * 5, CAST(1.0 AS DOUBLE))) +
+               CAST(0.3 AS DOUBLE) *
+                 (CAST(1.0 AS DOUBLE) - least(dr * 5, CAST(1.0 AS DOUBLE)))))
+               AS q
+           FROM r)
+         SELECT source, doc_id, rank FROM (
+           SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY q DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM s)
+         WHERE rank <= 5""",
 
     // per-source report over the same rule family as q_t_filter; the
     // dominant drop reason is picked under (count desc, reason asc)

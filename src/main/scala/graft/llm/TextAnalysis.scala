@@ -279,6 +279,39 @@ object TextAnalysis {
       .withColumn("content_md5", md5(norm.cast("binary")))
   }
 
+  /** Corpus bigram top-k: the k most frequent adjacent word pairs
+    * under a TOTAL order (count desc, bigram asc). Same plan shape as
+    * [[topTerms]]: explode -> hash aggregate with map-side combine
+    * (Zipfian head absorbed per-partition) -> TakeOrdered(k); only the
+    * k winners reach the driver. */
+  def topBigrams(df: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    df.select(normalizedWords(col(textCol)).as("__w"))
+      .select(explode(when(size(col("__w")) > 1,
+        transform(sequence(lit(1), size(col("__w")) - 1),
+          i => concat(element_at(col("__w"), i), lit(" "),
+            element_at(col("__w"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+
+  /** Per-stratum curation: keep the `k` best documents of each stratum
+    * by `quality_score` (ties broken by id - a TOTAL order, so the cut
+    * at k is deterministic). The standard "best N pages per domain"
+    * selection. One shuffle on the stratum key; the per-stratum sort is
+    * a window rank, never a global sort. Returns (stratum, id, rank). */
+  def curateTopK(df: DataFrame, k: Int, strataCol: String = "source",
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val scored = withQualityFeatures(df, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("quality_score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(strataCol), col(idCol), col("rank").cast("long").as("rank"))
+  }
+
   /** Per-source corpus health report: document/keep counts, token and
     * char volume, and the dominant drop reason for each stratum of
     * `strataCol` - the dashboard a data-mixing decision reads (which

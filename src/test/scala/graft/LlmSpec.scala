@@ -645,6 +645,31 @@ class LlmSpec extends SparkSpec {
     assert(got == Seq(2L))
   }
 
+  test("bigram top-k: adjacent pairs, total order, short docs empty") {
+    val d = Seq(
+      (1L, "a b c a b"),  // bigrams: "a b" x2, "b c", "c a"
+      (2L, "a b"),        // "a b"
+      (3L, "solo"),       // no bigrams
+      (4L, "")            // no tokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topBigrams(d, 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b", 3L), ("b c", 1L), ("c a", 1L)))
+  }
+
+  test("curation keeps top-k per stratum with deterministic ties") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs away to the forest with a spring in its step for a while"
+    val d = Seq(
+      (1L, "a", good), (2L, "a", good), (3L, "a", "9999 9999 9999"),
+      (4L, "b", good)
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.curateTopK(d, 2)
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    // docs 1,2 tie on score -> doc_id ascending breaks the tie
+    assert(got == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 4L, 1L)))
+  }
+
   test("rolling features: (t-h, t] frames, tie peers, gap and seq") {
     val d = Seq(
       (1L, 1L, 0L, 5.0), (2L, 1L, 100L, 3.0), (3L, 1L, 700L, 9.0),
