@@ -707,6 +707,13 @@ object SparkEntry {
     "q_t_source_report" -> ((s, dir) =>
       TextAnalysis.sourceQualityReport(t(s, dir, "documents"))),
 
+    // end-to-end LLM data prep: scrub -> quality filter -> normalized
+    // dedup -> split -> stratified sample (src1 at 50%), DuckDB-oracled
+    // end to end - every stage is a pure function of content
+    "q_llm_prep_e2e" -> ((s, dir) =>
+      graft.llm.PrepPipeline.run(t(s, dir, "documents"),
+        rates = Map("src1" -> 0.5))),
+
     // corpus bigram top-k under a total order (count desc, bigram asc)
     "q_t_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(t(s, dir, "documents"), 20)),
@@ -1390,6 +1397,83 @@ object SparkEntry {
              NOT IN (SELECT md5(regexp_replace(lower(trim(text)), '\s+',
                        ' ', 'g'))
                      FROM documents WHERE source = 'src0')""",
+
+    // the composed prep flow: scrub placeholders -> rule filter on the
+    // scrubbed text -> keep-lowest-id per normalized hash -> md5 split
+    // -> salted-md5 stratified sample (src1 cutoff 80000000 = 50%)
+    "q_llm_prep_e2e" ->
+      """WITH s1 AS (SELECT doc_id, source, text AS t0,
+             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t1
+           FROM documents),
+         s2 AS (SELECT doc_id, source, t0, t1,
+             regexp_replace(t1,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t2
+           FROM s1),
+         sc AS (SELECT doc_id, source,
+             CAST(len(regexp_extract_all(t0, 'https?://[^\s]+')) AS INT)
+               AS n_urls,
+             CAST(len(regexp_extract_all(t1,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(t2,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+               AS INT) AS n_ips,
+             regexp_replace(t2,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+               '<IP>', 'g') AS sb
+           FROM s2),
+         f AS (SELECT doc_id, source, n_urls, n_emails, n_ips, sb,
+             length(sb) AS nc,
+             CAST(len(string_split_regex(lower(trim(sb)), '\s+')) AS INT)
+               AS nw,
+             CAST(len(list_filter(string_split_regex(lower(trim(sb)), '\s+'),
+               w -> list_contains(['the','a','an','and','or','of','to','in',
+                 'is','it','that','for','on','with','as','was','at','by'], w)))
+               AS INT) AS nstop,
+             length(sb) - length(regexp_replace(sb, '[[:punct:]]', '', 'g'))
+               AS npunct,
+             length(sb) - length(regexp_replace(sb, '[0-9]', '', 'g'))
+               AS ndigit,
+             list_filter(list_transform(string_split_regex(sb, '\r?\n'),
+               l -> trim(l)), l -> l <> '') AS lines,
+             list_filter(string_split_regex(lower(trim(sb)), '\s+'),
+               w -> w <> '') AS words
+           FROM sc),
+         r AS (SELECT doc_id, source, n_urls, n_emails, n_ips, sb, nw,
+             CASE WHEN nw > 0 THEN (nc - nw + 1) / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS awl,
+             CASE WHEN nw > 0 THEN nstop / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS stopr,
+             CASE WHEN nc > 0 THEN npunct / CAST(nc AS DOUBLE)
+                  ELSE 0.0 END AS punctr,
+             CASE WHEN nc > 0 THEN ndigit / CAST(nc AS DOUBLE)
+                  ELSE 0.0 END AS digitr,
+             CASE WHEN len(lines) > 0 THEN
+               (len(lines) - len(list_distinct(lines)))
+                 / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS duplr,
+             CASE WHEN len(words) > 0 THEN
+               (len(words) - len(list_distinct(words)))
+                 / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS dupwr
+           FROM f),
+         keep AS (SELECT doc_id, source, n_urls, n_emails, n_ips, sb
+           FROM r
+           WHERE nw >= 10 AND nw <= 100000 AND awl >= 2.0 AND awl <= 12.0
+             AND stopr >= 0.01 AND punctr <= 0.2 AND digitr <= 0.2
+             AND duplr <= 0.5 AND dupwr <= 0.85),
+         ddp AS (SELECT *, row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(sb)), '\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+           FROM keep)
+         SELECT doc_id, source,
+           CASE WHEN substr(md5(sb), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(sb), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(substr(md5('sample-v1' || sb), 1, 8) <
+             CASE WHEN source = 'src1' THEN '80000000' ELSE 'g' END
+             AS INT) AS kept,
+           n_urls, n_emails, n_ips
+         FROM ddp WHERE rn = 1""",
 
     "q_t_bigrams" ->
       """WITH w AS (SELECT list_filter(

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Dedup, Features, Multimodal, TextAnalysis}
+import graft.llm.{Ann, Dedup, Features, Multimodal, PrepPipeline, TextAnalysis}
 
 /** LLM-pipeline operators: dedup, ANN, text analysis, multimodal
   * plumbing - including the scale-safety plan checks (no crossJoin, no
@@ -643,6 +643,24 @@ class LlmSpec extends SparkSpec {
     val got = Dedup.dedupAgainstReference(corpus, ref)
       .select("doc_id").as[Long].collect().toSeq
     assert(got == Seq(2L))
+  }
+
+  test("prep pipeline: scrub -> filter -> dedup -> split -> sample") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs away to the forest with a spring in its step for a while"
+    val d = Seq(
+      (1L, "s", good + " see https://example.com/x now"),
+      (2L, "s", good),              // dup pair: 2 kept (lowest id) ...
+      (3L, "s", good.toUpperCase),  // ... 3 dropped (normalized match)
+      (4L, "s", "too short")        // quality-dropped
+    ).toDF("doc_id", "source", "text")
+    val got = PrepPipeline.run(d)
+      .select("doc_id", "split", "kept", "n_urls")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(got(0)._4 == 1 && got(1)._4 == 0) // URL scrubbed and counted
+    assert(got.forall(r => Set("train", "val", "test")(r._2)))
+    assert(got.forall(_._3 == 1)) // no rates -> everything sampled in
   }
 
   test("bigram top-k: adjacent pairs, total order, short docs empty") {
