@@ -179,4 +179,34 @@ class StreamingSpec extends SparkSpec {
       .select($"l_event_id", $"r_event_id").as[(Long, Long)].collect().toSet
     assert(batch == rows)
   }
+
+  test("prep map stages (scrub + quality filter) run unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs away to the forest with a spring in its step for a while"
+    val docs = Seq(
+      (1L, good + " mail me@example.com ok"),
+      (2L, "too short"))
+    // stateless map stages compose onto a stream exactly as in batch -
+    // the SAME code path PrepPipeline.run uses (its dedup window is the
+    // one stateful stage and stays batch-side by design)
+    def stages(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.withQualityFilter(
+        graft.llm.TextAnalysis.withScrubbedText(df), "scrubbed")
+        .select($"doc_id", $"n_emails", $"keep")
+    val batch = stages(docs.toDF("doc_id", "text"))
+      .as[(Long, Int, Int)].collect().toSet
+
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val q = stages(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("prep_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("prep_stream")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(streamed == batch && batch ==
+      Set((1L, 1, 1), (2L, 0, 0)))
+  }
 }
