@@ -41,7 +41,11 @@ object PlanAudit {
       "q_t_oov",          // broadcast vocab join
       "q_d_boilerplate",  // chunk-hash count + anti-join + reassembly
       "q_d_against_ref",  // hash-projection anti-join
-      "q_t_source_report")// two aggs + tiny window
+      "q_t_source_report",// two aggs + tiny window
+      "q_e_rolling",      // RANGE frames, one entity shuffle
+      "q_t_bigrams",      // adjacent-pair explode + TakeOrdered
+      "q_t_curate",       // per-stratum window rank
+      "q_llm_prep_e2e")   // composed prep flow, one shuffle
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
