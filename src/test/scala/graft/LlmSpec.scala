@@ -663,6 +663,41 @@ class LlmSpec extends SparkSpec {
     assert(got.forall(_._3 == 1)) // no rates -> everything sampled in
   }
 
+  test("partitioned export: one file per partition value, round-trips") {
+    val out = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val d = Seq(
+      (1L, "web", "train"), (2L, "web", "train"), (3L, "web", "test"),
+      (4L, "books", "train")
+    ).toDF("doc_id", "source", "split")
+    graft.llm.Export.writePartitioned(d, out)
+    val back = spark.read.parquet(out)
+      .select("doc_id", "source", "split")
+      .as[(Long, String, String)].collect().toSet
+    assert(back == d.as[(Long, String, String)].collect().toSet)
+    // one data file per (split, source) directory - small-files control
+    for ((s, src) <- Seq(("train", "web"), ("train", "books"), ("test", "web"))) {
+      val dir = new java.io.File(s"$out/split=$s/source=$src")
+      assert(dir.isDirectory, s"$dir missing")
+      val files = dir.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$dir has ${files.length} files")
+    }
+  }
+
+  test("text operators tolerate null text") {
+    val d = Seq((1L, "src", Option("the quick fox jumps high")),
+      (2L, "src", None: Option[String]))
+      .toDF("doc_id", "source", "text")
+    // null text must not throw anywhere; rows surface with null/zero
+    // features, never silently crash the job
+    assert(TextAnalysis.withQualityFilter(d).count() == 2)
+    assert(TextAnalysis.withScrubbedText(d).count() == 2)
+    assert(TextAnalysis.withLangId(d).count() == 2)
+    assert(TextAnalysis.withOovRate(d).count() == 2)
+    assert(Dedup.removeBoilerplateChunks(d).count() == 2)
+    assert(TextAnalysis.topBigrams(d, 5).count() >= 1)
+    assert(TextAnalysis.sourceQualityReport(d).count() == 1)
+  }
+
   test("bigram top-k: adjacent pairs, total order, short docs empty") {
     val d = Seq(
       (1L, "a b c a b"),  // bigrams: "a b" x2, "b c", "c a"
