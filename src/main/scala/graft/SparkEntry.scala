@@ -836,6 +836,16 @@ object SparkEntry {
         .select(col("vec_id"))
     }),
 
+    // batch KNN join: top-5 corpus neighbors for each of the first 5
+    // vectors, IVF-celled with per-row probe selection, self excluded
+    "q_ann_knn_join" -> ((s, dir) => {
+      val centroids = Ann.hyperplanes(64, 8, seed = 11L)
+      val emb = t(s, dir, "embeddings")
+      Ann.knnJoin(
+        emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "q_id"),
+        emb, k = 5, centroids, nprobe = 2, excludeSelf = true)
+    }),
+
     "q_ann_neardup" -> ((s, dir) =>
       Ann.cosineNearDupPairs(t(s, dir, "embeddings"), dim = 64,
         threshold = 0.4, bits = 4)
@@ -2203,6 +2213,36 @@ object SparkEntry {
           WHERE ivf_cell IN ($probes)
           ORDER BY ${cosSql(annQuery)} DESC NULLS LAST, vec_id ASC
           LIMIT 10"""
+    },
+
+    // per-query probe cells via (sim desc, cell asc) rank; same unit
+    // centroids + list_dot_product as the Spark side
+    "q_ann_knn_join" -> {
+      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+      val sims = Ann.unitCentroids(centroids).map(dotSql)
+      val legs = sims.zipWithIndex.map { case (s, i) =>
+        s"SELECT vec_id AS q_id, embedding, $s AS s, $i AS cell FROM embeddings WHERE vec_id < 5"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH probe AS (
+           SELECT q_id, embedding AS qv, cell FROM (
+             SELECT q_id, embedding, cell,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY s DESC, cell ASC) AS rn
+             FROM ($legs))
+           WHERE rn <= 2),
+         cand AS (
+           SELECT p.q_id, p.qv, c.vec_id AS neighbor_id, c.embedding
+           FROM probe p JOIN ${ivfCellFromSql(centroids)} c
+             ON c.ivf_cell = p.cell
+           WHERE c.vec_id <> p.q_id)
+         SELECT q_id, neighbor_id, rank FROM (
+           SELECT q_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 CAST(qv AS DOUBLE[])) DESC NULLS LAST,
+               neighbor_id ASC) AS BIGINT) AS rank
+           FROM cand)
+         WHERE rank <= 5"""
     },
 
     "q_ann_neardup" -> {

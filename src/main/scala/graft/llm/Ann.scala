@@ -274,4 +274,55 @@ object Ann {
         (array_position(col("ivf_sims"), array_max(col("ivf_sims"))) - 1).cast("int"))
       .drop("ivf_sims")
   }
+
+  /** Batch KNN join: the top-`k` corpus neighbors for EVERY query row -
+    * the "retrieve neighbors for each training example" shape, where a
+    * per-query driver loop (N single-vector searches) would be N full
+    * scans. IVF-celled: the corpus is assigned to cells once
+    * ([[ivfAssign]]); each QUERY row computes its own `nprobe` nearest
+    * cells (a per-row sort of the tiny centroid-sim array - no driver
+    * involvement, unlike [[ivfTopK]]'s literal query) and equi-joins
+    * corpus rows on the cell id. Per-query work drops from O(N) to
+    * O(N * nprobe / cells); the join is an equi-join a cell-bucketed
+    * corpus table co-locates. Top-k per query under the TOTAL
+    * (cosine desc, id asc) order; cells are disjoint so no candidate
+    * dedupe is needed. `excludeSelf` drops q_id == neighbor id matches
+    * when queries are drawn from the corpus itself. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroids: Seq[Seq[Double]], nprobe: Int = 2,
+              excludeSelf: Boolean = false,
+              qIdCol: String = "q_id", cIdCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe $nprobe outside [1, ${centroids.size}]")
+    // per-row probe cells: (sim, cell) structs sorted by the total
+    // (sim desc, cell asc) order - ties resolve exactly like the
+    // oracle's first-max CASE chain
+    def simsFor(v: Column) = array(unitCentroids(centroids).zipWithIndex.map {
+      case (cvec, i) =>
+        struct(dot(v, array(cvec.map(lit): _*)).as("s"), lit(i).as("cell"))
+    }: _*)
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("s") > r.getField("s"), -1)
+        .when(l.getField("s") < r.getField("s"), 1)
+        .when(l.getField("cell") < r.getField("cell"), -1)
+        .when(l.getField("cell") > r.getField("cell"), 1)
+        .otherwise(0)
+    val probed = queries
+      .select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"))
+      .withColumn("cell",
+        explode(transform(slice(array_sort(simsFor(col("__qv")), cmp), 1, nprobe),
+          s => s.getField("cell"))))
+    val cells = ivfAssign(corpus, centroids, vecCol)
+      .select(col(cIdCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col("ivf_cell").as("cell"))
+    val joined = probed.join(cells, Seq("cell"))
+    val matched = if (excludeSelf)
+      joined.filter(col("q_id") =!= col("neighbor_id")) else joined
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(cosine(col("__qv"), col("__cv")).desc, col("neighbor_id").asc)
+    matched.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
 }

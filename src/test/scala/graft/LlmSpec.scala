@@ -663,6 +663,40 @@ class LlmSpec extends SparkSpec {
     assert(got.forall(_._3 == 1)) // no rates -> everything sampled in
   }
 
+  test("knn join: all-cell probe equals brute force; self excluded") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.9f, 0.2f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, Seq(0.5f, 0.5f, 0.0f, 0.0f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val centroids = Ann.hyperplanes(4, 3, seed = 5L)
+    val queries = emb.filter($"vec_id" < 2).withColumnRenamed("vec_id", "q_id")
+    val got = Ann.knnJoin(queries, emb, k = 3, centroids,
+      nprobe = centroids.size, excludeSelf = true)
+      .as[(Long, Long, Long)].collect().toSet
+    // driver-side brute force over every candidate
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum)
+      if (d == 0) 0.0 else ad.zip(bd).map { case (x, y) => x * y }.sum / d
+    }
+    val expect = (for {
+      (qid, qv) <- vecs.take(2)
+      ranked = vecs.filter(_._1 != qid)
+        .sortBy { case (cid, cv) => (-cos(qv, cv), cid) }.take(3)
+      ((cid, _), i) <- ranked.zipWithIndex
+    } yield (qid, cid, (i + 1).toLong)).toSet
+    assert(got == expect)
+    // nprobe=1 returns a subset of each query's candidates, never more
+    val probed = Ann.knnJoin(queries, emb, k = 3, centroids,
+      nprobe = 1, excludeSelf = true)
+      .as[(Long, Long, Long)].collect()
+    assert(probed.groupBy(_._1).forall(_._2.length <= 3))
+  }
+
   test("partitioned export: one file per partition value, round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft_export").toString
     val d = Seq(
