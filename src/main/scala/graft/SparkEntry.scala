@@ -878,6 +878,30 @@ object SparkEntry {
     // TIMESTAMP(NANOS), so event time is derived), watermarked tumbling
     // windows, AvailableNow trigger draining to a memory sink. The same
     // code runs unbounded against a directory that keeps receiving files.
+    // streaming sessionization in APPEND mode (the scale path: sessions
+    // emit once, when the watermark closes them). The final watermark
+    // after AvailableNow drains = max event time - 2h, so the oracle
+    // keeps exactly the sessions that closed before it.
+    "q_stream_sessions" -> ((s, dir) => {
+      val name = "stream_sessions_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val src = s.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_seconds(pmod(col("event_id"), lit(86400L))))
+      val q = graft.streaming.EventStream.sessionStats(src,
+          gap = "15 minutes", watermark = "2 hours", streaming = true)
+        .select(col("sess_start_s"), col("sess_end_s"), col("user_id"),
+          col("n_events"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     "q_stream_windowed" -> ((s, dir) => {
       val name = "stream_counts_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
@@ -2346,6 +2370,28 @@ object SparkEntry {
                 CAST(max(t) + 900 AS BIGINT) AS sess_end_s,
                 user_id, count(*) AS n_events
          FROM s GROUP BY user_id, sid""",
+
+    // batch recomputation of the append-mode session stream: the same
+    // gap sessionization as q_e_sessions, kept only when the session
+    // closed before the final watermark (max t - 7200)
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(event_id % 86400 AS BIGINT) AS t
+                    FROM events),
+              o AS (SELECT user_id, t,
+                           CASE WHEN lag(t) OVER w IS NULL
+                                  OR t - lag(t) OVER w > 900
+                                THEN 1 ELSE 0 END AS brk
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+              s AS (SELECT user_id, t,
+                           sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM o),
+              g AS (SELECT CAST(min(t) AS BIGINT) AS sess_start_s,
+                           CAST(max(t) + 900 AS BIGINT) AS sess_end_s,
+                           user_id, count(*) AS n_events
+                    FROM s GROUP BY user_id, sid)
+         SELECT sess_start_s, sess_end_s, user_id, n_events FROM g
+         WHERE sess_end_s < (SELECT max(t) - 7200 FROM e)""",
 
     // batch recomputation of the watermarked tumbling-window stream
     "q_stream_windowed" ->
