@@ -581,6 +581,13 @@ object SparkEntry {
           col("n_600s"), col("min_v_600s"), col("max_v_600s"),
           col("n_3600s"), col("gap_s"), col("seq_n").cast("long").as("seq_n"))),
 
+    // per-user p95 outlier flags (exact percentile; approx variant is
+    // the documented scale path)
+    "q_e_outliers" -> ((s, dir) =>
+      Features.withOutlierFlags(t(s, dir, "events"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("p_q"), col("is_outlier"))),
+
     "q_e_sessions" -> ((s, dir) =>
       graft.streaming.EventStream.sessionStats(
         t(s, dir, "events")
@@ -2333,6 +2340,14 @@ object SparkEntry {
     // a session breaks only at gap > 900s - Spark session windows merge
     // when they touch, so two events exactly 900s apart share a session
     // (verified against session_window at the exact-gap boundary)
+    "q_e_outliers" ->
+      """WITH s AS (SELECT user_id,
+             quantile_cont(CAST(value AS DOUBLE), 0.95) AS p_q
+           FROM events GROUP BY user_id)
+         SELECT e.event_id, e.user_id, e.value, s.p_q,
+                CAST(e.value > s.p_q AS INT) AS is_outlier
+         FROM events e JOIN s USING (user_id)""",
+
     // trailing windows: RANGE h-1 PRECEDING = (t-h, t]; ROWS features
     // under the total (t, event_id) order
     "q_e_rolling" ->

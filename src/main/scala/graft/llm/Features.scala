@@ -47,4 +47,28 @@ object Features {
       .withColumn("gap_s", col(tsSecCol) - lag(col(tsSecCol), 1).over(wRows))
       .withColumn("seq_n", row_number().over(wRows))
   }
+
+  /** Per-entity percentile outlier flags: each row gets its entity's
+    * q-quantile of `valueCol` (`p_q`) and `is_outlier` = value strictly
+    * above it - the per-user anomaly gate of a feature pipeline.
+    *
+    * `exact = true` uses the exact sort-based `percentile` aggregate
+    * (engine-reproducible, what the DuckDB oracle checks);
+    * `exact = false` swaps in `approx_percentile` (bounded-error
+    * sketch, constant state per group) - the 100 TB path, same schema,
+    * mirroring [[graft.operators.Profile]]'s exact/approx pairing.
+    * Plan: one hash aggregate to |entities| rows, one equi-join back
+    * (AQE broadcasts the stats side when small). */
+  def withOutlierFlags(df: DataFrame, entityCol: String = "user_id",
+                       valueCol: String = "value", q: Double = 0.95,
+                       exact: Boolean = true,
+                       approxAccuracy: Int = 10000): DataFrame = {
+    require(q > 0 && q < 1, s"quantile $q outside (0, 1)")
+    val d = col(valueCol).cast("double")
+    val agg = if (exact) percentile(d, lit(q))
+      else percentile_approx(d, lit(q), lit(approxAccuracy))
+    val stats = df.groupBy(col(entityCol)).agg(agg.as("p_q"))
+    df.join(stats, Seq(entityCol))
+      .withColumn("is_outlier", (col(valueCol) > col("p_q")).cast("int"))
+  }
 }

@@ -777,6 +777,24 @@ class LlmSpec extends SparkSpec {
     assert(got(5) == ((11L, 2L, 2.0, 4.0, Some(0L), 2)))
   }
 
+  test("outlier flags: exact per-entity quantile; approx tracks exact") {
+    val d = (1 to 100).map(i => (i.toLong, 1L, i.toDouble)) ++
+      Seq((101L, 2L, 5.0), (102L, 2L, 50.0))
+    val df = d.toDF("event_id", "user_id", "value")
+    val got = Features.withOutlierFlags(df, q = 0.9)
+      .select("event_id", "p_q", "is_outlier")
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> r).toMap
+    // user 1: values 1..100, exact p90 = 90.1 (interpolated) -> 91..100 flagged
+    assert(math.abs(got(1L)._2 - 90.1) < 1e-9)
+    assert((1 to 100).count(i => got(i.toLong)._3 == 1) == 10)
+    // user 2: p90 between 5 and 50 -> only the 50 flagged
+    assert(got(101L)._3 == 0 && got(102L)._3 == 1)
+    // approx path: same schema, p_q within sketch error of exact
+    val approx = Features.withOutlierFlags(df, q = 0.9, exact = false)
+      .filter($"user_id" === 1L).select("p_q").as[Double].head()
+    assert(approx >= 89.0 && approx <= 92.0)
+  }
+
   test("source quality report: counts, volumes, dominant drop reason") {
     val good = "the quick brown fox jumps over the lazy dog and then " +
       "it runs away to the forest with a spring in its step for a while"
