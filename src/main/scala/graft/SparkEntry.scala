@@ -581,6 +581,12 @@ object SparkEntry {
           col("n_600s"), col("min_v_600s"), col("max_v_600s"),
           col("n_3600s"), col("gap_s"), col("seq_n").cast("long").as("seq_n"))),
 
+    // fuzzy identifier QC: all customer-name pairs within edit distance
+    // 1, deletion-neighborhood blocked (complete), exact-verified
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.levenshteinPairs(
+        t(s, dir, "customer"), idCol = "c_custkey", strCol = "c_name")),
+
     // per-user p95 outlier flags (exact percentile; approx variant is
     // the documented scale path)
     "q_e_outliers" -> ((s, dir) =>
@@ -2340,6 +2346,14 @@ object SparkEntry {
     // a session breaks only at gap > 900s - Spark session windows merge
     // when they touch, so two events exactly 900s apart share a session
     // (verified against session_window at the exact-gap boundary)
+    // brute-force recomputation: the deletion-neighborhood candidates
+    // are complete for dist<=1, so the exact all-pairs answer matches
+    "q_fuzzy_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+
     "q_e_outliers" ->
       """WITH s AS (SELECT user_id,
              quantile_cont(CAST(value AS DOUBLE), 0.95) AS p_q
