@@ -45,7 +45,10 @@ object PlanAudit {
       "q_e_rolling",      // RANGE frames, one entity shuffle
       "q_t_bigrams",      // adjacent-pair explode + TakeOrdered
       "q_t_curate",       // per-stratum window rank
-      "q_llm_prep_e2e")   // composed prep flow, one shuffle
+      "q_llm_prep_e2e",   // composed prep flow, one shuffle
+      "q_ann_knn_join",   // per-row probe cells + cell equi-join
+      "q_e_outliers",     // per-entity percentile + stats join
+      "q_fuzzy_pairs")    // deletion-neighborhood equi-join
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
