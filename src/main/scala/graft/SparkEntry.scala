@@ -1434,16 +1434,20 @@ object SparkEntry {
          LEFT JOIN tot t USING (doc_id)
          LEFT JOIN agg a USING (doc_id)""",
 
+    // NOT EXISTS, not NOT IN: a single NULL-text reference row would
+    // make NOT IN return zero rows, while Spark's left_anti keeps every
+    // non-matching doc (null keys never match in either engine)
     "q_d_against_ref" ->
-      """SELECT doc_id, source,
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      """SELECT d.doc_id, d.source,
+             md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g'))
                AS norm_md5
-         FROM documents
-         WHERE source <> 'src0'
-           AND md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-             NOT IN (SELECT md5(regexp_replace(lower(trim(text)), '\s+',
-                       ' ', 'g'))
-                     FROM documents WHERE source = 'src0')""",
+         FROM documents d
+         WHERE d.source <> 'src0'
+           AND NOT EXISTS (
+             SELECT 1 FROM documents r
+             WHERE r.source = 'src0'
+               AND md5(regexp_replace(lower(trim(r.text)), '\s+', ' ', 'g'))
+                 = md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')))""",
 
     // the composed prep flow: scrub placeholders -> rule filter on the
     // scrubbed text -> keep-lowest-id per normalized hash -> md5 split
@@ -2360,7 +2364,7 @@ object SparkEntry {
            FROM events GROUP BY user_id)
          SELECT e.event_id, e.user_id, e.value, s.p_q,
                 CAST(e.value > s.p_q AS INT) AS is_outlier
-         FROM events e JOIN s USING (user_id)""",
+         FROM events e LEFT JOIN s USING (user_id)""",
 
     // trailing windows: RANGE h-1 PRECEDING = (t-h, t]; ROWS features
     // under the total (t, event_id) order
@@ -2420,7 +2424,7 @@ object SparkEntry {
                            user_id, count(*) AS n_events
                     FROM s GROUP BY user_id, sid)
          SELECT sess_start_s, sess_end_s, user_id, n_events FROM g
-         WHERE sess_end_s < (SELECT max(t) - 7200 FROM e)""",
+         WHERE sess_end_s <= (SELECT max(t) - 7200 FROM e)""",
 
     // batch recomputation of the watermarked tumbling-window stream
     "q_stream_windowed" ->

@@ -22,14 +22,18 @@ object Dedup {
     df.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Normalized (near-exact) dedup: identity on the md5 of
-    * lowercased/whitespace-collapsed text. */
-  def normalized(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    df.withColumn("norm_md5", md5(norm.cast("binary")))
+  /** The ONE normalized-content hash: md5 of lowercased,
+    * whitespace-collapsed text. [[normalized]], [[dedupAgainstReference]]
+    * and [[PrepPipeline]] all key on this expression - oracle parity
+    * depends on every dedup surface staying bit-identical. */
+  def normMd5(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " ").cast("binary"))
+
+  /** Normalized (near-exact) dedup: identity on [[normMd5]]. */
+  def normalized(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.withColumn("norm_md5", normMd5(col(textCol)))
       .groupBy(col("norm_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
-  }
 
   /** Word shingles (n-grams) of the lowercased text as an array column -
     * the native one-pass [[graft.functions.ShingleArray]] (distinct
@@ -357,7 +361,9 @@ object Dedup {
     val nChunks = ceil(size(col("__w")).cast("double") / k).cast("int")
     // persisted: three consumers (boilerplate count, anti-join rebuild,
     // map-side totals) would each re-run the regex tokenization
-    // otherwise (MEMORY_AND_DISK - spills instead of recomputing)
+    // otherwise (MEMORY_AND_DISK - spills instead of recomputing).
+    // Cache lifecycle is the caller's: unpersist/clearCache between
+    // repeated runs in one session (the Bench harness does).
     val chunked = df.select(col(idCol), words.as("__w"))
       .withColumn("__chunks",
         when(size(col("__w")) > 0,
@@ -400,10 +406,8 @@ object Dedup {
   def dedupAgainstReference(corpus: DataFrame, reference: DataFrame,
                             idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
-    def norm(c: Column): Column =
-      md5(regexp_replace(lower(trim(c)), "\\s+", " ").cast("binary"))
-    val refHashes = reference.select(norm(col(textCol)).as("norm_md5")).distinct()
-    corpus.withColumn("norm_md5", norm(col(textCol)))
+    val refHashes = reference.select(normMd5(col(textCol)).as("norm_md5")).distinct()
+    corpus.withColumn("norm_md5", normMd5(col(textCol)))
       .join(refHashes, Seq("norm_md5"), "left_anti")
   }
 }

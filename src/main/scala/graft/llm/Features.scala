@@ -68,7 +68,10 @@ object Features {
     val agg = if (exact) percentile(d, lit(q))
       else percentile_approx(d, lit(q), lit(approxAccuracy))
     val stats = df.groupBy(col(entityCol)).agg(agg.as("p_q"))
-    df.join(stats, Seq(entityCol))
+    // left join: a feature-attachment function must never lose rows -
+    // an inner join would silently drop null-entity rows (the null-key
+    // stats row exists but an equi-join never matches null)
+    df.join(stats, Seq(entityCol), "left")
       .withColumn("is_outlier", (col(valueCol) > col("p_q")).cast("int"))
   }
 }

@@ -38,21 +38,21 @@ object PrepPipeline {
     // inlines the producer per reference, turning 3 regex passes into
     // ~45 per row. Materializing once is the same stage barrier a
     // production run gets from writing the scrubbed corpus out
-    // (measured 6.0s -> expected ~2s at sf0.1).
+    // (measured 6.0s -> 1.85s at sf0.1). Cache lifecycle is the
+    // caller's: repeated invocations in one long session should
+    // unpersist/clearCache between runs (the Bench harness does).
     val scrubbed = TextAnalysis.withScrubbedText(docs).persist()
     val filtered = TextAnalysis
       .withQualityFilter(scrubbed, "scrubbed", thresholds)
       .filter(col("keep") === 1)
-    val normMd5 =
-      md5(regexp_replace(lower(trim(col("scrubbed"))), "\\s+", " ")
-        .cast("binary"))
     val w = Window.partitionBy(col("norm_md5")).orderBy(col(idCol))
-    val deduped = filtered.withColumn("norm_md5", normMd5)
+    val deduped = filtered.withColumn("norm_md5", Dedup.normMd5(col("scrubbed")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
     val split = Splitting.assignSplit(deduped, contentCol = "scrubbed")
-    Splitting.sampleStratified(split, rates, strataCol, "scrubbed")
+    Splitting.sampleStratified(split, rates, strataCol, "scrubbed",
+        defaultRate = defaultRate)
       .select(col(idCol), col(strataCol), col("split"), col("kept"),
         col("n_urls"), col("n_emails"), col("n_ips"))
   }

@@ -208,7 +208,11 @@ object TextAnalysis {
   def withOovRate(df: DataFrame, vocabSize: Int = 10000,
                   idCol: String = "doc_id", textCol: String = "text",
                   vocab: Option[DataFrame] = None): DataFrame = {
+    // distinct: the internal topTerms path is grouped already, but a
+    // caller-supplied vocabulary with duplicate terms would multiply
+    // joined rows and inflate n_tokens/n_oov
     val v = broadcast(vocab.getOrElse(topTerms(df, vocabSize, textCol))
+      .select(col("term")).distinct()
       .select(col("term"), lit(1).as("__in_vocab")))
     val words = df.select(col(idCol),
       explode(normalizedWords(col(textCol))).as("term"))

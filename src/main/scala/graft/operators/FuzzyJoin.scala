@@ -31,8 +31,10 @@ object FuzzyJoin {
     val dels = transform(sequence(lit(1), length(s)),
       i => concat(s.substr(lit(1), i - 1),
         s.substr(i + 1, length(s) - i)))
-    concat(array(s), when(length(s) > 0, dels)
-      .otherwise(array().cast("array<string>")))
+    // array_distinct: a string can produce the same deletion twice
+    // (aa -> a) - deduped per-row, map-side, no shuffle
+    array_distinct(concat(array(s), when(length(s) > 0, dels)
+      .otherwise(array().cast("array<string>"))))
   }
 
   def levenshteinPairs(df: DataFrame, idCol: String = "id",
@@ -40,7 +42,6 @@ object FuzzyJoin {
                        maxDf: Int = 1000): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .select(col("id"), col("s"), explode(deletionKeys(col("s"))).as("k"))
-      .distinct() // a string can produce the same deletion twice (aa -> a)
     val wK = Window.partitionBy(col("k"))
     val kept = keyed.withColumn("df", count(lit(1)).over(wK))
       .filter(col("df") <= maxDf).drop("df")

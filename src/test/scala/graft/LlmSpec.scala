@@ -732,6 +732,28 @@ class LlmSpec extends SparkSpec {
     assert(TextAnalysis.sourceQualityReport(d).count() == 1)
   }
 
+  test("review regressions: defaultRate honored, dup vocab, null entity") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs away to the forest with a spring in its step for a while"
+    // defaultRate must reach sampleStratified for strata not in `rates`
+    val docs = Seq((1L, "a", good), (2L, "b", good + " more")).toDF("doc_id", "source", "text")
+    val kept = PrepPipeline.run(docs, rates = Map("a" -> 1.0), defaultRate = 0.0)
+      .select("doc_id", "kept").as[(Long, Int)].collect().toMap
+    assert(kept(1L) == 1 && kept(2L) == 0)
+    // duplicate terms in a caller-supplied vocab must not multiply rows
+    val d = Seq((1L, "the the fox")).toDF("doc_id", "text")
+    val dupVocab = Seq("the", "the").toDF("term")
+    val oov = TextAnalysis.withOovRate(d, vocab = Some(dupVocab))
+      .select("n_tokens", "n_oov").as[(Long, Long)].head()
+    assert(oov == ((3L, 1L)))
+    // null-entity rows survive outlier attachment with null flags
+    val ev = Seq((1L, Some(7L), 1.0), (2L, None: Option[Long], 2.0))
+      .toDF("event_id", "user_id", "value")
+    val out = Features.withOutlierFlags(ev)
+      .select("event_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+  }
+
   test("bigram top-k: adjacent pairs, total order, short docs empty") {
     val d = Seq(
       (1L, "a b c a b"),  // bigrams: "a b" x2, "b c", "c a"
