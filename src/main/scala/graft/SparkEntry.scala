@@ -727,6 +727,16 @@ object SparkEntry {
       graft.llm.PrepPipeline.run(t(s, dir, "documents"),
         rates = Map("src1" -> 0.5))),
 
+    // token-commonness: mean corpus document-frequency per doc
+    "q_t_commonness" -> ((s, dir) =>
+      TextAnalysis.withCommonnessScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_df"),
+          col("mean_df"))),
+
+    // per-source language mixture from the langid classifier
+    "q_t_lang_report" -> ((s, dir) =>
+      TextAnalysis.sourceLangReport(t(s, dir, "documents"))),
+
     // corpus bigram top-k under a total order (count desc, bigram asc)
     "q_t_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(t(s, dir, "documents"), 20)),
@@ -1525,6 +1535,51 @@ object SparkEntry {
              AS INT) AS kept,
            n_urls, n_emails, n_ips
          FROM ddp WHERE rn = 1""",
+
+    "q_t_commonness" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS term
+           FROM documents),
+         dfreq AS (SELECT term, count(*) AS df FROM (
+             SELECT DISTINCT doc_id, term FROM w) GROUP BY term),
+         sc AS (SELECT w.doc_id, count(*) AS n_tokens,
+                       CAST(sum(d.df) AS BIGINT) AS sum_df
+                FROM w JOIN dfreq d USING (term) GROUP BY w.doc_id)
+         SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+                coalesce(sc.sum_df, 0) AS sum_df,
+                coalesce(sc.sum_df / CAST(sc.n_tokens AS DOUBLE), 0.0)
+                  AS mean_df
+         FROM documents d LEFT JOIN sc USING (doc_id)""",
+
+    // the q_t_langid classifier aggregated to the (source, lang) mixture
+    "q_t_lang_report" ->
+      """WITH cls AS (
+           SELECT source,
+             CASE WHEN best = 0 THEN 'und'
+                  WHEN s_en = best THEN 'en'
+                  WHEN s_de = best THEN 'de'
+                  WHEN s_fr = best THEN 'fr'
+                  WHEN s_es = best THEN 'es'
+                  ELSE 'it' END AS lang_pred
+           FROM (
+             SELECT source, s_en, s_de, s_fr, s_es, s_it,
+                    greatest(s_en, s_de, s_fr, s_es, s_it) AS best
+             FROM (
+               SELECT source,
+                 len(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                   w -> list_contains(['the','and','of','to','is','that','for','with'], w))) AS s_en,
+                 len(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                   w -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], w))) AS s_de,
+                 len(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                   w -> list_contains(['le','la','les','et','est','que','pour','dans'], w))) AS s_fr,
+                 len(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                   w -> list_contains(['el','los','las','es','que','para','con','una'], w))) AS s_es,
+                 len(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                   w -> list_contains(['il','di','che','per','con','della','sono','una'], w))) AS s_it
+               FROM documents)))
+         SELECT source, lang_pred, count(*) AS n_docs
+         FROM cls GROUP BY source, lang_pred""",
 
     "q_t_bigrams" ->
       """WITH w AS (SELECT list_filter(

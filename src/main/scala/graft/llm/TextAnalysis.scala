@@ -316,6 +316,41 @@ object TextAnalysis {
       .select(col(strataCol), col(idCol), col("rank").cast("long").as("rank"))
   }
 
+  /** Token-commonness score: the mean corpus document-frequency of each
+    * document's tokens - low means the document is built from words the
+    * rest of the corpus never uses (gibberish, the wrong language,
+    * OCR noise); the complement of [[withOovRate]]'s fixed-vocabulary
+    * view. `sum_df` is an exact integer sum, `mean_df` one int/int
+    * division - engine-reproducible. Plan: one distinct to (doc, term),
+    * one hash aggregate to the vocabulary, one equi-join back on the
+    * term (vocabulary-sized frame, shuffled not broadcast - web-scale
+    * vocab can be billions of terms), one per-doc aggregate. */
+  def withCommonnessScore(df: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(normalizedWords(col(textCol))).as("term"))
+    val dfreq = words.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scores = words.join(dfreq, Seq("term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("df")).cast("long").as("sum_df"))
+      .withColumn("mean_df", col("sum_df").cast("double") / col("n_tokens"))
+    df.join(scores, Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("sum_df", coalesce(col("sum_df"), lit(0L)))
+      .withColumn("mean_df", coalesce(col("mean_df"), lit(0.0)))
+  }
+
+  /** Per-source language distribution: how many documents of each
+    * stratum the [[withLangId]] classifier assigns to each language -
+    * the mixture view a multilingual data pipeline monitors. One hash
+    * aggregate over (source, lang) keys, map-side combine. */
+  def sourceLangReport(df: DataFrame, strataCol: String = "source",
+                       textCol: String = "text"): DataFrame =
+    withLangId(df, textCol)
+      .groupBy(col(strataCol), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Per-source corpus health report: document/keep counts, token and
     * char volume, and the dominant drop reason for each stratum of
     * `strataCol` - the dashboard a data-mixing decision reads (which

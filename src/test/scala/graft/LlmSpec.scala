@@ -732,6 +732,21 @@ class LlmSpec extends SparkSpec {
     assert(TextAnalysis.sourceQualityReport(d).count() == 1)
   }
 
+  test("commonness score: mean token df, exact ints, empty docs zero") {
+    val d = Seq(
+      (1L, "aa bb"),   // aa in docs 1,2 (df 2); bb only here (df 1)
+      (2L, "aa aa"),   // both tokens df 2
+      (3L, "")         // no tokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withCommonnessScore(d)
+      .select("doc_id", "n_tokens", "sum_df", "mean_df")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 2L, 3L, 1.5)))
+    assert(got(1) == ((2L, 2L, 4L, 2.0)))
+    // "" splits to [""] then filters empty -> no tokens
+    assert(got(2) == ((3L, 0L, 0L, 0.0)))
+  }
+
   test("review regressions: defaultRate honored, dup vocab, null entity") {
     val good = "the quick brown fox jumps over the lazy dog and then " +
       "it runs away to the forest with a spring in its step for a while"
