@@ -48,7 +48,8 @@ object PlanAudit {
       "q_llm_prep_e2e",   // composed prep flow, one shuffle
       "q_ann_knn_join",   // per-row probe cells + cell equi-join
       "q_e_outliers",     // per-entity percentile + stats join
-      "q_fuzzy_pairs")    // deletion-neighborhood equi-join
+      "q_fuzzy_pairs",    // deletion-neighborhood equi-join
+      "q_t_commonness")   // distinct + vocab agg + term join
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
