@@ -565,11 +565,6 @@ object SparkEntry {
           sum(floor(col("value") * 100).cast("long")).as("sum_value_cents"),
           countDistinct(col("event_type")).as("n_types"))),
 
-    // event-time sessionization (session_window, gap = 15 min); the same
-    // plan runs streaming with a watermark (EventStream.sessionStats,
-    // StreamingSpec). Event time derives from event_id as in
-    // q_stream_windowed; the double sum is dropped from the projection
-    // (order-dependent cross-engine noise)
     // trailing-window features per user (10-min + 1-h horizons): one
     // shuffle on user_id, RANGE frames tie-safe, ROWS features under a
     // total (t, event_id) order
@@ -594,6 +589,11 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("value"),
           col("p_q"), col("is_outlier"))),
 
+    // event-time sessionization (session_window, gap = 15 min); the same
+    // plan runs streaming with a watermark (EventStream.sessionStats,
+    // StreamingSpec). Event time derives from event_id as in
+    // q_stream_windowed; the double sum is dropped from the projection
+    // (order-dependent cross-engine noise)
     "q_e_sessions" -> ((s, dir) =>
       graft.streaming.EventStream.sessionStats(
         t(s, dir, "events")
@@ -2500,7 +2500,9 @@ object SparkEntry {
            (1500, 2, 'longestEvidence', 34), (1500, 2, 'shortestSymbol', 26),
            (1500, 2, 'symbolMatch', 14), (1500, 4, 'tierPick', 3),
            (15000, 2, 'shortestSymbol', 16), (15000, 2, 'symbolMatch', 58),
-           (15000, 4, 'tierPick', 3)) v(sfn, tier, method, n)
+           (15000, 4, 'tierPick', 3),
+           (150000, 2, 'shortestSymbol', 13), (150000, 2, 'symbolMatch', 61),
+           (150000, 4, 'tierPick', 3)) v(sfn, tier, method, n)
          WHERE sfn = (SELECT count(*) FROM orders)""",
 
     "q_agr_counts" ->
@@ -2517,7 +2519,13 @@ object SparkEntry {
            (15000, 'N', 'Y', 'OMA|PANTHER', 500),
            (15000, 'Y', 'N', 'Ensembl Compara|InParanoid|OMA', 193),
            (15000, 'Y', 'Y', 'Ensembl Compara|InParanoid|OMA', 1776),
-           (15000, 'Y', 'Y', 'OMA|PANTHER', 500))
+           (15000, 'Y', 'Y', 'OMA|PANTHER', 500),
+           (150000, 'N', 'N', 'Ensembl Compara|InParanoid|OMA', 984),
+           (150000, 'N', 'Y', 'Ensembl Compara|InParanoid|OMA', 9090),
+           (150000, 'N', 'Y', 'OMA|PANTHER', 5000),
+           (150000, 'Y', 'N', 'Ensembl Compara|InParanoid|OMA', 2066),
+           (150000, 'Y', 'Y', 'Ensembl Compara|InParanoid|OMA', 17860),
+           (150000, 'Y', 'Y', 'OMA|PANTHER', 5000))
            v(sfn, isBestScore, isBestRevScore, methodsMatched, n)
          WHERE sfn = (SELECT count(*) FROM orders)"""
   )

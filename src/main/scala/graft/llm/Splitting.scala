@@ -33,10 +33,15 @@ object Splitting {
     * its hash prefix compares below this string. */
   private[llm] def rateCutoffHex(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0, 1]")
-    // rate 1.0 must keep EVERY row including bucket "ffffffff": "g"
-    // sorts above every hex digit, so `bucket < "g"` is always true
-    if (rate >= 1.0) "g"
-    else f"${math.round(rate * 4294967296.0)}%08x"
+    // a keep-all rate must keep EVERY row including bucket "ffffffff":
+    // "g" sorts above every hex digit, so `bucket < "g"` is always
+    // true. The rounding boundary needs the same sentinel: a rate just
+    // below 1.0 (>= 1 - 2^-33) rounds to 2^32, whose f"%08x" is the
+    // NINE-char "100000000" - lexicographically below "2...", which
+    // would invert the keep decision for most buckets.
+    val rounded = math.round(rate * 4294967296.0)
+    if (rounded >= 4294967296L) "g"
+    else f"$rounded%08x"
   }
 
   /** Deterministic per-stratum down-sampling (the data-mixing step:

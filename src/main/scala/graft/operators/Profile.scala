@@ -1,78 +1,35 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Single-pass column profiling: row/null/distinct counts, range, and
-  * exact quartiles for a set of numeric columns, emitted long-format
-  * (one row per column).
+  * quartiles for a set of numeric columns, emitted long-format (one row
+  * per column).
   *
   * All statistics for all columns are computed in ONE aggregation over
   * the table - a single scan, partial aggregation map-side - and the
-  * wide 1-row result is unpivoted driver-free with explode. Exact
-  * `countDistinct`/`percentile` keep the result engine-reproducible (the
-  * DuckDB oracle recomputes them); at 100 TB swap
-  * `approx_count_distinct` (HLL) and `approx_percentile` (KLL) in - the
-  * plan shape is identical, only the aggregate functions change.
+  * wide 1-row result is unpivoted driver-free with explode. The exact
+  * and approximate variants share one plan builder, so their shape and
+  * output schema cannot drift: only the two aggregate functions differ.
   */
 object Profile {
 
-  def summarize(df: DataFrame, numericCols: Seq[String]): DataFrame = {
+  private def profile(df: DataFrame, numericCols: Seq[String],
+                      distinctAgg: Column => Column,
+                      pctAgg: (Column, Double) => Column): DataFrame = {
     require(numericCols.nonEmpty, "no columns to profile")
     val aggs = numericCols.flatMap { c =>
       val d = col(c).cast("double")
       Seq(
         count(lit(1)).as(s"${c}__n"),
         count(col(c)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd"),
+        distinctAgg(col(c)).as(s"${c}__nd"),
         min(d).as(s"${c}__min"),
         max(d).as(s"${c}__max"),
-        percentile(d, lit(0.25)).as(s"${c}__p25"),
-        percentile(d, lit(0.5)).as(s"${c}__p50"),
-        percentile(d, lit(0.75)).as(s"${c}__p75"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val entries = array(numericCols.map { c =>
-      struct(
-        lit(c).as("col_name"),
-        col(s"${c}__n").as("n_rows"),
-        (col(s"${c}__n") - col(s"${c}__nn")).as("n_null"),
-        col(s"${c}__nd").as("n_distinct"),
-        col(s"${c}__min").as("min_v"),
-        col(s"${c}__max").as("max_v"),
-        col(s"${c}__p25").as("p25"),
-        col(s"${c}__p50").as("p50"),
-        col(s"${c}__p75").as("p75"))
-    }: _*)
-    one.select(explode(entries).as("p")).select(col("p.*"))
-  }
-
-  /** The 100 TB path promised by [[summarize]]'s scaladoc: identical
-    * plan shape and output schema, with sketches in place of the exact
-    * aggregates - `approx_count_distinct` (HyperLogLog++, fixed-size
-    * state regardless of cardinality) and `approx_percentile`
-    * (bounded-error quantile sketch). Exact countDistinct re-shuffles
-    * each column's values; the sketches keep the whole profile one
-    * partial-aggregable scan with O(cols) state per partition.
-    *
-    * @param rsd relative error for the distinct-count sketch
-    * @param percentileAccuracy 1/eps for the quantile sketch
-    */
-  def summarizeApprox(df: DataFrame, numericCols: Seq[String],
-                      rsd: Double = 0.02,
-                      percentileAccuracy: Int = 10000): DataFrame = {
-    require(numericCols.nonEmpty, "no columns to profile")
-    val aggs = numericCols.flatMap { c =>
-      val d = col(c).cast("double")
-      Seq(
-        count(lit(1)).as(s"${c}__n"),
-        count(col(c)).as(s"${c}__nn"),
-        approx_count_distinct(col(c), rsd).as(s"${c}__nd"),
-        min(d).as(s"${c}__min"),
-        max(d).as(s"${c}__max"),
-        percentile_approx(d, lit(0.25), lit(percentileAccuracy)).as(s"${c}__p25"),
-        percentile_approx(d, lit(0.5), lit(percentileAccuracy)).as(s"${c}__p50"),
-        percentile_approx(d, lit(0.75), lit(percentileAccuracy)).as(s"${c}__p75"))
+        pctAgg(d, 0.25).as(s"${c}__p25"),
+        pctAgg(d, 0.5).as(s"${c}__p50"),
+        pctAgg(d, 0.75).as(s"${c}__p75"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val entries = array(numericCols.map { c =>
@@ -89,4 +46,27 @@ object Profile {
     }: _*)
     one.select(explode(entries).as("p")).select(col("p.*"))
   }
+
+  /** Exact profile: `countDistinct`/`percentile` keep the result
+    * engine-reproducible (the DuckDB oracle recomputes them). */
+  def summarize(df: DataFrame, numericCols: Seq[String]): DataFrame =
+    profile(df, numericCols, c => countDistinct(c),
+      (d, p) => percentile(d, lit(p)))
+
+  /** The 100 TB path: identical plan shape and output schema, with
+    * sketches in place of the exact aggregates - `approx_count_distinct`
+    * (HyperLogLog++, fixed-size state regardless of cardinality) and
+    * `approx_percentile` (bounded-error quantile sketch). Exact
+    * countDistinct re-shuffles each column's values; the sketches keep
+    * the whole profile one partial-aggregable scan with O(cols) state
+    * per partition.
+    *
+    * @param rsd relative error for the distinct-count sketch
+    * @param percentileAccuracy 1/eps for the quantile sketch
+    */
+  def summarizeApprox(df: DataFrame, numericCols: Seq[String],
+                      rsd: Double = 0.02,
+                      percentileAccuracy: Int = 10000): DataFrame =
+    profile(df, numericCols, c => approx_count_distinct(c, rsd),
+      (d, p) => percentile_approx(d, lit(p), lit(percentileAccuracy)))
 }

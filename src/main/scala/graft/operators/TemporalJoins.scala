@@ -58,13 +58,20 @@ object TemporalJoins {
         leftStruct.as("__l"),
         lit(null).cast(right.select(payloadStruct).schema.head.dataType)
           .as("__r")): _*)
-    val r = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTs).cast("long").as("__ts"),
-        lit(if (inclusive) 0 else 1).as("__tag"),
-        col(tiebreak).cast("long").as("__tie"),
-        lit(null).cast(left.select(leftStruct).schema.head.dataType).as("__l"),
-        payloadStruct.as("__r")): _*)
+    // null keys never match in join semantics (DuckDB ASOF JOIN, and
+    // the correlated-lookup oracle); window PARTITION BY would group
+    // all null keys together, so null-key right rows must not enter
+    // the stream. Null-key LEFT rows still pass through - they land in
+    // the null partition alone and surface with null payload.
+    val r = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTs).cast("long").as("__ts"),
+          lit(if (inclusive) 0 else 1).as("__tag"),
+          col(tiebreak).cast("long").as("__tie"),
+          lit(null).cast(left.select(leftStruct).schema.head.dataType).as("__l"),
+          payloadStruct.as("__r")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__tag").asc, col("__tie").asc_nulls_first)

@@ -14,28 +14,36 @@ import org.apache.spark.sql.SparkSession
   * is the same topology in-process. Without this, each registered query
   * re-executes the whole multi-phase run.
   *
-  * Results are keyed by session IDENTITY (a WeakHashMap on the session
-  * object - identity hashes collide across objects and must not be the
-  * key, and entries for collected sessions must not pin their plans
-  * forever) plus a caller key. The cached values hold DataFrames whose
-  * plans are rooted at localCheckpoint RDDs, so a cached entry MUST NOT
-  * be used after those RDDs are unpersisted - callers that unpersist
-  * (Bench between passes) must `clear()` first.
+  * Lifetime: ONE slot, holding the memo of the most recently used
+  * session behind a WeakReference. A WeakHashMap keyed by session would
+  * leak here - the cached values are DataFrames whose QueryExecution
+  * strongly references their session, and a WeakHashMap entry whose
+  * VALUE reaches its KEY is never collected - so sequential sessions in
+  * one JVM would each pin their full memoized plans forever. With the
+  * single slot, a new session's first call drops the previous session's
+  * entries; at most one (possibly dead) session's memo is ever
+  * retained. Two live sessions alternating would thrash the memo -
+  * acceptable: every harness (Verify, Bench, Smoke) runs one session.
+  *
+  * The cached DataFrames' plans are rooted at localCheckpoint RDDs, so
+  * a cached entry MUST NOT be used after those RDDs are unpersisted -
+  * callers that unpersist (Bench between passes) must `clear()` first.
   */
 object Memo {
-  private val cache =
-    new java.util.WeakHashMap[SparkSession, TrieMap[String, Any]]()
+  private var slot: (java.lang.ref.WeakReference[SparkSession], TrieMap[String, Any]) = null
 
-  def once[T](spark: SparkSession, key: String)(build: => T): T = {
-    val perSession = cache.synchronized {
-      val m = cache.get(spark)
-      if (m != null) m
-      else { val m2 = TrieMap.empty[String, Any]; cache.put(spark, m2); m2 }
-    }
+  def once[T](spark: SparkSession, key: String)(build: => T): T = synchronized {
+    val perSession =
+      if (slot != null && (slot._1.get eq spark)) slot._2
+      else {
+        val m = TrieMap.empty[String, Any]
+        slot = (new java.lang.ref.WeakReference(spark), m)
+        m
+      }
     perSession.getOrElseUpdate(key, build).asInstanceOf[T]
   }
 
   /** Drop all cached results (does not unpersist the underlying RDDs -
     * the caller owns that, e.g. via `sc.getPersistentRDDs`). */
-  def clear(): Unit = cache.synchronized(cache.clear())
+  def clear(): Unit = synchronized { slot = null }
 }

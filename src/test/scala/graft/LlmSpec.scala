@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Dedup, Features, Multimodal, PrepPipeline, TextAnalysis}
+import graft.llm.{Ann, Dedup, Features, Multimodal, PrepPipeline, Splitting, TextAnalysis}
 
 /** LLM-pipeline operators: dedup, ANN, text analysis, multimodal
   * plumbing - including the scale-safety plan checks (no crossJoin, no
@@ -767,6 +767,13 @@ class LlmSpec extends SparkSpec {
     val out = Features.withOutlierFlags(ev)
       .select("event_id").as[Long].collect().toSet
     assert(out == Set(1L, 2L))
+    // a rate epsilon below 1.0 must keep everything (the rounded cutoff
+    // 2^32 would render as 9-char hex and invert most keep decisions)
+    val eps = Splitting.sampleStratified(
+      (1 to 64).map(i => (i.toLong, "w", s"t$i")).toDF("doc_id", "source", "text"),
+      Map("w" -> (1.0 - 1e-13)))
+      .agg(sum($"kept")).as[Long].head()
+    assert(eps == 64L)
   }
 
   test("bigram top-k: adjacent pairs, total order, short docs empty") {

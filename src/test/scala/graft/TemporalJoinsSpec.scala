@@ -86,6 +86,20 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("asof join never matches null keys (SQL join semantics)") {
+    val l = Seq((1L, Some(7L), 100L), (2L, None: Option[Long], 100L))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((10L, Some(7L), 50L), (11L, None: Option[Long], 50L))
+      .toDF("r_id", "user_id", "ts")
+    val got = TemporalJoins.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+      Seq("r_id"), tiebreak = "r_id")
+      .select($"event_id", $"r_id").as[(Long, Option[Long])]
+      .collect().toMap
+    // keyed left row matches; null-key left row surfaces with NO match
+    // (a null-key right row must never attach to it)
+    assert(got == Map(1L -> Some(10L), 2L -> None))
+  }
+
   test("range join plan is an equi-join - no cartesian, no BNLJ") {
     val plan = TemporalJoins.rangeJoinBucketed(leftDf, rightDf,
       Seq("user_id"), "ts", "ts", 0L, 600L)
