@@ -699,6 +699,11 @@ object SparkEntry {
     "q_d_norm_dedup" -> ((s, dir) =>
       Dedup.normalized(t(s, dir, "documents"))),
 
+    // portable md5-permutation MinHash-LSH with exact-Jaccard verify -
+    // the DuckDB-checkable twin of the xxhash64 fast path
+    "q_d_minhash_md5" -> ((s, dir) =>
+      Dedup.minhashMd5Pairs(t(s, dir, "documents"))),
+
     // sub-document boilerplate removal: 10-word chunks shared by >=2
     // docs are deleted, survivors re-joined in order
     "q_d_boilerplate" -> ((s, dir) =>
@@ -1411,6 +1416,49 @@ object SparkEntry {
              min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents
          GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""",
+
+    // md5-permutation minhash recomputed end-to-end: same shingles as
+    // q_d_jaccard_exact, sig_i = min over shingles of the 16-hex-char
+    // md5(i|shingle) prefix (fixed-width hex min == numeric min), bands
+    // of 2, bucket join, exact-Jaccard verify over the full shingle sets
+    "q_d_minhash_md5" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               t -> t <> '') AS ws
+           FROM documents),
+         g AS (SELECT doc_id,
+             unnest(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+               ELSE list_distinct(list_transform(
+                 generate_series(1, len(ws) - 2),
+                 i -> array_to_string(ws[i : i + 2], ' '))) END) AS shingle
+           FROM w),
+         shs AS (SELECT doc_id, list(shingle) AS sh FROM g GROUP BY doc_id),
+         sigs AS (SELECT doc_id,
+             list_transform(range(1, 17), i ->
+               list_min(list_transform(sh,
+                 s -> substr(md5(i || '|' || s), 1, 16)))) AS sig
+           FROM shs),
+         bnd AS (SELECT doc_id, b,
+             array_to_string(sig[b*2+1 : b*2+2], '#') AS bandval
+           FROM sigs, LATERAL (SELECT unnest(range(0, 8)) AS b)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM bnd a JOIN bnd c
+             ON a.b = c.b AND a.bandval = c.bandval
+             AND a.doc_id < c.doc_id),
+         sz AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY doc_id),
+         common AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             count(*) AS n_common
+           FROM g x JOIN g y USING (shingle)
+           WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+         SELECT p.id_a, p.id_b,
+                CAST(cm.n_common AS DOUBLE)
+                  / (na.nsh + nb.nsh - cm.n_common) AS jaccard
+         FROM cand p
+         JOIN common cm ON cm.id_a = p.id_a AND cm.id_b = p.id_b
+         JOIN sz na ON na.doc_id = p.id_a
+         JOIN sz nb ON nb.doc_id = p.id_b
+         WHERE CAST(cm.n_common AS DOUBLE)
+                 / (na.nsh + nb.nsh - cm.n_common) >= 0.5""",
 
     // 10-word chunks, md5 per chunk, drop chunks in >=2 distinct docs,
     // reassemble survivors in position order

@@ -336,6 +336,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Portable MinHash-LSH near-dup pairs with md5 permutations: the
+    * same band/bucket topology as [[minhashLshPairs]], but draw_i(sh) =
+    * the first 16 hex chars of md5(i|sh) - fixed-width hex strings
+    * order like the unsigned numbers they encode, so `array_min` IS the
+    * minhash, and every engine with md5 reproduces the signature
+    * byte-for-byte. This variant exists to be INDEPENDENTLY CHECKABLE
+    * (it backs the DuckDB-oracled q_d_minhash_md5; the xxhash64-based
+    * [[minhashLshPairs]] stays the fast path - one hash + k integer
+    * mixes per shingle vs k md5 digests here, ~k x the hashing cost).
+    * Candidates are verified with EXACT shingle Jaccard, so the output
+    * is exact-over-recalled-candidates, not an estimate. */
+  def minhashMd5Pairs(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", k: Int = 16, bands: Int = 8,
+                      shingleN: Int = 3, threshold: Double = 0.5,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    val withSh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val sig = transform(sequence(lit(1), lit(k)), i =>
+      array_min(transform(col("sh"), sh =>
+        substring(md5(concat(i.cast("string"), lit("|"), sh).cast("binary")),
+          1, 16))))
+    val sigs = withSh.withColumn("sig", sig).select(col("id"), col("sig"))
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws("#", slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandval")
+    val wB = Window.partitionBy(col("band"), col("bandval"))
+    val bounded = banded.withColumn("bSize", count(lit(1)).over(wB))
+      .filter(col("bSize") <= maxBucketSize).drop("bSize")
+    val left = bounded.select(col("band"), col("bandval"), col("id").as("id_a"))
+    val right = bounded.select(col("band"), col("bandval"), col("id").as("id_b"))
+    val candidates = left.join(right, Seq("band", "bandval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Sub-document boilerplate removal (CCNet-style chunk dedup): split
     * each document into fixed `chunkWords`-word chunks, hash each chunk,
     * and delete every chunk whose hash occurs in at least `minDocs`

@@ -732,6 +732,28 @@ class LlmSpec extends SparkSpec {
     assert(TextAnalysis.sourceQualityReport(d).count() == 1)
   }
 
+  test("md5-minhash LSH: subset of exact pairs, identical docs certain") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = Seq(
+      (1L, base),
+      (2L, base + " extra"), // near dup of 1
+      (3L, "completely different words entirely unrelated content here none"),
+      (4L, base)             // exact dup of 1: all bands MUST collide
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashMd5Pairs(d)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    val exact = Dedup.jaccardPairsExact(d, threshold = 0.5,
+      maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(got.subsetOf(exact)) // exact verify: no false positives ever
+    assert(got.contains((1L, 4L))) // identical signatures share all bands
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    // determinism: md5 permutations have no seed, re-run is identical
+    val again = Dedup.minhashMd5Pairs(d)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(again == got)
+  }
+
   test("commonness score: mean token df, exact ints, empty docs zero") {
     val d = Seq(
       (1L, "aa bb"),   // aa in docs 1,2 (df 2); bb only here (df 1)
