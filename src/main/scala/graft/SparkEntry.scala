@@ -94,6 +94,48 @@ object SparkEntry {
               FROM (SELECT vec_id, embedding, $simCols FROM embeddings)))"""
   }
 
+  /** Shared CTE chain (through a final `pairs` relation) for the
+    * md5-permutation minhash oracles - q_d_minhash_md5 reads `pairs`
+    * directly, q_d_dedup_e2e chains component propagation onto it. */
+  private def minhashMd5CtesSql: String =
+    """w AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               t -> t <> '') AS ws
+           FROM documents),
+         g AS (SELECT doc_id,
+             unnest(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+               ELSE list_distinct(list_transform(
+                 generate_series(1, len(ws) - 2),
+                 i -> array_to_string(ws[i : i + 2], ' '))) END) AS shingle
+           FROM w),
+         shs AS (SELECT doc_id, list(shingle) AS sh FROM g GROUP BY doc_id),
+         sigs AS (SELECT doc_id,
+             list_transform(range(1, 17), i ->
+               list_min(list_transform(sh,
+                 s -> substr(md5(i || '|' || s), 1, 16)))) AS sig
+           FROM shs),
+         bnd AS (SELECT doc_id, b,
+             array_to_string(sig[b*2+1 : b*2+2], '#') AS bandval
+           FROM sigs, LATERAL (SELECT unnest(range(0, 8)) AS b)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM bnd a JOIN bnd c
+             ON a.b = c.b AND a.bandval = c.bandval
+             AND a.doc_id < c.doc_id),
+         sz AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY doc_id),
+         common AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             count(*) AS n_common
+           FROM g x JOIN g y USING (shingle)
+           WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT p.id_a, p.id_b,
+                CAST(cm.n_common AS DOUBLE)
+                  / (na.nsh + nb.nsh - cm.n_common) AS jaccard
+           FROM cand p
+           JOIN common cm ON cm.id_a = p.id_a AND cm.id_b = p.id_b
+           JOIN sz na ON na.doc_id = p.id_a
+           JOIN sz nb ON nb.doc_id = p.id_b
+           WHERE CAST(cm.n_common AS DOUBLE)
+                   / (na.nsh + nb.nsh - cm.n_common) >= 0.5)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- S2/F1/F2/F4: scan + predicate pushdown + projection ----
@@ -703,6 +745,14 @@ object SparkEntry {
     // the DuckDB-checkable twin of the xxhash64 fast path
     "q_d_minhash_md5" -> ((s, dir) =>
       Dedup.minhashMd5Pairs(t(s, dir, "documents"))),
+
+    // the COMPLETE near-dup dedup flow under one oracle: md5-minhash
+    // pairs -> connected components -> keep min-id per cluster
+    "q_d_dedup_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.nearDupSurvivors(docs, Dedup.minhashMd5Pairs(docs))
+        .select(col("doc_id"), col("source"))
+    }),
 
     // sub-document boilerplate removal: 10-word chunks shared by >=2
     // docs are deleted, survivors re-joined in order
@@ -1422,43 +1472,33 @@ object SparkEntry {
     // md5(i|shingle) prefix (fixed-width hex min == numeric min), bands
     // of 2, bucket join, exact-Jaccard verify over the full shingle sets
     "q_d_minhash_md5" ->
-      """WITH w AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
-               t -> t <> '') AS ws
-           FROM documents),
-         g AS (SELECT doc_id,
-             unnest(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-               ELSE list_distinct(list_transform(
-                 generate_series(1, len(ws) - 2),
-                 i -> array_to_string(ws[i : i + 2], ' '))) END) AS shingle
-           FROM w),
-         shs AS (SELECT doc_id, list(shingle) AS sh FROM g GROUP BY doc_id),
-         sigs AS (SELECT doc_id,
-             list_transform(range(1, 17), i ->
-               list_min(list_transform(sh,
-                 s -> substr(md5(i || '|' || s), 1, 16)))) AS sig
-           FROM shs),
-         bnd AS (SELECT doc_id, b,
-             array_to_string(sig[b*2+1 : b*2+2], '#') AS bandval
-           FROM sigs, LATERAL (SELECT unnest(range(0, 8)) AS b)),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-           FROM bnd a JOIN bnd c
-             ON a.b = c.b AND a.bandval = c.bandval
-             AND a.doc_id < c.doc_id),
-         sz AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY doc_id),
-         common AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-             count(*) AS n_common
-           FROM g x JOIN g y USING (shingle)
-           WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
-         SELECT p.id_a, p.id_b,
-                CAST(cm.n_common AS DOUBLE)
-                  / (na.nsh + nb.nsh - cm.n_common) AS jaccard
-         FROM cand p
-         JOIN common cm ON cm.id_a = p.id_a AND cm.id_b = p.id_b
-         JOIN sz na ON na.doc_id = p.id_a
-         JOIN sz nb ON nb.doc_id = p.id_b
-         WHERE CAST(cm.n_common AS DOUBLE)
-                 / (na.nsh + nb.nsh - cm.n_common) >= 0.5""",
+      s"""WITH $minhashMd5CtesSql
+         SELECT id_a, id_b, jaccard FROM pairs""",
+
+    // full dedup flow: the SAME pairs CTEs, then component labels via
+    // 12 unrolled rounds of neighbor-min propagation (component
+    // diameter measured <= 3 at every SF; 12 = 4x margin), keep min-id.
+    // Every round CTE is MATERIALIZED: each references the previous one
+    // twice, and DuckDB's default per-reference inlining would expand
+    // the whole chain 2^12 times (observed as a file-handle explosion).
+    "q_d_dedup_e2e" -> {
+      val rounds = (1 to 12).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT n.id,
+             least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+           FROM l${i - 1} n LEFT JOIN (
+             SELECT s.u, min(x.lbl) AS mn FROM sym s
+             JOIN l${i - 1} x ON x.id = s.v GROUP BY s.u) m
+             ON m.u = n.id)"""
+      }.mkString(",\n         ")
+      s"""WITH $minhashMd5CtesSql,
+         sym AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM sym),
+         $rounds,
+         dups AS (SELECT id FROM l12 WHERE lbl <> id)
+         SELECT d.doc_id, d.source FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.id = d.doc_id)"""
+    },
 
     // 10-word chunks, md5 per chunk, drop chunks in >=2 distinct docs,
     // reassemble survivors in position order

@@ -754,6 +754,17 @@ class LlmSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("dedup e2e: md5-minhash pairs -> components -> min-id survives") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = Seq(
+      (10L, base), (11L, base), (12L, base), // one cluster: keep 10
+      (20L, "totally unrelated content with different words throughout here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupSurvivors(d, Dedup.minhashMd5Pairs(d))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(10L, 20L))
+  }
+
   test("commonness score: mean token df, exact ints, empty docs zero") {
     val d = Seq(
       (1L, "aa bb"),   // aa in docs 1,2 (df 2); bb only here (df 1)
