@@ -717,6 +717,36 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("partitioned export: oversized value splits across parallel tasks") {
+    val out = java.nio.file.Files.createTempDirectory("graft_export2").toString
+    // 40 rows in (train, web) vs 2 in (test, books); target 10 rows/file
+    // -> the big value must spread over ceil(40/10)=4 salt buckets
+    // (multiple writer tasks), the small one must stay a single file.
+    val rows = (1L to 40L).map(i => (i, "web", "train")) ++
+      Seq((100L, "books", "test"), (101L, "books", "test"))
+    val d = rows.toDF("doc_id", "source", "split")
+    graft.llm.Export.writePartitioned(d, out, targetRowsPerFile = 10L)
+    val back = spark.read.parquet(out)
+      .select("doc_id", "source", "split")
+      .as[(Long, String, String)].collect().toSet
+    assert(back == rows.toSet) // round-trips, nothing lost to the salt join
+    def files(s: String, src: String) =
+      new java.io.File(s"$out/split=$s/source=$src")
+        .listFiles.filter(_.getName.endsWith(".parquet"))
+    val big = files("train", "web")
+    assert(big.length > 1 && big.length <= 4,
+      s"oversized value wrote ${big.length} files, want 2..4")
+    assert(files("test", "books").length == 1)
+  }
+
+  test("partitioned export: null partition value survives the salt join") {
+    val out = java.nio.file.Files.createTempDirectory("graft_export3").toString
+    val d = Seq((1L, Option("web"), "train"), (2L, None: Option[String], "train"))
+      .toDF("doc_id", "source", "split")
+    graft.llm.Export.writePartitioned(d, out)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("text operators tolerate null text") {
     val d = Seq((1L, "src", Option("the quick fox jumps high")),
       (2L, "src", None: Option[String]))
