@@ -96,7 +96,9 @@ object SparkEntry {
 
   /** Shared CTE chain (through a final `pairs` relation) for the
     * md5-permutation minhash oracles - q_d_minhash_md5 reads `pairs`
-    * directly, q_d_dedup_e2e chains component propagation onto it. */
+    * directly, q_d_dedup_e2e chains component propagation onto it.
+    * `bndk` mirrors the Spark side's maxBucketSize=1000 band-bucket
+    * cut, so a bucket above the cap at larger SF cannot break parity. */
   private def minhashMd5CtesSql: String =
     """w AS (SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
@@ -117,8 +119,13 @@ object SparkEntry {
          bnd AS (SELECT doc_id, b,
              array_to_string(sig[b*2+1 : b*2+2], '#') AS bandval
            FROM sigs, LATERAL (SELECT unnest(range(0, 8)) AS b)),
+         bndk AS (SELECT doc_id, b, bandval FROM (
+             SELECT doc_id, b, bandval,
+                    count(*) OVER (PARTITION BY b, bandval) AS bsz
+             FROM bnd)
+           WHERE bsz <= 1000),
          cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-           FROM bnd a JOIN bnd c
+           FROM bndk a JOIN bndk c
              ON a.b = c.b AND a.bandval = c.bandval
              AND a.doc_id < c.doc_id),
          sz AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY doc_id),
@@ -2493,17 +2500,39 @@ object SparkEntry {
     // a session breaks only at gap > 900s - Spark session windows merge
     // when they touch, so two events exactly 900s apart share a session
     // (verified against session_window at the exact-gap boundary)
-    // brute-force recomputation: the deletion-neighborhood candidates
-    // are complete for dist<=1, so the exact all-pairs answer matches
+    // full blocking recomputation: deletion-neighborhood keys, the SAME
+    // df<=1000 posting cut as the Spark side (so the oracle cannot
+    // diverge when a key exceeds the cut at larger SF), equi-join on
+    // key, exact levenshtein verify. UNION (not UNION ALL) dedupes
+    // (id, key) like array_distinct; range(1,n) is empty for n<=1 so
+    // the empty string contributes only its identity key, as in Spark.
     "q_fuzzy_pairs" ->
-      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-             CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-         WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+      """WITH s AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+         keys AS (
+           SELECT id, nm, nm AS k FROM s
+           UNION
+           SELECT id, nm, substr(nm, 1, CAST(i AS INT) - 1)
+                          || substr(nm, CAST(i AS INT) + 1) AS k
+           FROM (SELECT id, nm, unnest(range(1, length(nm) + 1)) AS i
+                 FROM s)),
+         kept AS (
+           SELECT id, nm, k FROM (
+             SELECT id, nm, k, count(*) OVER (PARTITION BY k) AS df
+             FROM keys)
+           WHERE df <= 1000),
+         pairs AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                  a.nm AS nm_a, b.nm AS nm_b
+           FROM kept a JOIN kept b ON a.k = b.k AND a.id < b.id)
+         SELECT id_a, id_b,
+                CAST(levenshtein(nm_a, nm_b) AS INT) AS dist
+         FROM pairs WHERE levenshtein(nm_a, nm_b) <= 1""",
 
+    // round(p_q, 6) mirrors the Spark side's threshold quantization -
+    // last-ulp interpolation differences must not flip the int flag
     "q_e_outliers" ->
       """WITH s AS (SELECT user_id,
-             quantile_cont(CAST(value AS DOUBLE), 0.95) AS p_q
+             round(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS p_q
            FROM events GROUP BY user_id)
          SELECT e.event_id, e.user_id, e.value, s.p_q,
                 CAST(e.value > s.p_q AS INT) AS is_outlier

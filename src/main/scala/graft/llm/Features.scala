@@ -67,7 +67,13 @@ object Features {
     val d = col(valueCol).cast("double")
     val agg = if (exact) percentile(d, lit(q))
       else percentile_approx(d, lit(q), lit(approxAccuracy))
-    val stats = df.groupBy(col(entityCol)).agg(agg.as("p_q"))
+    // The interpolated quantile is quantized to 6 decimals BEFORE the
+    // comparison: engines disagree in the last ulp of linear
+    // interpolation, and `value > p_q` would flip the int flag on that
+    // knife-edge - an int column gets no float-tolerant hashing. The
+    // rounded value is also what surfaces as p_q, keeping flag and
+    // threshold consistent for the caller.
+    val stats = df.groupBy(col(entityCol)).agg(round(agg, 6).as("p_q"))
     // left join: a feature-attachment function must never lose rows -
     // an inner join would silently drop null-entity rows (the null-key
     // stats row exists but an equi-join never matches null)

@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * itself plus every one-character deletion; any pair within distance 1
   * shares a key - substitution at i collides on "both delete position i",
   * insert/delete collide on "longer deletes the inserted char" - so the
-  * candidate set is COMPLETE, unlike prefix blocking, which misses edits
-  * inside the prefix). Candidates are verified with the exact
-  * `levenshtein` before emission.
+  * candidate set is COMPLETE below the `maxDf` posting cut (a pair is
+  * only droppable when every key it shares exceeds the cut), unlike
+  * prefix blocking, which misses edits inside the prefix. Candidates
+  * are verified with the exact `levenshtein` before emission. The
+  * q_fuzzy_pairs oracle recomputes the SAME blocking including the cut,
+  * so Spark and oracle stay in lockstep at any scale.
   *
   * The near-miss-identifier QC step (gene symbols differing by one
   * character, user handles with a typo) - reference symbol QC

@@ -43,6 +43,13 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payloadCols: Seq[String],
                tiebreak: String, inclusive: Boolean = true): DataFrame = {
+    // The tiebreak is compared as a long ("latest wins"); a non-castable
+    // type would silently become null and break the ordering contract.
+    val tieType = right.schema(tiebreak).dataType
+    require(tieType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+      tieType == org.apache.spark.sql.types.DateType ||
+      tieType == org.apache.spark.sql.types.TimestampType,
+      s"asofJoin tiebreak '$tiebreak' must be numeric/date/timestamp, got $tieType")
     val leftStruct = struct(left.columns.map(col): _*)
     val payloadStruct = struct(
       (payloadCols ++ Seq(tiebreak).filterNot(payloadCols.contains)).map(col): _*)
@@ -61,10 +68,14 @@ object TemporalJoins {
     // null keys never match in join semantics (DuckDB ASOF JOIN, and
     // the correlated-lookup oracle); window PARTITION BY would group
     // all null keys together, so null-key right rows must not enter
-    // the stream. Null-key LEFT rows still pass through - they land in
-    // the null partition alone and surface with null payload.
+    // the stream. Same for null-TIMESTAMP right rows: __ts asc sorts
+    // nulls first, so one would become the running match for left rows
+    // that precede any real right row, while the ASOF model
+    // (r.ts <= l.ts) never matches a null ts. Null-key/null-ts LEFT
+    // rows still pass through and surface with null payload.
     val r = right
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .filter((keys.map(col(_).isNotNull) :+ col(rightTs).isNotNull)
+        .reduce(_ && _))
       .select(
         keys.map(col) ++ Seq(
           col(rightTs).cast("long").as("__ts"),

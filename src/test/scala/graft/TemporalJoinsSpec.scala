@@ -100,6 +100,31 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got == Map(1L -> Some(10L), 2L -> None))
   }
 
+  test("asof join never matches null-timestamp right rows") {
+    // a null right ts sorts FIRST under __ts asc, so without the filter
+    // it would become the running match for every left row that
+    // precedes any real right row - the ASOF model (r.ts <= l.ts)
+    // never matches a null ts
+    val l = Seq((1L, 7L, 100L)).toDF("event_id", "user_id", "ts")
+    val r = Seq((10L, 7L, None: Option[Long]), (11L, 7L, Some(200L)))
+      .toDF("r_id", "user_id", "ts")
+    val got = TemporalJoins.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+      Seq("r_id"), tiebreak = "r_id")
+      .select($"event_id", $"r_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got == Map(1L -> None))
+  }
+
+  test("asof join rejects a non-castable tiebreak column") {
+    val l = Seq((1L, 7L, 100L)).toDF("event_id", "user_id", "ts")
+    val r = Seq(("x", 7L, 50L)).toDF("r_id", "user_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+        Seq("r_id"), tiebreak = "r_id")
+    }
+    assert(e.getMessage.contains("tiebreak"))
+  }
+
   test("range join plan is an equi-join - no cartesian, no BNLJ") {
     val plan = TemporalJoins.rangeJoinBucketed(leftDf, rightDf,
       Seq("user_id"), "ts", "ts", 0L, 600L)
