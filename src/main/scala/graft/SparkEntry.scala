@@ -753,6 +753,11 @@ object SparkEntry {
     "q_d_minhash_md5" -> ((s, dir) =>
       Dedup.minhashMd5Pairs(t(s, dir, "documents"))),
 
+    // portable md5-bit SimHash with chunk blocking + hamming verify -
+    // the DuckDB-checkable twin of the xxhash64 SimHash fast path
+    "q_d_simhash_md5" -> ((s, dir) =>
+      Dedup.simhashMd5Pairs(t(s, dir, "documents"))),
+
     // the COMPLETE near-dup dedup flow under one oracle: md5-minhash
     // pairs -> connected components -> keep min-id per cluster
     "q_d_dedup_e2e" -> ((s, dir) => {
@@ -1481,6 +1486,56 @@ object SparkEntry {
     "q_d_minhash_md5" ->
       s"""WITH $minhashMd5CtesSql
          SELECT id_a, id_b, jaccard FROM pairs""",
+
+    // md5-bit SimHash recomputed end-to-end: bit j of md5(token) gives
+    // a +-1 vote, signature = per-bit sign over the token multiset as a
+    // 64-char '0'/'1' string, 4x16-char chunk blocking with the SAME
+    // bucket cap as Spark, hamming verify by char compare. Tokenless
+    // docs coalesce to the all-zero signature, as in Spark.
+    "q_d_simhash_md5" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(
+                 lower(trim(coalesce(text, ''))), '[^a-z0-9_]+'),
+               t -> t <> '') AS ws
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+         bits AS (SELECT doc_id, CAST(j AS INT) AS j,
+             ((strpos('0123456789abcdef',
+                 substr(md5(t), CAST(j // 4 AS INT) + 1, 1)) - 1)
+               >> (3 - CAST(j % 4 AS INT))) & 1 AS bit
+           FROM tok CROSS JOIN range(0, 64) r(j)),
+         sums AS (SELECT doc_id, j, sum(bit) AS s
+           FROM bits GROUP BY doc_id, j),
+         sig0 AS (SELECT doc_id,
+             string_agg(CASE WHEN 2 * s > n THEN '1' ELSE '0' END,
+               '' ORDER BY j) AS sig
+           FROM sums JOIN (SELECT doc_id, len(ws) AS n FROM w) ln
+             USING (doc_id)
+           GROUP BY doc_id),
+         sig AS (SELECT w.doc_id,
+             coalesce(sig0.sig, repeat('0', 64)) AS sig
+           FROM w LEFT JOIN sig0 ON w.doc_id = sig0.doc_id),
+         chk AS (SELECT doc_id, sig,
+             CAST(c AS INT) AS c,
+             substr(sig, CAST(c AS INT) * 16 + 1, 16) AS cv
+           FROM sig CROSS JOIN range(0, 4) rc(c)),
+         chkk AS (SELECT doc_id, sig, c, cv FROM (
+             SELECT doc_id, sig, c, cv,
+                    count(*) OVER (PARTITION BY c, cv) AS bsz
+             FROM chk)
+           WHERE bsz <= 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+           FROM chkk a JOIN chkk b
+             ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM (
+           SELECT id_a, id_b,
+                  CAST(len(list_filter(range(1, 65), i ->
+                    substr(sig_a, CAST(i AS INT), 1)
+                      <> substr(sig_b, CAST(i AS INT), 1))) AS INT)
+                    AS hamming
+           FROM cand)
+         WHERE hamming <= 3""",
 
     // full dedup flow: the SAME pairs CTEs, then component labels via
     // 12 unrolled rounds of neighbor-min propagation (component

@@ -192,6 +192,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Portable SimHash near-dup pairs with md5 bit draws: the same
+    * chunk-blocking topology as [[simhashPairs]], but the 64-bit
+    * signature is derived purely from md5 hex digits so every engine
+    * with md5 reproduces it bit-for-bit (the DuckDB-oracled twin of the
+    * xxhash64-based fast path, exactly as [[minhashMd5Pairs]] twins
+    * [[minhashLshPairs]]).
+    *
+    * Signature: token multiset of the lowercased text (split on
+    * `[^a-z0-9_]+`); bit j (0..63) of md5(token) contributes +1/-1 to
+    * bitsum_j; signature bit j is 1 iff the sum is strictly positive
+    * (ties and tokenless docs give 0). The signature is carried as a
+    * 64-char '0'/'1' string - hex chars map to bits without any 64-bit
+    * integer parsing, which DuckDB's md5 surface cannot do portably -
+    * and the 4 blocking chunks are 16-char substrings (the pigeonhole
+    * guarantee for maxHamming=3, as in [[simhashPairs]]). Buckets above
+    * `maxBucketSize` are dropped, and the oracle mirrors the cut. */
+  def simhashMd5Pairs(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", maxHamming: Int = 3,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming == 3, "portable twin is fixed at the 4x16 scheme")
+    val toks = filter(
+      split(lower(trim(coalesce(col(textCol), lit("")))), "[^a-z0-9_]+", -1),
+      t => t =!= "")
+    // per-token 64-bit draw: bit j = bit (3 - j%4) of hex digit j/4 of
+    // md5(token); conv() decodes one hex char to its value. The shift
+    // is by a COLUMN amount (shiftright only takes literal shifts), so
+    // it's floor-divide by 2^(3 - j%4), then mod 2.
+    def tokenBits(t: Column): Column =
+      transform(sequence(lit(0), lit(63)), j => {
+        val dig = conv(
+          md5(t.cast("binary")).substr((j / 4).cast("int") + 1, lit(1)),
+          16, 10).cast("int")
+        pmod(
+          floor(dig / pow(lit(2.0), lit(3) - pmod(j, lit(4)))).cast("int"),
+          lit(2))
+      })
+    val sigs = df
+      .select(col(idCol).as("id"), toks.as("ws"))
+      .withColumn("bitsums",
+        aggregate(col("ws"),
+          array_repeat(lit(0), 64),
+          (acc, t) => zip_with(acc, tokenBits(t), _ + _)))
+      .withColumn("sig", concat_ws("",
+        transform(col("bitsums"),
+          s => when(s * 2 > size(col("ws")), "1").otherwise("0"))))
+      .select(col("id"), col("sig"))
+
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => col("sig").substr(c * 16 + 1, lit(16)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
+    val wB = Window.partitionBy(col("chunk"), col("chunkVal"))
+    val bounded = chunked.withColumn("bSize", count(lit(1)).over(wB))
+      .filter(col("bSize") <= maxBucketSize).drop("bSize")
+
+    val l = bounded.select(col("chunk"), col("chunkVal"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = bounded.select(col("chunk"), col("chunkVal"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "chunkVal"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        size(filter(transform(sequence(lit(1), lit(64)),
+          i => col("sig_a").substr(i, lit(1)) =!= col("sig_b").substr(i, lit(1))),
+          x => x)))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Exact n-gram Jaccard between candidate pairs (joined by any blocking
     * scheme); exposed for verification of LSH candidates. Expects
     * columns sh_a/sh_b replaced by shingle arrays named a/b. */

@@ -784,6 +784,30 @@ class LlmSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("md5-simhash: identical docs collide at hamming 0, unrelated don't") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = Seq(
+      (1L, base),
+      (2L, base + " extra"), // near dup of 1
+      (3L, "completely different words entirely unrelated content here none"),
+      (4L, base),            // exact dup of 1: identical signature
+      (5L, "")               // tokenless: all-zero signature, alone here
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashMd5Pairs(d)
+      .as[(Long, Long, Int)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(got.filter(r => Set((r._1, r._2)) == Set((1L, 4L)))
+      .forall(_._3 == 0))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    // every reported pair respects the radius; determinism on re-run
+    assert(got.forall(_._3 <= 3))
+    val again = Dedup.simhashMd5Pairs(d)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(again == got.toSet)
+  }
+
   test("dedup e2e: md5-minhash pairs -> components -> min-id survives") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val d = Seq(
