@@ -1024,13 +1024,15 @@ object SparkEntry {
           col("xrefDataSrc"), col("xrefDataSet"), col("tier"), col("method"))),
 
     // flagship projection under the driver's hash gate: per-(tier, method)
-    // pick counts, oracled against a pinned golden table (below)
+    // pick counts, recomputed independently by the DuckDB oracle (below)
+    // from the raw tables - resolve/merge/complement/cascade as CTEs
     "q_pipeline_counts" -> ((s, dir) =>
       pipelineResult(s, dir).strongPicks
         .groupBy(col("tier"), col("method"))
         .agg(count(lit(1)).as("n"))),
 
-    // AGR flagship projection: per-(flags, methods) counts, pinned golden
+    // AGR flagship projection: per-(flags, methods) counts, recomputed
+    // independently by the oracle (M5 resolve -> S9 upsert -> A8 guard)
     "q_agr_counts" -> ((s, dir) =>
       agrResult(s, dir).agrOrthologs
         .groupBy(col("isBestScore"), col("isBestRevScore"), col("methodsMatched"))
@@ -2660,45 +2662,214 @@ object SparkEntry {
              event_type, count(*) AS n_events
          FROM events GROUP BY 1, 2""",
 
-    // Flagship golden pins: the full pipeline is not practically
-    // re-expressible in one DuckDB statement, so these oracles pin the
-    // end-to-end projection to checked-in expected counts, keyed by scale
-    // (orders row count). A regression gate, not independent truth - the
-    // operator stages feeding it are independently oracled above
-    // (q_m1_reconcile, q_w24_cascade_run, q_a6_resolve, q_m4_weaksync).
+    // Flagship oracles: INDEPENDENT recomputation from the raw tables at
+    // any scale factor (no pinned VALUES). The CTE chain re-derives the
+    // Fixtures mappings (part -> genes/status/history, lineitem ->
+    // relations, orders -> AGR state) and then replays resolve (J1/J2) ->
+    // merge (A1/A3) -> complement (U2) -> cascade (W4/W2) in SQL,
+    // grouping the picks by (tier, method). The resolution collapses to
+    // CASE logic because each external id has at most ONE candidate gene
+    // by fixture construction ('EG'||rgdId is unique); the cascade block
+    // mirrors the window formulation also used by q_w24_cascade_run.
     "q_pipeline_counts" ->
-      """SELECT CAST(tier AS INT) AS tier, method, CAST(n AS BIGINT) AS n
-         FROM (VALUES
-           (1500, 2, 'longestEvidence', 34), (1500, 2, 'shortestSymbol', 26),
-           (1500, 2, 'symbolMatch', 14), (1500, 4, 'tierPick', 3),
-           (15000, 2, 'shortestSymbol', 16), (15000, 2, 'symbolMatch', 58),
-           (15000, 4, 'tierPick', 3),
-           (150000, 2, 'shortestSymbol', 13), (150000, 2, 'symbolMatch', 61),
-           (150000, 4, 'tierPick', 3)) v(sfn, tier, method, n)
-         WHERE sfn = (SELECT count(*) FROM orders)""",
+      """WITH g AS (
+           SELECT CAST(p_partkey + 1000 AS INT) AS rgdId, p_name AS sym,
+                  CASE WHEN p_partkey % 37 = 0 THEN 'allele'
+                       ELSE 'protein-coding' END AS gt,
+                  CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 3 END AS sp
+           FROM part),
+         st AS (SELECT rgdId,
+                  CASE WHEN rgdId % 17 = 0 THEN 'WITHDRAWN'
+                       ELSE 'ACTIVE' END AS status
+           FROM g),
+         -- J1/J2: 'EG'||n resolves to gene n (allele-excluded); withdrawn
+         -- ids follow history to n+2 when that id exists and is ACTIVE
+         res AS (
+           SELECT g.rgdId AS n,
+                  CASE WHEN s.status = 'ACTIVE' THEN g.rgdId
+                       ELSE r2.rgdId END AS resolved
+           FROM g JOIN st s ON s.rgdId = g.rgdId
+           LEFT JOIN st r2 ON r2.rgdId = g.rgdId + 2
+                          AND r2.status = 'ACTIVE'
+           WHERE g.gt <> 'allele'),
+         rel0 AS (
+           SELECT CAST(l_orderkey % 100 * 2 + 1000 AS INT) AS srcN,
+                  CAST(l_partkey % 100 * 2 + 1001 AS INT) AS destN,
+                  CASE WHEN l_linenumber % 2 = 1 THEN 'HGNC'
+                       ELSE 'NCBI' END AS ds,
+                  CASE WHEN l_linenumber % 2 = 1 THEN
+                    (CASE WHEN l_returnflag = 'R' THEN 'OrthoDB'
+                          ELSE 'Ensembl' END) || ', ' ||
+                    (CASE WHEN l_linestatus = 'F' THEN 'OMA'
+                          ELSE 'HomoloGene' END)
+                  ELSE 'Ortholog' END AS dsn
+           FROM lineitem),
+         rr AS (
+           SELECT rs.resolved AS src, rd.resolved AS dest, r.ds, r.dsn
+           FROM rel0 r
+           JOIN res rs ON rs.n = r.srcN AND rs.resolved IS NOT NULL
+           JOIN res rd ON rd.n = r.destN AND rd.resolved IS NOT NULL),
+         -- A1/A3 merge: evidence = distinct HGNC tokens (+ the literal
+         -- 'NCBI' marker when both sources saw the pair); NCBI-only
+         -- pairs carry the single token 'Ortholog'
+         tok AS (SELECT src, dest, ds,
+                  unnest(string_split_regex(dsn, ',\s*')) AS t
+           FROM rr),
+         mrg AS (
+           SELECT src, dest,
+                  CASE WHEN max(CASE WHEN ds = 'HGNC' THEN 1 ELSE 0 END) = 1
+                       THEN 'HGNC' ELSE 'NCBI' END AS ds,
+                  CASE WHEN max(CASE WHEN ds = 'HGNC' THEN 1 ELSE 0 END) = 1
+                       THEN count(DISTINCT CASE WHEN ds = 'HGNC' THEN t END)
+                            + max(CASE WHEN ds = 'NCBI' THEN 1 ELSE 0 END)
+                       ELSE 1 END AS ev
+           FROM tok GROUP BY src, dest),
+         -- U2 complement: forward + reversed, group = the human gene
+         cmp AS (
+           SELECT src AS grp, src AS s, dest AS d, 1 AS ssp, 3 AS dsp,
+                  ds, ev FROM mrg
+           UNION ALL
+           SELECT src, dest, src, 3, 1, ds, ev FROM mrg),
+         ks AS (SELECT DISTINCT grp, s, ssp, dsp FROM cmp),
+         -- tier 4: manual state rows (human rgdId%50=0 -> dest rgdId+1)
+         man AS (
+           SELECT k.grp, k.s, o.rgdId + 1 AS d, k.ssp, k.dsp,
+                  'RGD' AS ds, 1 AS ev, 4 AS tier
+           FROM ks k JOIN (SELECT rgdId FROM g
+                           WHERE sp = 1 AND rgdId % 50 = 0) o
+             ON o.rgdId = k.s
+           WHERE k.dsp = 3),
+         -- tier 3: AGR mutual-best (both flags Y), symmetrized+deduped,
+         -- pre-aggregated per (src gene, partner species); a conflict
+         -- (cnt>1) emits its min candidate twice to keep n>1
+         agr0 AS (
+           SELECT CAST(o_orderkey % 100 * 2 + 1000 AS INT) AS g1,
+                  CAST(o_custkey % 100 * 2 + 1001 AS INT) AS g2
+           FROM orders
+           WHERE o_orderkey % 5 = 0 AND o_orderstatus <> 'P'
+             AND o_totalprice > 50000),
+         agrsym AS (SELECT DISTINCT a, b FROM (
+           SELECT g1 AS a, g2 AS b FROM agr0
+           UNION ALL SELECT g2, g1 FROM agr0)),
+         t3 AS (SELECT a, gg.sp AS psp, count(*) AS cnt3, min(b) AS mind
+           FROM agrsym JOIN g gg ON gg.rgdId = b
+           GROUP BY a, gg.sp),
+         alli0 AS (
+           SELECT k.grp, k.s, t.mind AS d, k.ssp, k.dsp,
+                  'Alliance' AS ds, 1 AS ev, 3 AS tier, t.cnt3
+           FROM ks k JOIN t3 t ON t.a = k.s AND t.psp = k.dsp),
+         cands AS (
+           SELECT grp, s, d, ssp, dsp, ds, ev,
+                  CASE WHEN ds = 'HGNC' THEN 2 ELSE 1 END AS tier
+           FROM cmp
+           UNION ALL SELECT grp, s, d, ssp, dsp, ds, ev, tier FROM man
+           UNION ALL SELECT grp, s, d, ssp, dsp, ds, ev, tier FROM alli0
+           UNION ALL SELECT grp, s, d, ssp, dsp, ds, ev, tier FROM alli0
+             WHERE cnt3 > 1),
+         -- W4/W2 cascade: top tier, then the branch-specific winner
+         ann AS (SELECT c.*, gd.sym AS dsym,
+                  CASE WHEN lower(gs.sym) IS NOT DISTINCT FROM lower(gd.sym)
+                       THEN 1 ELSE 0 END AS symm
+           FROM cands c
+           LEFT JOIN g gs ON gs.rgdId = c.s
+           LEFT JOIN g gd ON gd.rgdId = c.d),
+         top AS (SELECT * FROM
+           (SELECT a.*, max(tier) OVER (PARTITION BY grp, ssp, dsp) AS tt
+            FROM ann a)
+           WHERE tier = tt),
+         t1 AS (SELECT t.*, count(*) OVER w AS n, max(ev) OVER w AS maxev,
+                  max(symm) OVER w AS anymatch
+           FROM top t WINDOW w AS (PARTITION BY grp, ssp, dsp)),
+         t2 AS (SELECT t.*,
+                  sum(CASE WHEN ev = maxev THEN 1 ELSE 0 END) OVER w
+                    AS cntatmax,
+                  row_number() OVER (PARTITION BY grp, ssp, dsp ORDER BY
+                    ev DESC, lower(dsym) ASC NULLS LAST, d ASC, s ASC)
+                    AS rnev,
+                  row_number() OVER (PARTITION BY grp, ssp, dsp ORDER BY
+                    symm DESC, ev DESC, lower(dsym) ASC NULLS LAST,
+                    d ASC, s ASC) AS rnsym,
+                  row_number() OVER (PARTITION BY grp, ssp, dsp ORDER BY
+                    lower(dsym) ASC NULLS LAST, d ASC, s ASC) AS rnalpha
+           FROM t1 t WINDOW w AS (PARTITION BY grp, ssp, dsp)),
+         picks AS (
+           SELECT tier,
+                  CASE WHEN tier > 2 THEN
+                         (CASE WHEN n = 1 THEN 'tierPick' ELSE 'conflict' END)
+                       WHEN n = 1 THEN 'oneRel'
+                       WHEN cntatmax = 1 THEN 'longestEvidence'
+                       WHEN anymatch = 1 THEN 'symbolMatch'
+                       ELSE 'shortestSymbol' END AS method
+           FROM t2
+           WHERE (tier > 2 AND n = 1)
+              OR (tier <= 2 AND (n = 1
+                   OR (cntatmax = 1 AND rnev = 1)
+                   OR (cntatmax > 1 AND anymatch = 1 AND rnsym = 1)
+                   OR (cntatmax > 1 AND anymatch = 0 AND rnalpha = 1))))
+         SELECT CAST(tier AS INT) AS tier, method, count(*) AS n
+         FROM picks GROUP BY tier, method""",
 
+    // --agrOrthologs flagship, recomputed from raw tables: M5 curie
+    // resolution over the fixture lines (human side resolves by SYMBOL
+    // to the min ACTIVE gene sharing p_name; rat side by the RGD:n
+    // special-id parse validated against the gene table), S9 full-outer
+    // upsert on (g1, g2, methods), then the A8 circuit breaker - the
+    // stale delete applies only when |new - initial| <= 10% of the
+    // post-upsert total (integer math, as parseThreshold). Fixture state
+    // rows predate the cutoff, so 'stale' is exactly 'not touched this
+    // run' (fresh = 0).
     "q_agr_counts" ->
-      """SELECT isBestScore, isBestRevScore, methodsMatched, CAST(n AS BIGINT) AS n
-         FROM (VALUES
-           (1500, 'N', 'N', 'Ensembl Compara|InParanoid|OMA', 13),
-           (1500, 'N', 'Y', 'Ensembl Compara|InParanoid|OMA', 84),
-           (1500, 'N', 'Y', 'OMA|PANTHER', 50),
-           (1500, 'Y', 'N', 'Ensembl Compara|InParanoid|OMA', 20),
-           (1500, 'Y', 'Y', 'Ensembl Compara|InParanoid|OMA', 183),
-           (1500, 'Y', 'Y', 'OMA|PANTHER', 48),
-           (15000, 'N', 'N', 'Ensembl Compara|InParanoid|OMA', 100),
-           (15000, 'N', 'Y', 'Ensembl Compara|InParanoid|OMA', 931),
-           (15000, 'N', 'Y', 'OMA|PANTHER', 500),
-           (15000, 'Y', 'N', 'Ensembl Compara|InParanoid|OMA', 193),
-           (15000, 'Y', 'Y', 'Ensembl Compara|InParanoid|OMA', 1776),
-           (15000, 'Y', 'Y', 'OMA|PANTHER', 500),
-           (150000, 'N', 'N', 'Ensembl Compara|InParanoid|OMA', 984),
-           (150000, 'N', 'Y', 'Ensembl Compara|InParanoid|OMA', 9090),
-           (150000, 'N', 'Y', 'OMA|PANTHER', 5000),
-           (150000, 'Y', 'N', 'Ensembl Compara|InParanoid|OMA', 2066),
-           (150000, 'Y', 'Y', 'Ensembl Compara|InParanoid|OMA', 17860),
-           (150000, 'Y', 'Y', 'OMA|PANTHER', 5000))
-           v(sfn, isBestScore, isBestRevScore, methodsMatched, n)
-         WHERE sfn = (SELECT count(*) FROM orders)"""
+      """WITH g AS (
+           SELECT CAST(p_partkey + 1000 AS INT) AS rgdId, p_name AS sym,
+                  CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 3 END AS sp
+           FROM part),
+         lines AS (SELECT rgdId AS h, sym FROM g WHERE sp = 1),
+         bysym AS (
+           SELECT g.sym, g.sp, min(g.rgdId) AS symbolRgdId
+           FROM g WHERE g.rgdId % 17 <> 0
+           GROUP BY g.sym, g.sp),
+         inc AS (
+           SELECT b.symbolRgdId AS g1, gg.rgdId AS g2,
+                  CASE WHEN l.h % 4 = 0 THEN 'Y' ELSE 'N' END AS isBestScore,
+                  'Y' AS isBestRevScore,
+                  'OMA|PANTHER' AS methodsMatched
+           FROM lines l
+           JOIN bysym b ON b.sym = l.sym AND b.sp = 1
+           JOIN g gg ON gg.rgdId = l.h + 1),
+         incd AS (SELECT DISTINCT * FROM inc),
+         stt AS (
+           SELECT CAST(o_orderkey % 100 * 2 + 1000 AS INT) AS g1,
+                  CAST(o_custkey % 100 * 2 + 1001 AS INT) AS g2,
+                  CASE WHEN o_orderstatus <> 'P' THEN 'Y' ELSE 'N' END
+                    AS isBestScore,
+                  CASE WHEN o_totalprice > 50000 THEN 'Y' ELSE 'N' END
+                    AS isBestRevScore,
+                  'Ensembl Compara|InParanoid|OMA' AS methodsMatched
+           FROM orders WHERE o_orderkey % 5 = 0),
+         up AS (
+           SELECT s.g1, s.g2, s.methodsMatched,
+                  coalesce(i.isBestScore, s.isBestScore) AS isBestScore,
+                  coalesce(i.isBestRevScore, s.isBestRevScore)
+                    AS isBestRevScore,
+                  CASE WHEN i.g1 IS NOT NULL THEN 1 ELSE 0 END AS fresh
+           FROM stt s LEFT JOIN incd i
+             ON i.g1 = s.g1 AND i.g2 = s.g2
+            AND i.methodsMatched = s.methodsMatched
+           UNION ALL
+           SELECT i.g1, i.g2, i.methodsMatched,
+                  i.isBestScore, i.isBestRevScore, 1
+           FROM incd i WHERE NOT EXISTS (
+             SELECT 1 FROM stt s WHERE s.g1 = i.g1 AND s.g2 = i.g2
+               AND s.methodsMatched = i.methodsMatched)),
+         guard AS (
+           SELECT CASE WHEN abs(sum(fresh) - (SELECT count(*) FROM stt))
+                       > (10 * count(*)) // 100
+                  THEN 0 ELSE 1 END AS do_delete
+           FROM up)
+         SELECT isBestScore, isBestRevScore, methodsMatched,
+                count(*) AS n
+         FROM up, guard
+         WHERE guard.do_delete = 0 OR up.fresh = 1
+         GROUP BY isBestScore, isBestRevScore, methodsMatched"""
   )
 }
