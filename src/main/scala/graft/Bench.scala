@@ -51,12 +51,26 @@ object Bench {
     resetPassState()
     val warm = pass()
     val best = cold.zip(warm).map { case ((k, c), (_, w)) => k -> math.min(c, w) }
-    val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision and cost-descending order: the harness keeps only the
+    // TAIL of stdout, so the compact line puts expensive queries first -
+    // truncation can only ever drop sub-ms noise. The complete record is
+    // also written to BENCH_LATEST.json for whole-file consumers.
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = best.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = best.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"warm_total":$warmTotal,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LATEST.json write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -963,6 +963,13 @@ object SparkEntry {
         .groupBy(col("ivf_cell")).agg(count(lit(1)).as("n"))
     }),
 
+    // one Lloyd k-means update step (assignment + per-cell/dim means on
+    // a quantized grid - the engine-stable surface of kmeansCentroids)
+    "q_ann_kmeans_step" -> ((s, dir) => {
+      val centroids = Ann.hyperplanes(64, 8, seed = 11L)
+      Ann.kmeansStep(t(s, dir, "embeddings"), centroids)
+    }),
+
     // Structured Streaming surfaced in the registry: file-source stream
     // over the events table (explicit schema - the parquet ts column is
     // TIMESTAMP(NANOS), so event time is derived), watermarked tumbling
@@ -2452,6 +2459,25 @@ object SparkEntry {
       s"""SELECT ivf_cell, count(*) AS n
           FROM ${ivfCellFromSql(centroids)}
           GROUP BY ivf_cell"""
+    },
+
+    // Lloyd step: same cell assignment, then exact integer sums of the
+    // 1000-quantized coordinates per (cell, dim) and one int/int
+    // division - order-independent, so it hash-matches across engines
+    "q_ann_kmeans_step" -> {
+      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+      s"""WITH a AS (SELECT ivf_cell,
+                CAST(embedding AS DOUBLE[]) AS emb
+              FROM ${ivfCellFromSql(centroids)}),
+          s AS (SELECT ivf_cell, CAST(j AS INT) AS pos,
+                count(*) AS n,
+                CAST(sum(CAST(floor(emb[CAST(j AS INT) + 1] * 1000.0)
+                  AS BIGINT)) AS BIGINT) AS qsum
+              FROM a CROSS JOIN range(0, $annDim) r(j)
+              GROUP BY ivf_cell, CAST(j AS INT))
+          SELECT ivf_cell, pos, n, qsum,
+                 CAST(qsum AS DOUBLE) / n AS mean_q
+          FROM s"""
     },
 
     "q_ann_ivf_topk" -> {

@@ -258,6 +258,26 @@ object Ann {
     }
   }
 
+  /** One Lloyd update step as an oracle-checkable DataFrame: assignment
+    * via [[ivfAssign]] (cosine argmax, first-max tie-break), update =
+    * per-(cell, dimension) mean over coordinates quantized to an integer
+    * grid (floor(x*scale)), so the aggregation is an exact integer sum
+    * in any engine followed by one int/int division - the engine-stable
+    * registered surface for the iterative [[kmeansCentroids]] (which
+    * averages raw doubles; a cross-engine double sum is accumulation-
+    * order noise, so THAT stays unit-pinned against planted clusters).
+    * Same plan shape as the real update: one hash aggregation with
+    * map-side combine, k*dim result rows. */
+  def kmeansStep(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                 scale: Double = 1000.0,
+                 vecCol: String = "embedding"): DataFrame =
+    ivfAssign(embeddings, centroids, vecCol)
+      .select(col("ivf_cell"), posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("ivf_cell"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("col") * scale)).as("qsum"))
+      .withColumn("mean_q", col("qsum").cast("double") / col("n"))
+
   def ivfAssign(embeddings: DataFrame, centroids: Seq[Seq[Double]],
                 vecCol: String = "embedding"): DataFrame = {
     // argmax_i cos(v, c_i) = argmax_i dot(v, c_i/|c_i|): the row norm |v|

@@ -27,7 +27,13 @@ case class OrthologRelation(
 )
 
 /** A strong ortholog row (reference table GENETOGENE_RGD_ID_RLT).
-  * Ref: rgdcore `edu.mcw.rgd.datamodel.Ortholog` (javap). */
+  * Ref: rgdcore `edu.mcw.rgd.datamodel.Ortholog` (javap).
+  *
+  * `percentHomology` and `groupId` are nullable passthroughs for
+  * column-level parity with the reference bean: the reference pipelines
+  * never WRITE percentHomology, and groupId is populated from the
+  * cascade's group (the human gene id) on inserted picks while prior
+  * state keeps whatever it carried. */
 case class Ortholog(
     key: Long,
     srcRgdId: Int,
@@ -40,7 +46,9 @@ case class Ortholog(
     createdBy: Int,
     createdDate: java.sql.Timestamp,
     lastModifiedBy: Int,
-    lastModifiedDate: java.sql.Timestamp
+    lastModifiedDate: java.sql.Timestamp,
+    percentHomology: Option[Double],
+    groupId: Option[Int]
 )
 
 /** A weak-ortholog association row (reference table RGD_ASSOCIATIONS).

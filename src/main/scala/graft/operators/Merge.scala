@@ -81,11 +81,16 @@ object Merge {
     // such ties; any comparator-total order is accepted (SURVEY.md section 4)
     val incomingSym = withSymbols(incoming, genes)
     val wInc = Window.partitionBy(key.map(col): _*).orderBy(w3OrderCols(): _*)
+    // groupId passes through to inserted state rows when the caller
+    // provides it (the cascade's picks do) - reference-bean parity
+    val incExtra =
+      if (incoming.columns.contains("groupId")) Seq(col("groupId")) else Nil
     val inc = incomingSym.withColumn("rnInc", row_number().over(wInc))
       .filter(col("rnInc") === 1).drop("rnInc")
-      .select(col("srcRgdId"), col("destRgdId"), col("srcSpeciesTypeKey"),
-        col("destSpeciesTypeKey"), col("xrefDataSrc"), col("xrefDataSet"),
-        col("symMatch"), col("srcSymbol"), col("destSymbol"))
+      .select(Seq(col("srcRgdId"), col("destRgdId"), col("srcSpeciesTypeKey"),
+        col("destSpeciesTypeKey"), col("xrefDataSrc"), col("xrefDataSet")) ++
+        incExtra ++
+        Seq(col("symMatch"), col("srcSymbol"), col("destSymbol")): _*)
 
     // rank state rows per (src, destSp); best is the comparison target,
     // the rest are duplicate-conflict deletes (minus manual per F11)
@@ -134,7 +139,7 @@ object Merge {
     // depend on absolute ids). NOT a global-order window - that would
     // single-partition the insert set (see operators.Keys).
     val maxKey = state.agg(coalesce(max(col("key")), lit(0L))).first().getLong(0)
-    val inserted = Keys.assignSequential(insertedRaw, "key", maxKey,
+    val insertedFilled0 = Keys.assignSequential(insertedRaw, "key", maxKey,
       Seq(col("srcRgdId"), col("destSpeciesTypeKey"), col("destRgdId")))
       .withColumn("orthologTypeKey",
         Exprs.orthologTypeKey(col("srcSpeciesTypeKey"), col("destSpeciesTypeKey")))
@@ -143,6 +148,13 @@ object Merge {
       .withColumn("createdDate", lit(runTs))
       .withColumn("lastModifiedBy", lit(pipelineUserId))
       .withColumn("lastModifiedDate", lit(runTs))
+    // nullable state columns the pipeline never writes (percentHomology,
+    // and groupId when the caller didn't pass one) fill with typed nulls
+    // so inserts align with any reference-parity state schema
+    val inserted = state.columns.diff(insertedFilled0.columns)
+      .foldLeft(insertedFilled0) { (f, c) =>
+        f.withColumn(c, lit(null).cast(state.schema(c).dataType))
+      }
       .select(state.columns.map(col): _*)
       .persist() // assignSequential leaves SQL-plan land (RDD zipWithIndex);
                  // without this every consumer re-runs its count job + sort

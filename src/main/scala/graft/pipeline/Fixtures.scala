@@ -107,7 +107,9 @@ object Fixtures {
         lit("curated").as("xrefDataSet"),
         lit(Species.directOrthologTypeKey).as("orthologTypeKey"),
         lit(1).as("createdBy"), lit(ts).as("createdDate"),
-        lit(1).as("lastModifiedBy"), lit(ts).as("lastModifiedDate"))
+        lit(1).as("lastModifiedBy"), lit(ts).as("lastModifiedDate"),
+        lit(null).cast("double").as("percentHomology"),
+        lit(null).cast("int").as("groupId"))
   }
 
   /** Alliance-combined-TSV-shaped lines pairing each human gene with its

@@ -56,11 +56,12 @@ object OrthologPipeline {
     val picks = phase(Cascade.run(withComplements, state.orthologs,
       state.agrOrthologs, state.genes))
 
-    // M1/M2: reconcile picks with ortholog state
+    // M1/M2: reconcile picks with ortholog state; groupId rides along
+    // onto inserted state rows (reference-bean parity)
     val incoming = picks.select(
       col("srcRgdId"), col("destRgdId"),
       col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
-      col("xrefDataSrc"), col("xrefDataSet"))
+      col("xrefDataSrc"), col("xrefDataSet"), col("groupId"))
     val m0 = Merge.reconcile(incoming, state.orthologs, state.genes,
       runTs, speciesTypeKey, pipelineUserId)
     val m = m0.copy(newState = phase(m0.newState), downgraded = phase(m0.downgraded))

@@ -76,7 +76,10 @@ object Cli {
     val st = Fixtures.state(spark, sfDir)
 
     if (agrOrthologs) {
-      val cutoff = java.sql.Timestamp.valueOf("2026-07-31 00:00:00")
+      // X9: stale cutoff = runTs - 1h, the reference's clock-skew guard
+      // (AgrTsvLoader.java:51) - derived, not a second hardcoded clock
+      val cutoff = java.sql.Timestamp.from(
+        runTs.toInstant.minus(java.time.Duration.ofHours(1)))
       val r = AgrPipeline.run(Fixtures.allianceLines(spark, sfDir),
         st.agrOrthologs, st.xrefs, st.genes, st.rgdIds, runTs, cutoff)
       write(r.agrOrthologs, s"$out/agr_orthologs")
@@ -89,8 +92,7 @@ object Cli {
 
     if (runForAll) {
       Reports.checkAllianceFreshness(st.agrOrthologs, now, maxAgeDays)
-      val searchable = Species.dim.map(_._1).filter(_ != Species.HUMAN)
-      searchable.foreach(sp => runSpecies(spark, sfDir, out, st, sp, runTs))
+      searchableNonHuman.foreach(sp => runSpecies(spark, sfDir, out, st, sp, runTs))
       return 0
     }
 
@@ -114,6 +116,13 @@ object Cli {
     }
     0
   }
+
+  /** The --species all loop set: searchable species minus human, in
+    * species-key order - mirrors SpeciesType.getSpeciesTypeKeys()
+    * filtered by isSearchable (OrthologRelationLoadingManager.java:92-96;
+    * every species in our dimension is searchable). */
+  private[graft] def searchableNonHuman: Seq[Int] =
+    Species.dim.map(_._1).filter(_ != Species.HUMAN)
 
   private def runSpecies(spark: SparkSession, sfDir: String, out: String,
                          st: OrthologPipeline.State, speciesTypeKey: Int,

@@ -44,6 +44,33 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/orthologs").count() > 0)
   }
 
+  test("dispatch table: --agrOrthologs short-circuits a bad --species") {
+    // reference ordering (OrthologRelationLoadingManager.java:80-84):
+    // the agr flow is checked FIRST, so a nonsense species value never
+    // reaches the species guard
+    val out = tmp()
+    assert(Cli.run(Array("--species", "ratt", "--agrOrthologs",
+      "--sfDir", sf, "--out", out), spark) == 0)
+    assert(spark.read.parquet(s"$out/agr_orthologs").count() > 0)
+  }
+
+  test("dispatch table: --species all runs every searchable non-human " +
+      "species in key order and ignores --fixXRefDataSet") {
+    // reference: the all-species loop is checked BEFORE fixXrefDataSet
+    // (:87-103 vs :105-106), iterating searchable keys minus human
+    assert(Cli.searchableNonHuman == Seq(2, 3, 6, 8, 9, 10, 11, 12))
+    val out = tmp()
+    assert(Cli.run(Array("--species", "all", "--fixXRefDataSet",
+      "--sfDir", sf, "--out", out), spark) == 0)
+    for (name <- Seq("mouse", "rat", "dog", "zebrafish", "pig",
+        "fruitfly", "roundworm", "yeast")) {
+      assert(new java.io.File(s"$out/$name/orthologs").isDirectory,
+        s"missing per-species output $name")
+    }
+    // the fix flow did NOT run (its outputs land at the root)
+    assert(!new java.io.File(s"$out/orthologs").isDirectory)
+  }
+
   test("D5 gate: a tight --maxAgeDays fails the freshness check") {
     // fixture AGR lastUpdateDate is 2026-06-01; 'now' inside the CLI is
     // 2026-08-12 -> 72 days old -> a 10-day gate must throw
