@@ -94,6 +94,36 @@ object SparkEntry {
               FROM (SELECT vec_id, embedding, $simCols FROM embeddings)))"""
   }
 
+  /** PQ codebooks for q_ann_pq_assign: 4 subspaces x 8 codewords x 16
+    * dims, deterministic (seeded) - literals on both engines. */
+  private def pqCodebooks: Seq[Seq[Seq[Double]]] =
+    Ann.hyperplanes(16, 32, seed = 13L).grouped(8).toSeq
+
+  /** SELECT computing per-row PQ codes (first-max tie-break) for the
+    * given codebooks - the PQ analogue of [[ivfCellFromSql]]. */
+  private def pqCodesSql(codebooks: Seq[Seq[Seq[Double]]]): String = {
+    val subDim = codebooks.head.head.size
+    val scoreCols = codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      val sub = s"(CAST(embedding AS DOUBLE[]))[${j * subDim + 1}:${(j + 1) * subDim}]"
+      cb.zipWithIndex.map { case (c, i) =>
+        val half = c.map(x => x * x).sum / 2.0
+        s"(list_dot_product($sub, ${sqlVec(c)}) - $half) AS s${j}_$i"
+      }
+    }.mkString(", ")
+    val maxCols = codebooks.indices.map { j =>
+      codebooks(j).indices.map(i => s"s${j}_$i")
+        .mkString("greatest(", ", ", s") AS m$j")
+    }.mkString(", ")
+    val codeCols = codebooks.indices.map { j =>
+      val cases = codebooks(j).indices
+        .map(i => s"WHEN s${j}_$i = m$j THEN $i").mkString(" ")
+      s"CAST(CASE $cases END AS INT) AS pq_code_$j"
+    }.mkString(", ")
+    s"""(SELECT vec_id, $codeCols FROM
+          (SELECT *, $maxCols FROM
+            (SELECT vec_id, $scoreCols FROM embeddings)))"""
+  }
+
   /** Shared CTE chain (through a final `pairs` relation) for the
     * md5-permutation minhash oracles - q_d_minhash_md5 reads `pairs`
     * directly, q_d_dedup_e2e chains component propagation onto it.
@@ -808,6 +838,11 @@ object SparkEntry {
     "q_t_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(t(s, dir, "documents"), 20)),
 
+    // BPE tokenizer-training step: adjacent char-pair counts over the
+    // word-frequency table, top-k merge candidates under a total order
+    "q_t_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), 100)),
+
     // best-5-docs-per-source curation by quality score (total order,
     // per-stratum window rank - no global sort)
     "q_t_curate" -> ((s, dir) =>
@@ -969,6 +1004,12 @@ object SparkEntry {
       val centroids = Ann.hyperplanes(64, 8, seed = 11L)
       Ann.kmeansStep(t(s, dir, "embeddings"), centroids)
     }),
+
+    // product-quantization code assignment (the IVF-PQ compression step)
+    "q_ann_pq_assign" -> ((s, dir) =>
+      Ann.pqAssign(t(s, dir, "embeddings"), pqCodebooks)
+        .select(col("vec_id") +:
+          pqCodebooks.indices.map(j => col(s"pq_code_$j")): _*)),
 
     // Structured Streaming surfaced in the registry: file-source stream
     // over the events table (explicit schema - the parquet ts column is
@@ -1751,6 +1792,22 @@ object SparkEntry {
          SELECT bigram, count(*) AS n FROM b GROUP BY 1
          ORDER BY n DESC, bigram ASC LIMIT 20""",
 
+    // BPE pair-count step: word-frequency table first, then adjacent
+    // char pairs of each DISTINCT word weighted by frequency; substr
+    // in both engines is codepoint-based so pairs agree byte-for-byte
+    "q_t_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+             AS w
+           FROM documents),
+         wc AS (SELECT w, count(*) AS wc FROM t GROUP BY w),
+         p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, wc
+           FROM (SELECT w, wc, unnest(range(1, length(w))) AS i
+                 FROM wc WHERE length(w) >= 2)),
+         agg AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+           FROM p GROUP BY pair)
+         SELECT pair, n FROM agg ORDER BY n DESC, pair ASC LIMIT 100""",
+
     // per-source top-5 by the q_t_quality score formula; identical
     // per-row double arithmetic in both engines makes the ordering
     // engine-exact, and (score desc, doc_id asc) is a total order
@@ -2479,6 +2536,13 @@ object SparkEntry {
                  CAST(qsum AS DOUBLE) / n AS mean_q
           FROM s"""
     },
+
+    // PQ codes: same argmax-over-dot-products surface as the IVF cell
+    // oracle (|s|^2 is constant per subvector, so nearest-codeword =
+    // max of s.c - |c|^2/2); margins of the fixed data dwarf the ~ulp
+    // summation differences, as documented for the ANN oracles
+    "q_ann_pq_assign" ->
+      s"SELECT * FROM ${pqCodesSql(pqCodebooks)}",
 
     "q_ann_ivf_topk" -> {
       val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)

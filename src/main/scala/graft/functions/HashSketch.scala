@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native codegen'd sketch expressions for the dedup family. These are the
   * per-row hot loops of near-duplicate detection at scale: the equivalent
@@ -244,6 +244,80 @@ case class SimHashText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "simhash_text"
+}
+
+/** Portable md5-bit SimHash signature as a 64-char '0'/'1' string - the
+  * fused native path behind [[graft.llm.Dedup.simhashMd5Pairs]]. Input
+  * must be ALREADY LOWERCASED (the caller applies `lower()`, matching
+  * the DuckDB oracle's `lower(trim(...))`); tokens are maximal
+  * `[a-z0-9_]` runs, exactly the complement of the oracle's
+  * `[^a-z0-9_]+` split. Per token: bit j of the signature draw is bit
+  * (63-j) of the big-endian first 8 md5 bytes - identical to "bit
+  * (3 - j%4) of hex digit j/4 of the md5 hex string", which is what the
+  * oracle computes from `md5(t)` text. Signature bit = 1 iff strictly
+  * more than half the tokens drew 1 (ties and tokenless input give 0).
+  * The HOF formulation of this (aggregate + zip_with + 64 conv/substr
+  * lambdas per token) ran interpreted at ~15s for sf0.1; this is a
+  * single pass with one digest per token. */
+case class SimHashMd5Text(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashMd5Text.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashMd5Text.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_md5_text"
+}
+
+object SimHashMd5Text {
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = text.toString
+    val len = s.length
+    val counts = new Array[Int](64)
+    var n = 0
+    var i = 0
+    val buf = new java.lang.StringBuilder
+    while (i < len) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_') {
+        buf.setLength(0)
+        while (i < len && {
+          val c2 = s.charAt(i)
+          (c2 >= 'a' && c2 <= 'z') || (c2 >= '0' && c2 <= '9') || c2 == '_'
+        }) {
+          buf.append(s.charAt(i))
+          i += 1
+        }
+        val digest = md.get()
+        digest.reset()
+        val bytes = digest.digest(
+          buf.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (bytes(b) & 0xFFL); b += 1 }
+        var j = 0
+        while (j < 64) { counts(j) += ((v >>> (63 - j)) & 1L).toInt; j += 1 }
+        n += 1
+      } else i += 1
+    }
+    val out = new Array[Byte](64)
+    var j = 0
+    while (j < 64) { out(j) = if (2 * counts(j) > n) '1' else '0'; j += 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
 }
 
 object SimHashText {

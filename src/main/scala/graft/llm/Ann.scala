@@ -88,6 +88,35 @@ object Ann {
   def quantize(vec: Column, scale: Double): Column =
     transform(vec, x => floor(x * scale).cast("long"))
 
+  /** Product-quantization code assignment - the PQ compression step of
+    * an IVF-PQ index (Jegou et al. '11): the vector splits into
+    * `codebooks.size` contiguous subvectors, and each subvector is
+    * assigned the id of its nearest (L2) codeword in that subspace's
+    * codebook. Codebooks are literal driver-side matrices (trained
+    * offline, like IVF centroids), so this is a pure map stage of
+    * codegen'd dot products - the representation that stores a 100 TB
+    * float corpus in m bytes per vector.
+    *
+    * argmin_c ||s - c||^2 = argmax_c (s.c - |c|^2/2) since |s|^2 is
+    * constant per subvector - dot products only, the same numeric
+    * surface the IVF oracles already prove engine-exact. First-max
+    * tie-break via array_position. Adds one int column per subspace
+    * (`pq_code_<j>`). */
+  def pqAssign(embeddings: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+               vecCol: String = "embedding"): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
+    val subDim = codebooks.head.head.size
+    codebooks.zipWithIndex.foldLeft(embeddings) { case (df, (cb, j)) =>
+      val sub = slice(col(vecCol), j * subDim + 1, subDim)
+      val scores = array(cb.map { c =>
+        val half = c.map(x => x * x).sum / 2.0
+        dot(sub, array(c.map(lit): _*)) - lit(half)
+      }: _*)
+      df.withColumn(s"pq_code_$j",
+        (array_position(scores, array_max(scores)) - 1).cast("int"))
+    }
+  }
+
   /** Unit-normalized centroids - the driver-side precompute ivfAssign
     * bakes into its plan (see there for why). */
   def unitCentroids(centroids: Seq[Seq[Double]]): Seq[Seq[Double]] =

@@ -212,34 +212,16 @@ object Dedup {
                       textCol: String = "text", maxHamming: Int = 3,
                       maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming == 3, "portable twin is fixed at the 4x16 scheme")
-    val toks = filter(
-      split(lower(trim(coalesce(col(textCol), lit("")))), "[^a-z0-9_]+", -1),
-      t => t =!= "")
-    // per-token 64-bit draw: bit j = bit (3 - j%4) of hex digit j/4 of
-    // md5(token). md5 runs ONCE per token (hashing inside the per-bit
-    // lambda ran 64 digests/token - measured 17s vs ~2s at sf0.1); the
-    // 64 bit extractions are cheap char ops over the hex string. The
-    // shift is by a COLUMN amount (shiftright only takes literal
-    // shifts), so it's floor-divide by 2^(3 - j%4), then mod 2.
-    def hexBits(h: Column): Column =
-      transform(sequence(lit(0), lit(63)), j => {
-        val dig = conv(h.substr((j / 4).cast("int") + 1, lit(1)),
-          16, 10).cast("int")
-        pmod(
-          floor(dig / pow(lit(2.0), lit(3) - pmod(j, lit(4)))).cast("int"),
-          lit(2))
-      })
-    val sigs = df
-      .select(col(idCol).as("id"), toks.as("ws"))
-      .withColumn("hs", transform(col("ws"), t => md5(t.cast("binary"))))
-      .withColumn("bitsums",
-        aggregate(col("hs"),
-          array_repeat(lit(0), 64),
-          (acc, h) => zip_with(acc, hexBits(h), _ + _)))
-      .withColumn("sig", concat_ws("",
-        transform(col("bitsums"),
-          s => when(s * 2 > size(col("ws")), "1").otherwise("0"))))
-      .select(col("id"), col("sig"))
+    // fused native signature (one md5 per token, single pass) - the HOF
+    // formulation (aggregate + zip_with + 64 conv/substr lambdas per
+    // token) ran interpreted at ~15s for sf0.1, this is sub-second.
+    // lower() is applied OUTSIDE so Spark's (unicode) lowercasing is
+    // what the [a-z0-9_] tokenizer sees, matching the oracle's regex.
+    val sigs = df.select(col(idCol).as("id"),
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.SimHashMd5Text(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            lower(trim(coalesce(col(textCol), lit(""))))))).as("sig"))
 
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),

@@ -29,6 +29,35 @@ object TextAnalysis {
     size(filter(split(text, "[^A-Za-z0-9]+", -1), t => t =!= "")) +
       length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
 
+  /** Tokenizer-training primitive: the BPE pair-count step. Collapses
+    * the corpus to a word-frequency table first (one shuffle on the
+    * word), then splits each DISTINCT word into character symbols and
+    * counts adjacent symbol pairs weighted by word frequency - the
+    * argmax over this table is exactly the merge rule a byte-pair-
+    * encoding trainer learns each round. A real trainer iterates this
+    * count over re-segmented words; one full counting pass is the hot
+    * loop and is what the registered query oracle-checks.
+    *
+    * Scale: the pair stream is |vocabulary| x avg word length rows -
+    * the corpus collapses BEFORE the explode, so 100 TB of text with a
+    * ~10M-word vocabulary feeds the pair count from megabytes. Both
+    * aggregations combine map-side; top-k under a total (n desc, pair
+    * asc) order, so the cut is deterministic. */
+  def bpePairCounts(df: DataFrame, k: Int = 100,
+                    textCol: String = "text"): DataFrame = {
+    val words = df.select(explode(normalizedWords(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    // adjacent char pairs; the length guard keeps sequence() ascending
+    // (Spark infers a NEGATIVE step for sequence(1, 0))
+    val pairCol = transform(sequence(lit(1), length(col("w")) - 1),
+      i => concat(col("w").substr(i, lit(1)), col("w").substr(i + 1, lit(1))))
+    words.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(pairCol).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Quality-scoring feature columns (length / punctuation / stopword
     * ratios and friends). Returns the input plus feature columns; the
     * composite `quality_score` is a simple monotone blend in [0,1]. */

@@ -49,7 +49,11 @@ object PlanAudit {
       "q_ann_knn_join",   // per-row probe cells + cell equi-join
       "q_e_outliers",     // per-entity percentile + stats join
       "q_fuzzy_pairs",    // deletion-neighborhood equi-join
-      "q_t_commonness")   // distinct + vocab agg + term join
+      "q_t_commonness",   // distinct + vocab agg + term join
+      "q_d_simhash_md5",  // md5-bit signature + chunk bucket join
+      "q_ann_kmeans_step",// assignment + per-cell/dim combine
+      "q_ann_pq_assign",  // pure map stage: PQ codes
+      "q_t_bpe_pairs")    // word-freq collapse + pair explode
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)

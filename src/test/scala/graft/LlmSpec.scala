@@ -747,6 +747,42 @@ class LlmSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("PQ assignment: picks the true nearest codeword per subspace") {
+    // 2 subspaces x 2 codewords x 2 dims; vectors sit exactly on
+    // codewords, so the nearest assignment is unambiguous
+    val cbs = Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),   // subspace 0
+      Seq(Seq(-1.0, 0.0), Seq(0.0, -1.0))) // subspace 1
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f, -1.0f, 0.0f)),  // codes (0, 0)
+      (2L, Seq(0.0f, 1.0f, 0.0f, -1.0f)),  // codes (1, 1)
+      (3L, Seq(0.9f, 0.1f, 0.1f, -0.9f))   // codes (0, 1)
+    ).toDF("vec_id", "embedding")
+    val got = Ann.pqAssign(d, cbs)
+      .select("vec_id", "pq_code_0", "pq_code_1")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got == Set((1L, 0, 0), (2L, 1, 1), (3L, 0, 1)))
+    // brute-force L2 check on the third vector, subspace 1
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(l2(Seq(0.1, -0.9), cbs(1)(1)) < l2(Seq(0.1, -0.9), cbs(1)(0)))
+  }
+
+  test("BPE pair counts: frequency-weighted adjacent char pairs") {
+    // vocabulary: "aba" x3, "ab" x1, "x" x1 (too short -> no pairs)
+    // pairs: ab (3 from aba + 1 from ab = 4), ba (3)
+    val d = Seq((1L, "aba ab aba x"), (2L, "aba"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(d, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 4L), ("ba", 3L)))
+    // deterministic tie order: equal counts sort by pair asc
+    val tied = TextAnalysis.bpePairCounts(
+      Seq((1L, "zz yy")).toDF("doc_id", "text"), k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(tied == Seq(("yy", 1L), ("zz", 1L)))
+  }
+
   test("text operators tolerate null text") {
     val d = Seq((1L, "src", Option("the quick fox jumps high")),
       (2L, "src", None: Option[String]))
@@ -806,6 +842,28 @@ class LlmSpec extends SparkSpec {
     val again = Dedup.simhashMd5Pairs(d)
       .as[(Long, Long, Int)].collect().toSet
     assert(again == got.toSet)
+  }
+
+  test("md5-simhash native signature matches the hex-digit derivation") {
+    // single-token doc: the signature IS the token's md5 bit draw
+    // (1 token -> 2*s_j > 1 iff bit j set). Expected derived through
+    // Spark's own md5/conv, the same arithmetic the DuckDB oracle uses.
+    for (tok <- Seq("fox", "a_1", "z")) {
+      val expected = spark.sql(
+        s"""SELECT concat_ws('', transform(sequence(0, 63), j ->
+              CASE WHEN floor(conv(substr(md5(cast('$tok' as binary)),
+                     CAST(j / 4 AS INT) + 1, 1), 16, 10)
+                   / pow(2.0D, 3 - j % 4)) % 2 = 1
+              THEN '1' ELSE '0' END))""").as[String].head()
+      val got = Seq((1L, tok)).toDF("doc_id", "text")
+        .select(org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.SimHashMd5Text(
+            org.apache.spark.sql.GraftSqlBridge.expression(
+              lower(trim($"text"))))).as("sig"))
+        .as[String].head()
+      assert(got == expected, s"token $tok")
+      assert(got.length == 64 && got.forall(c => c == '0' || c == '1'))
+    }
   }
 
   test("dedup e2e: md5-minhash pairs -> components -> min-id survives") {
