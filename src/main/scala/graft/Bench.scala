@@ -15,8 +15,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated name filter for single-query timing runs
+    // (SPARK_GRAFT_ONLY=q_x,q_y); empty = the full registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+
     def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop write forces full evaluation of every column (a bare count()
         // would let Catalyst prune the work away)
@@ -63,12 +71,14 @@ object Bench {
     val warmTotal = warm.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"sf":"$sfDir"}"""
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"),
-        (line + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_LATEST.json write failed: ${e.getMessage}")
+    if (only.isEmpty) { // a filtered run must not clobber the full record
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"),
+          (line + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_LATEST.json write failed: ${e.getMessage}")
+      }
     }
     println(line)
     spark.stop()
