@@ -173,6 +173,226 @@ object SparkEntry {
            WHERE CAST(cm.n_common AS DOUBLE)
                    / (na.nsh + nb.nsh - cm.n_common) >= 0.5)"""
 
+  /** Shared CTE chain for the --species flagship oracles, ending in a
+    * `picks` relation carrying the FULL pick row (group, src, dest,
+    * source, merged evidence string, tier, method). Re-derives the
+    * Fixtures mappings (part -> genes/status/history, lineitem ->
+    * relations, orders -> AGR state) and replays resolve (J1/J2) ->
+    * merge (A1/A3, including the sorted-distinct evidence string with
+    * the 'NCBI' marker) -> complement (U2) -> cascade (W4/W2). The
+    * resolution collapses to CASE logic because each external id has at
+    * most ONE candidate gene by fixture construction ('EG'||rgdId is
+    * unique); the cascade block mirrors the window formulation also
+    * used by q_w24_cascade_run. */
+  private def pipelinePicksCtes: String =
+    """g AS (
+           SELECT CAST(p_partkey + 1000 AS INT) AS rgdId, p_name AS sym,
+                  CASE WHEN p_partkey % 37 = 0 THEN 'allele'
+                       ELSE 'protein-coding' END AS gt,
+                  CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 3 END AS sp
+           FROM part),
+         st AS (SELECT rgdId,
+                  CASE WHEN rgdId % 17 = 0 THEN 'WITHDRAWN'
+                       ELSE 'ACTIVE' END AS status
+           FROM g),
+         -- J1/J2: 'EG'||n resolves to gene n (allele-excluded); withdrawn
+         -- ids follow history to n+2 when that id exists and is ACTIVE
+         res AS (
+           SELECT g.rgdId AS n,
+                  CASE WHEN s.status = 'ACTIVE' THEN g.rgdId
+                       ELSE r2.rgdId END AS resolved
+           FROM g JOIN st s ON s.rgdId = g.rgdId
+           LEFT JOIN st r2 ON r2.rgdId = g.rgdId + 2
+                          AND r2.status = 'ACTIVE'
+           WHERE g.gt <> 'allele'),
+         rel0 AS (
+           SELECT CAST(l_orderkey % 100 * 2 + 1000 AS INT) AS srcN,
+                  CAST(l_partkey % 100 * 2 + 1001 AS INT) AS destN,
+                  CASE WHEN l_linenumber % 2 = 1 THEN 'HGNC'
+                       ELSE 'NCBI' END AS ds,
+                  CASE WHEN l_linenumber % 2 = 1 THEN
+                    (CASE WHEN l_returnflag = 'R' THEN 'OrthoDB'
+                          ELSE 'Ensembl' END) || ', ' ||
+                    (CASE WHEN l_linestatus = 'F' THEN 'OMA'
+                          ELSE 'HomoloGene' END)
+                  ELSE 'Ortholog' END AS dsn
+           FROM lineitem),
+         rr AS (
+           SELECT rs.resolved AS src, rd.resolved AS dest, r.ds, r.dsn
+           FROM rel0 r
+           JOIN res rs ON rs.n = r.srcN AND rs.resolved IS NOT NULL
+           JOIN res rd ON rd.n = r.destN AND rd.resolved IS NOT NULL),
+         -- A1/A3 merge: sorted-distinct evidence string; HGNC pairs
+         -- carry HGNC tokens plus the literal 'NCBI' marker when both
+         -- sources saw the pair, NCBI-only pairs carry 'Ortholog'
+         tok AS (SELECT src, dest, ds,
+                  unnest(string_split_regex(dsn, ',\s*')) AS t
+           FROM rr),
+         mrg AS (
+           SELECT src, dest,
+                  max(CASE WHEN ds = 'HGNC' THEN 1 ELSE 0 END) AS hasH,
+                  max(CASE WHEN ds = 'NCBI' THEN 1 ELSE 0 END) AS hasN,
+                  list_sort(list_distinct(
+                    list(t) FILTER (WHERE ds = 'HGNC'))) AS htoks
+           FROM tok GROUP BY src, dest),
+         mrg2 AS (
+           SELECT src, dest,
+                  CASE WHEN hasH = 1 THEN 'HGNC' ELSE 'NCBI' END AS ds,
+                  CASE WHEN hasH = 1 THEN
+                    array_to_string(list_sort(list_distinct(
+                      CASE WHEN hasN = 1 THEN list_append(htoks, 'NCBI')
+                           ELSE htoks END)), ', ')
+                  ELSE 'Ortholog' END AS xset
+           FROM mrg),
+         -- U2 complement: forward + reversed, group = the human gene
+         cmp AS (
+           SELECT src AS grp, src AS s, dest AS d, 1 AS ssp, 3 AS dsp,
+                  ds, xset FROM mrg2
+           UNION ALL
+           SELECT src, dest, src, 3, 1, ds, xset FROM mrg2),
+         ks AS (SELECT DISTINCT grp, s, ssp, dsp FROM cmp),
+         -- tier 4: manual state rows (human rgdId%50=0 -> dest rgdId+1)
+         man AS (
+           SELECT k.grp, k.s, o.rgdId + 1 AS d, k.ssp, k.dsp,
+                  'RGD' AS ds, 'curated' AS xset, 4 AS tier
+           FROM ks k JOIN (SELECT rgdId FROM g
+                           WHERE sp = 1 AND rgdId % 50 = 0) o
+             ON o.rgdId = k.s
+           WHERE k.dsp = 3),
+         -- tier 3: AGR mutual-best (both flags Y), symmetrized+deduped,
+         -- pre-aggregated per (src gene, partner species); a conflict
+         -- (cnt>1) emits its min candidate twice to keep n>1
+         agr0 AS (
+           SELECT CAST(o_orderkey % 100 * 2 + 1000 AS INT) AS g1,
+                  CAST(o_custkey % 100 * 2 + 1001 AS INT) AS g2
+           FROM orders
+           WHERE o_orderkey % 5 = 0 AND o_orderstatus <> 'P'
+             AND o_totalprice > 50000),
+         agrsym AS (SELECT DISTINCT a, b FROM (
+           SELECT g1 AS a, g2 AS b FROM agr0
+           UNION ALL SELECT g2, g1 FROM agr0)),
+         t3 AS (SELECT a, gg.sp AS psp, count(*) AS cnt3, min(b) AS mind
+           FROM agrsym JOIN g gg ON gg.rgdId = b
+           GROUP BY a, gg.sp),
+         alli0 AS (
+           SELECT k.grp, k.s, t.mind AS d, k.ssp, k.dsp,
+                  'Alliance' AS ds,
+                  'Ensembl Compara|InParanoid|OMA' AS xset, 3 AS tier,
+                  t.cnt3
+           FROM ks k JOIN t3 t ON t.a = k.s AND t.psp = k.dsp),
+         cands AS (
+           SELECT grp, s, d, ssp, dsp, ds, xset,
+                  CASE WHEN ds = 'HGNC' THEN 2 ELSE 1 END AS tier
+           FROM cmp
+           UNION ALL SELECT grp, s, d, ssp, dsp, ds, xset, tier FROM man
+           UNION ALL SELECT grp, s, d, ssp, dsp, ds, xset, tier
+             FROM alli0
+           UNION ALL SELECT grp, s, d, ssp, dsp, ds, xset, tier
+             FROM alli0 WHERE cnt3 > 1),
+         -- W4/W2 cascade: top tier, then the branch-specific winner
+         ann AS (SELECT c.*,
+                  CASE WHEN c.xset IS NULL OR c.xset = '' THEN 0
+                       ELSE len(string_split(c.xset, ',')) END AS ev,
+                  gd.sym AS dsym,
+                  CASE WHEN lower(gs.sym) IS NOT DISTINCT FROM lower(gd.sym)
+                       THEN 1 ELSE 0 END AS symm
+           FROM cands c
+           LEFT JOIN g gs ON gs.rgdId = c.s
+           LEFT JOIN g gd ON gd.rgdId = c.d),
+         top AS (SELECT * FROM
+           (SELECT a.*, max(tier) OVER (PARTITION BY grp, ssp, dsp) AS tt
+            FROM ann a)
+           WHERE tier = tt),
+         t1 AS (SELECT t.*, count(*) OVER w AS n, max(ev) OVER w AS maxev,
+                  max(symm) OVER w AS anymatch
+           FROM top t WINDOW w AS (PARTITION BY grp, ssp, dsp)),
+         t2 AS (SELECT t.*,
+                  sum(CASE WHEN ev = maxev THEN 1 ELSE 0 END) OVER w
+                    AS cntatmax,
+                  row_number() OVER (PARTITION BY grp, ssp, dsp ORDER BY
+                    ev DESC, lower(dsym) ASC NULLS LAST, d ASC, s ASC)
+                    AS rnev,
+                  row_number() OVER (PARTITION BY grp, ssp, dsp ORDER BY
+                    symm DESC, ev DESC, lower(dsym) ASC NULLS LAST,
+                    d ASC, s ASC) AS rnsym,
+                  row_number() OVER (PARTITION BY grp, ssp, dsp ORDER BY
+                    lower(dsym) ASC NULLS LAST, d ASC, s ASC) AS rnalpha
+           FROM t1 t WINDOW w AS (PARTITION BY grp, ssp, dsp)),
+         picks AS (
+           SELECT grp AS groupId, s AS srcRgdId, d AS destRgdId,
+                  ds AS xrefDataSrc, xset AS xrefDataSet, tier,
+                  CASE WHEN tier > 2 THEN
+                         (CASE WHEN n = 1 THEN 'tierPick' ELSE 'conflict' END)
+                       WHEN n = 1 THEN 'oneRel'
+                       WHEN cntatmax = 1 THEN 'longestEvidence'
+                       WHEN anymatch = 1 THEN 'symbolMatch'
+                       ELSE 'shortestSymbol' END AS method
+           FROM t2
+           WHERE (tier > 2 AND n = 1)
+              OR (tier <= 2 AND (n = 1
+                   OR (cntatmax = 1 AND rnev = 1)
+                   OR (cntatmax > 1 AND anymatch = 1 AND rnsym = 1)
+                   OR (cntatmax > 1 AND anymatch = 0 AND rnalpha = 1))))"""
+
+  /** Shared CTE chain for the --agrOrthologs flagship oracles: M5 curie
+    * resolution over the fixture lines (human side resolves by SYMBOL to
+    * the min ACTIVE gene sharing p_name; rat side by the RGD:n
+    * special-id parse validated against the gene table), S9 full-outer
+    * upsert on (g1, g2, methods), then the A8 circuit breaker - the
+    * stale delete applies only when |new - initial| <= 10% of the
+    * post-upsert total (integer math, as parseThreshold). Fixture state
+    * rows predate the cutoff, so 'stale' is exactly 'not touched this
+    * run' (fresh = 0). Ends in `up` (post-upsert rows + fresh flag) and
+    * `guard` (the delete decision). */
+  private def agrUpsertCtes: String =
+    """g AS (
+           SELECT CAST(p_partkey + 1000 AS INT) AS rgdId, p_name AS sym,
+                  CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 3 END AS sp
+           FROM part),
+         lines AS (SELECT rgdId AS h, sym FROM g WHERE sp = 1),
+         bysym AS (
+           SELECT g.sym, g.sp, min(g.rgdId) AS symbolRgdId
+           FROM g WHERE g.rgdId % 17 <> 0
+           GROUP BY g.sym, g.sp),
+         inc AS (
+           SELECT b.symbolRgdId AS g1, gg.rgdId AS g2,
+                  CASE WHEN l.h % 4 = 0 THEN 'Y' ELSE 'N' END AS isBestScore,
+                  'Y' AS isBestRevScore,
+                  'OMA|PANTHER' AS methodsMatched
+           FROM lines l
+           JOIN bysym b ON b.sym = l.sym AND b.sp = 1
+           JOIN g gg ON gg.rgdId = l.h + 1),
+         incd AS (SELECT DISTINCT * FROM inc),
+         stt AS (
+           SELECT CAST(o_orderkey % 100 * 2 + 1000 AS INT) AS g1,
+                  CAST(o_custkey % 100 * 2 + 1001 AS INT) AS g2,
+                  CASE WHEN o_orderstatus <> 'P' THEN 'Y' ELSE 'N' END
+                    AS isBestScore,
+                  CASE WHEN o_totalprice > 50000 THEN 'Y' ELSE 'N' END
+                    AS isBestRevScore,
+                  'Ensembl Compara|InParanoid|OMA' AS methodsMatched
+           FROM orders WHERE o_orderkey % 5 = 0),
+         up AS (
+           SELECT s.g1, s.g2, s.methodsMatched,
+                  coalesce(i.isBestScore, s.isBestScore) AS isBestScore,
+                  coalesce(i.isBestRevScore, s.isBestRevScore)
+                    AS isBestRevScore,
+                  CASE WHEN i.g1 IS NOT NULL THEN 1 ELSE 0 END AS fresh
+           FROM stt s LEFT JOIN incd i
+             ON i.g1 = s.g1 AND i.g2 = s.g2
+            AND i.methodsMatched = s.methodsMatched
+           UNION ALL
+           SELECT i.g1, i.g2, i.methodsMatched,
+                  i.isBestScore, i.isBestRevScore, 1
+           FROM incd i WHERE NOT EXISTS (
+             SELECT 1 FROM stt s WHERE s.g1 = i.g1 AND s.g2 = i.g2
+               AND s.methodsMatched = i.methodsMatched)),
+         guard AS (
+           SELECT CASE WHEN abs(sum(fresh) - (SELECT count(*) FROM stt))
+                       > (10 * count(*)) // 100
+                  THEN 0 ELSE 1 END AS do_delete
+           FROM up)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- S2/F1/F2/F4: scan + predicate pushdown + projection ----
@@ -2753,213 +2973,39 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
 
     // Flagship oracles: INDEPENDENT recomputation from the raw tables at
-    // any scale factor (no pinned VALUES). The CTE chain re-derives the
-    // Fixtures mappings (part -> genes/status/history, lineitem ->
-    // relations, orders -> AGR state) and then replays resolve (J1/J2) ->
-    // merge (A1/A3) -> complement (U2) -> cascade (W4/W2) in SQL,
-    // grouping the picks by (tier, method). The resolution collapses to
-    // CASE logic because each external id has at most ONE candidate gene
-    // by fixture construction ('EG'||rgdId is unique); the cascade block
-    // mirrors the window formulation also used by q_w24_cascade_run.
+    // any scale factor (no pinned VALUES), via the shared CTE chains
+    // above (pipelinePicksCtes / agrUpsertCtes). Both the count
+    // projections AND the full flagship row dumps are under the gate.
     "q_pipeline_counts" ->
-      """WITH g AS (
-           SELECT CAST(p_partkey + 1000 AS INT) AS rgdId, p_name AS sym,
-                  CASE WHEN p_partkey % 37 = 0 THEN 'allele'
-                       ELSE 'protein-coding' END AS gt,
-                  CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 3 END AS sp
-           FROM part),
-         st AS (SELECT rgdId,
-                  CASE WHEN rgdId % 17 = 0 THEN 'WITHDRAWN'
-                       ELSE 'ACTIVE' END AS status
-           FROM g),
-         -- J1/J2: 'EG'||n resolves to gene n (allele-excluded); withdrawn
-         -- ids follow history to n+2 when that id exists and is ACTIVE
-         res AS (
-           SELECT g.rgdId AS n,
-                  CASE WHEN s.status = 'ACTIVE' THEN g.rgdId
-                       ELSE r2.rgdId END AS resolved
-           FROM g JOIN st s ON s.rgdId = g.rgdId
-           LEFT JOIN st r2 ON r2.rgdId = g.rgdId + 2
-                          AND r2.status = 'ACTIVE'
-           WHERE g.gt <> 'allele'),
-         rel0 AS (
-           SELECT CAST(l_orderkey % 100 * 2 + 1000 AS INT) AS srcN,
-                  CAST(l_partkey % 100 * 2 + 1001 AS INT) AS destN,
-                  CASE WHEN l_linenumber % 2 = 1 THEN 'HGNC'
-                       ELSE 'NCBI' END AS ds,
-                  CASE WHEN l_linenumber % 2 = 1 THEN
-                    (CASE WHEN l_returnflag = 'R' THEN 'OrthoDB'
-                          ELSE 'Ensembl' END) || ', ' ||
-                    (CASE WHEN l_linestatus = 'F' THEN 'OMA'
-                          ELSE 'HomoloGene' END)
-                  ELSE 'Ortholog' END AS dsn
-           FROM lineitem),
-         rr AS (
-           SELECT rs.resolved AS src, rd.resolved AS dest, r.ds, r.dsn
-           FROM rel0 r
-           JOIN res rs ON rs.n = r.srcN AND rs.resolved IS NOT NULL
-           JOIN res rd ON rd.n = r.destN AND rd.resolved IS NOT NULL),
-         -- A1/A3 merge: evidence = distinct HGNC tokens (+ the literal
-         -- 'NCBI' marker when both sources saw the pair); NCBI-only
-         -- pairs carry the single token 'Ortholog'
-         tok AS (SELECT src, dest, ds,
-                  unnest(string_split_regex(dsn, ',\s*')) AS t
-           FROM rr),
-         mrg AS (
-           SELECT src, dest,
-                  CASE WHEN max(CASE WHEN ds = 'HGNC' THEN 1 ELSE 0 END) = 1
-                       THEN 'HGNC' ELSE 'NCBI' END AS ds,
-                  CASE WHEN max(CASE WHEN ds = 'HGNC' THEN 1 ELSE 0 END) = 1
-                       THEN count(DISTINCT CASE WHEN ds = 'HGNC' THEN t END)
-                            + max(CASE WHEN ds = 'NCBI' THEN 1 ELSE 0 END)
-                       ELSE 1 END AS ev
-           FROM tok GROUP BY src, dest),
-         -- U2 complement: forward + reversed, group = the human gene
-         cmp AS (
-           SELECT src AS grp, src AS s, dest AS d, 1 AS ssp, 3 AS dsp,
-                  ds, ev FROM mrg
-           UNION ALL
-           SELECT src, dest, src, 3, 1, ds, ev FROM mrg),
-         ks AS (SELECT DISTINCT grp, s, ssp, dsp FROM cmp),
-         -- tier 4: manual state rows (human rgdId%50=0 -> dest rgdId+1)
-         man AS (
-           SELECT k.grp, k.s, o.rgdId + 1 AS d, k.ssp, k.dsp,
-                  'RGD' AS ds, 1 AS ev, 4 AS tier
-           FROM ks k JOIN (SELECT rgdId FROM g
-                           WHERE sp = 1 AND rgdId % 50 = 0) o
-             ON o.rgdId = k.s
-           WHERE k.dsp = 3),
-         -- tier 3: AGR mutual-best (both flags Y), symmetrized+deduped,
-         -- pre-aggregated per (src gene, partner species); a conflict
-         -- (cnt>1) emits its min candidate twice to keep n>1
-         agr0 AS (
-           SELECT CAST(o_orderkey % 100 * 2 + 1000 AS INT) AS g1,
-                  CAST(o_custkey % 100 * 2 + 1001 AS INT) AS g2
-           FROM orders
-           WHERE o_orderkey % 5 = 0 AND o_orderstatus <> 'P'
-             AND o_totalprice > 50000),
-         agrsym AS (SELECT DISTINCT a, b FROM (
-           SELECT g1 AS a, g2 AS b FROM agr0
-           UNION ALL SELECT g2, g1 FROM agr0)),
-         t3 AS (SELECT a, gg.sp AS psp, count(*) AS cnt3, min(b) AS mind
-           FROM agrsym JOIN g gg ON gg.rgdId = b
-           GROUP BY a, gg.sp),
-         alli0 AS (
-           SELECT k.grp, k.s, t.mind AS d, k.ssp, k.dsp,
-                  'Alliance' AS ds, 1 AS ev, 3 AS tier, t.cnt3
-           FROM ks k JOIN t3 t ON t.a = k.s AND t.psp = k.dsp),
-         cands AS (
-           SELECT grp, s, d, ssp, dsp, ds, ev,
-                  CASE WHEN ds = 'HGNC' THEN 2 ELSE 1 END AS tier
-           FROM cmp
-           UNION ALL SELECT grp, s, d, ssp, dsp, ds, ev, tier FROM man
-           UNION ALL SELECT grp, s, d, ssp, dsp, ds, ev, tier FROM alli0
-           UNION ALL SELECT grp, s, d, ssp, dsp, ds, ev, tier FROM alli0
-             WHERE cnt3 > 1),
-         -- W4/W2 cascade: top tier, then the branch-specific winner
-         ann AS (SELECT c.*, gd.sym AS dsym,
-                  CASE WHEN lower(gs.sym) IS NOT DISTINCT FROM lower(gd.sym)
-                       THEN 1 ELSE 0 END AS symm
-           FROM cands c
-           LEFT JOIN g gs ON gs.rgdId = c.s
-           LEFT JOIN g gd ON gd.rgdId = c.d),
-         top AS (SELECT * FROM
-           (SELECT a.*, max(tier) OVER (PARTITION BY grp, ssp, dsp) AS tt
-            FROM ann a)
-           WHERE tier = tt),
-         t1 AS (SELECT t.*, count(*) OVER w AS n, max(ev) OVER w AS maxev,
-                  max(symm) OVER w AS anymatch
-           FROM top t WINDOW w AS (PARTITION BY grp, ssp, dsp)),
-         t2 AS (SELECT t.*,
-                  sum(CASE WHEN ev = maxev THEN 1 ELSE 0 END) OVER w
-                    AS cntatmax,
-                  row_number() OVER (PARTITION BY grp, ssp, dsp ORDER BY
-                    ev DESC, lower(dsym) ASC NULLS LAST, d ASC, s ASC)
-                    AS rnev,
-                  row_number() OVER (PARTITION BY grp, ssp, dsp ORDER BY
-                    symm DESC, ev DESC, lower(dsym) ASC NULLS LAST,
-                    d ASC, s ASC) AS rnsym,
-                  row_number() OVER (PARTITION BY grp, ssp, dsp ORDER BY
-                    lower(dsym) ASC NULLS LAST, d ASC, s ASC) AS rnalpha
-           FROM t1 t WINDOW w AS (PARTITION BY grp, ssp, dsp)),
-         picks AS (
-           SELECT tier,
-                  CASE WHEN tier > 2 THEN
-                         (CASE WHEN n = 1 THEN 'tierPick' ELSE 'conflict' END)
-                       WHEN n = 1 THEN 'oneRel'
-                       WHEN cntatmax = 1 THEN 'longestEvidence'
-                       WHEN anymatch = 1 THEN 'symbolMatch'
-                       ELSE 'shortestSymbol' END AS method
-           FROM t2
-           WHERE (tier > 2 AND n = 1)
-              OR (tier <= 2 AND (n = 1
-                   OR (cntatmax = 1 AND rnev = 1)
-                   OR (cntatmax > 1 AND anymatch = 1 AND rnsym = 1)
-                   OR (cntatmax > 1 AND anymatch = 0 AND rnalpha = 1))))
+      s"""WITH $pipelinePicksCtes
          SELECT CAST(tier AS INT) AS tier, method, count(*) AS n
          FROM picks GROUP BY tier, method""",
 
-    // --agrOrthologs flagship, recomputed from raw tables: M5 curie
-    // resolution over the fixture lines (human side resolves by SYMBOL
-    // to the min ACTIVE gene sharing p_name; rat side by the RGD:n
-    // special-id parse validated against the gene table), S9 full-outer
-    // upsert on (g1, g2, methods), then the A8 circuit breaker - the
-    // stale delete applies only when |new - initial| <= 10% of the
-    // post-upsert total (integer math, as parseThreshold). Fixture state
-    // rows predate the cutoff, so 'stale' is exactly 'not touched this
-    // run' (fresh = 0).
+    // the full strong-pick row set, hash-gated column by column
+    "q_pipeline_e2e" ->
+      s"""WITH $pipelinePicksCtes
+         SELECT CAST(groupId AS INT) AS groupId,
+                CAST(srcRgdId AS INT) AS srcRgdId,
+                CAST(destRgdId AS INT) AS destRgdId,
+                xrefDataSrc, xrefDataSet, CAST(tier AS INT) AS tier,
+                method
+         FROM picks""",
+
     "q_agr_counts" ->
-      """WITH g AS (
-           SELECT CAST(p_partkey + 1000 AS INT) AS rgdId, p_name AS sym,
-                  CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 3 END AS sp
-           FROM part),
-         lines AS (SELECT rgdId AS h, sym FROM g WHERE sp = 1),
-         bysym AS (
-           SELECT g.sym, g.sp, min(g.rgdId) AS symbolRgdId
-           FROM g WHERE g.rgdId % 17 <> 0
-           GROUP BY g.sym, g.sp),
-         inc AS (
-           SELECT b.symbolRgdId AS g1, gg.rgdId AS g2,
-                  CASE WHEN l.h % 4 = 0 THEN 'Y' ELSE 'N' END AS isBestScore,
-                  'Y' AS isBestRevScore,
-                  'OMA|PANTHER' AS methodsMatched
-           FROM lines l
-           JOIN bysym b ON b.sym = l.sym AND b.sp = 1
-           JOIN g gg ON gg.rgdId = l.h + 1),
-         incd AS (SELECT DISTINCT * FROM inc),
-         stt AS (
-           SELECT CAST(o_orderkey % 100 * 2 + 1000 AS INT) AS g1,
-                  CAST(o_custkey % 100 * 2 + 1001 AS INT) AS g2,
-                  CASE WHEN o_orderstatus <> 'P' THEN 'Y' ELSE 'N' END
-                    AS isBestScore,
-                  CASE WHEN o_totalprice > 50000 THEN 'Y' ELSE 'N' END
-                    AS isBestRevScore,
-                  'Ensembl Compara|InParanoid|OMA' AS methodsMatched
-           FROM orders WHERE o_orderkey % 5 = 0),
-         up AS (
-           SELECT s.g1, s.g2, s.methodsMatched,
-                  coalesce(i.isBestScore, s.isBestScore) AS isBestScore,
-                  coalesce(i.isBestRevScore, s.isBestRevScore)
-                    AS isBestRevScore,
-                  CASE WHEN i.g1 IS NOT NULL THEN 1 ELSE 0 END AS fresh
-           FROM stt s LEFT JOIN incd i
-             ON i.g1 = s.g1 AND i.g2 = s.g2
-            AND i.methodsMatched = s.methodsMatched
-           UNION ALL
-           SELECT i.g1, i.g2, i.methodsMatched,
-                  i.isBestScore, i.isBestRevScore, 1
-           FROM incd i WHERE NOT EXISTS (
-             SELECT 1 FROM stt s WHERE s.g1 = i.g1 AND s.g2 = i.g2
-               AND s.methodsMatched = i.methodsMatched)),
-         guard AS (
-           SELECT CASE WHEN abs(sum(fresh) - (SELECT count(*) FROM stt))
-                       > (10 * count(*)) // 100
-                  THEN 0 ELSE 1 END AS do_delete
-           FROM up)
+      s"""WITH $agrUpsertCtes
          SELECT isBestScore, isBestRevScore, methodsMatched,
                 count(*) AS n
          FROM up, guard
          WHERE guard.do_delete = 0 OR up.fresh = 1
-         GROUP BY isBestScore, isBestRevScore, methodsMatched"""
+         GROUP BY isBestScore, isBestRevScore, methodsMatched""",
+
+    // the full post-guard AGR state, hash-gated column by column
+    "q_agr_e2e" ->
+      s"""WITH $agrUpsertCtes
+         SELECT CAST(g1 AS INT) AS geneRgdId1,
+                CAST(g2 AS INT) AS geneRgdId2,
+                isBestScore, isBestRevScore, methodsMatched
+         FROM up, guard
+         WHERE guard.do_delete = 0 OR up.fresh = 1"""
   )
 }
