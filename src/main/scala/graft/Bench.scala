@@ -73,8 +73,9 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"sf":"$sfDir"}"""
     if (only.isEmpty) { // a filtered run must not clobber the full record
       try {
+        // cwd-relative: lands in whatever checkout ran the bench
         java.nio.file.Files.write(
-          java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"),
+          java.nio.file.Paths.get("BENCH_LATEST.json"),
           (line + "\n").getBytes("UTF-8"))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] BENCH_LATEST.json write failed: ${e.getMessage}")

@@ -247,11 +247,11 @@ case class SimHashText(child: Expression) extends UnaryExpression {
 }
 
 /** Portable md5-bit SimHash signature as a 64-char '0'/'1' string - the
-  * fused native path behind [[graft.llm.Dedup.simhashMd5Pairs]]. Input
-  * must be ALREADY LOWERCASED (the caller applies `lower()`, matching
-  * the DuckDB oracle's `lower(trim(...))`); tokens are maximal
-  * `[a-z0-9_]` runs, exactly the complement of the oracle's
-  * `[^a-z0-9_]+` split. Per token: bit j of the signature draw is bit
+  * fused native path behind [[graft.llm.Dedup.simhashMd5Pairs]]. Tokens
+  * are maximal ASCII `[a-zA-Z0-9_]` runs, lowercased inline - so raw
+  * text works, and pre-lowercased input (Dedup wraps the column in
+  * `lower()` to match the DuckDB oracle's `lower(trim(...))` exactly,
+  * including non-ASCII lowercasing) passes through unchanged. Per token: bit j of the signature draw is bit
   * (63-j) of the big-endian first 8 md5 bytes - identical to "bit
   * (3 - j%4) of hex digit j/4 of the md5 hex string", which is what the
   * oracle computes from `md5(t)` text. Signature bit = 1 iff strictly
@@ -292,13 +292,16 @@ object SimHashMd5Text {
     val buf = new java.lang.StringBuilder
     while (i < len) {
       val c = s.charAt(i)
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_') {
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '_') {
         buf.setLength(0)
         while (i < len && {
           val c2 = s.charAt(i)
-          (c2 >= 'a' && c2 <= 'z') || (c2 >= '0' && c2 <= '9') || c2 == '_'
+          (c2 >= 'a' && c2 <= 'z') || (c2 >= 'A' && c2 <= 'Z') ||
+            (c2 >= '0' && c2 <= '9') || c2 == '_'
         }) {
-          buf.append(s.charAt(i))
+          val ch = s.charAt(i)
+          buf.append(if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch)
           i += 1
         }
         val digest = md.get()

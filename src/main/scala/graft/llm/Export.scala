@@ -51,20 +51,24 @@ object Export {
     // bucket count keeps hash collisions between (value, salt) combos
     // rare; per-value file count stays <= buckets regardless (each
     // combo lands in exactly one shuffle partition).
-    val totalBuckets = buckets.agg(sum(col("__buckets")))
-      .head.getLong(0).toInt
-    val joinCond = partitionCols
-      .map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
-    val salted = df.join(broadcast(buckets), joinCond)
-      .drop(partitionCols.map(c => s"__k_$c"): _*)
-      .withColumn("__salt", pmod(hash(col(sortCol)), col("__buckets")))
-    try salted
-      .repartition(math.max(1, 2 * totalBuckets),
-        partitionCols.map(col) :+ col("__salt"): _*)
-      .sortWithinPartitions((partitionCols :+ sortCol).map(col): _*)
-      .drop("__buckets", "__salt")
-      .write.partitionBy(partitionCols: _*)
-      .mode("overwrite").parquet(outDir)
-    finally buckets.unpersist()
+    try {
+      // sum() over an EMPTY frame yields one null row - coalesce so an
+      // empty dataset still writes cleanly (empty parquet + metadata)
+      val totalBuckets = buckets
+        .agg(coalesce(sum(col("__buckets")), lit(0L)))
+        .head.getLong(0).toInt
+      val joinCond = partitionCols
+        .map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+      val salted = df.join(broadcast(buckets), joinCond)
+        .drop(partitionCols.map(c => s"__k_$c"): _*)
+        .withColumn("__salt", pmod(hash(col(sortCol)), col("__buckets")))
+      salted
+        .repartition(math.max(1, 2 * totalBuckets),
+          partitionCols.map(col) :+ col("__salt"): _*)
+        .sortWithinPartitions((partitionCols :+ sortCol).map(col): _*)
+        .drop("__buckets", "__salt")
+        .write.partitionBy(partitionCols: _*)
+        .mode("overwrite").parquet(outDir)
+    } finally buckets.unpersist()
   }
 }

@@ -72,7 +72,10 @@ object Features {
     // interpolation, and `value > p_q` would flip the int flag on that
     // knife-edge - an int column gets no float-tolerant hashing. The
     // rounded value is also what surfaces as p_q, keeping flag and
-    // threshold consistent for the caller.
+    // threshold consistent for the caller. Residual risk: rounding
+    // itself has boundaries (Spark rounds the shortest decimal repr,
+    // DuckDB rounds in binary), but quantization shrinks the exposed
+    // boundary measure from ~every ulp to ~1e-10 per value.
     val stats = df.groupBy(col(entityCol)).agg(round(agg, 6).as("p_q"))
     // left join: a feature-attachment function must never lose rows -
     // an inner join would silently drop null-entity rows (the null-key

@@ -148,10 +148,14 @@ object Merge {
       .withColumn("createdDate", lit(runTs))
       .withColumn("lastModifiedBy", lit(pipelineUserId))
       .withColumn("lastModifiedDate", lit(runTs))
-    // nullable state columns the pipeline never writes (percentHomology,
-    // and groupId when the caller didn't pass one) fill with typed nulls
-    // so inserts align with any reference-parity state schema
-    val inserted = state.columns.diff(insertedFilled0.columns)
+    // ONLY the known nullable passthroughs (percentHomology, and groupId
+    // when the caller didn't pass one) fill with typed nulls; any OTHER
+    // state column missing from the insert path still fails fast at the
+    // select below - schema drift must not silently null into state
+    val passthroughs = Seq("percentHomology", "groupId")
+    val inserted = passthroughs
+      .filter(c => state.columns.contains(c) &&
+        !insertedFilled0.columns.contains(c))
       .foldLeft(insertedFilled0) { (f, c) =>
         f.withColumn(c, lit(null).cast(state.schema(c).dataType))
       }

@@ -45,11 +45,18 @@ object TemporalJoins {
                tiebreak: String, inclusive: Boolean = true): DataFrame = {
     // The tiebreak is compared as a long ("latest wins"); a non-castable
     // type would silently become null and break the ordering contract.
+    // DATE cannot cast to long (ANSI rejects it, legacy nulls it), so it
+    // goes through unix_date (days since epoch - order-preserving).
     val tieType = right.schema(tiebreak).dataType
     require(tieType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
       tieType == org.apache.spark.sql.types.DateType ||
       tieType == org.apache.spark.sql.types.TimestampType,
       s"asofJoin tiebreak '$tiebreak' must be numeric/date/timestamp, got $tieType")
+    def tieAsLong(c: Column): Column = tieType match {
+      case org.apache.spark.sql.types.DateType => unix_date(c).cast("long")
+      case org.apache.spark.sql.types.TimestampType => unix_seconds(c)
+      case _ => c.cast("long")
+    }
     val leftStruct = struct(left.columns.map(col): _*)
     val payloadStruct = struct(
       (payloadCols ++ Seq(tiebreak).filterNot(payloadCols.contains)).map(col): _*)
@@ -80,7 +87,7 @@ object TemporalJoins {
         keys.map(col) ++ Seq(
           col(rightTs).cast("long").as("__ts"),
           lit(if (inclusive) 0 else 1).as("__tag"),
-          col(tiebreak).cast("long").as("__tie"),
+          tieAsLong(col(tiebreak)).as("__tie"),
           lit(null).cast(left.select(leftStruct).schema.head.dataType).as("__l"),
           payloadStruct.as("__r")): _*)
 

@@ -739,6 +739,13 @@ class LlmSpec extends SparkSpec {
     assert(files("test", "books").length == 1)
   }
 
+  test("partitioned export: empty input writes an empty dataset cleanly") {
+    val out = java.nio.file.Files.createTempDirectory("graft_export4").toString
+    val d = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "split")
+    graft.llm.Export.writePartitioned(d, out) // must not NPE on null sum
+    assert(spark.read.schema(d.schema).parquet(out).count() == 0)
+  }
+
   test("partitioned export: null partition value survives the salt join") {
     val out = java.nio.file.Files.createTempDirectory("graft_export3").toString
     val d = Seq((1L, Option("web"), "train"), (2L, None: Option[String], "train"))
@@ -864,6 +871,15 @@ class LlmSpec extends SparkSpec {
       assert(got == expected, s"token $tok")
       assert(got.length == 64 && got.forall(c => c == '0' || c == '1'))
     }
+    // the native tokenizer lowercases ASCII inline: raw mixed-case text
+    // produces the same signature as the pre-lowercased column
+    val raw = Seq((1L, "The QUICK brown_FOX 42")).toDF("doc_id", "text")
+    def sig(c: org.apache.spark.sql.Column) =
+      raw.select(org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.SimHashMd5Text(
+          org.apache.spark.sql.GraftSqlBridge.expression(c))).as("s"))
+        .as[String].head()
+    assert(sig($"text") == sig(lower($"text")))
   }
 
   test("dedup e2e: md5-minhash pairs -> components -> min-id survives") {

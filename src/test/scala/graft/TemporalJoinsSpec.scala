@@ -115,6 +115,26 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got == Map(1L -> None))
   }
 
+  test("asof join accepts date and timestamp tiebreaks (ANSI-safe)") {
+    // DATE cannot cast to long under ANSI; the guard routes it through
+    // unix_date. Latest date/timestamp must win the equal-ts tie.
+    val l = Seq((1L, 7L, 100L)).toDF("event_id", "user_id", "ts")
+    val rd = Seq(
+      (10L, 7L, 100L, java.sql.Date.valueOf("2026-01-01")),
+      (11L, 7L, 100L, java.sql.Date.valueOf("2026-06-01")))
+      .toDF("r_id", "user_id", "ts", "d")
+    val gotD = TemporalJoins.asofJoin(l, rd, Seq("user_id"), "ts", "ts",
+      Seq("r_id"), tiebreak = "d").select($"r_id").as[Long].collect()
+    assert(gotD.toSeq == Seq(11L))
+    val rt = Seq(
+      (10L, 7L, 100L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+      (11L, 7L, 100L, java.sql.Timestamp.valueOf("2026-06-01 00:00:00")))
+      .toDF("r_id", "user_id", "ts", "t")
+    val gotT = TemporalJoins.asofJoin(l, rt, Seq("user_id"), "ts", "ts",
+      Seq("r_id"), tiebreak = "t").select($"r_id").as[Long].collect()
+    assert(gotT.toSeq == Seq(11L))
+  }
+
   test("asof join rejects a non-castable tiebreak column") {
     val l = Seq((1L, 7L, 100L)).toDF("event_id", "user_id", "ts")
     val r = Seq(("x", 7L, 50L)).toDF("r_id", "user_id", "ts")
