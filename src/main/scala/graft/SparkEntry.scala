@@ -975,6 +975,13 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("sample_bucket"),
           col("kept"))),
 
+    // temperature resampling (alpha=0.5): per-source keep rates derived
+    // from the source sizes, smallest source keeps all
+    "q_sample_temperature" -> ((s, dir) =>
+      graft.llm.Splitting.temperatureSample(t(s, dir, "documents"),
+        alpha = 0.5)
+        .select(col("doc_id"), col("source"), col("kept"))),
+
     // token-budget sequence packing: next-fit bin by cumulative offset
     "q_pack_bins" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1720,6 +1727,30 @@ object SparkEntry {
                     WHEN 'src3' THEN 'g'
                     ELSE 'c0000000' END AS INT) AS kept
          FROM documents""",
+
+    // temperature resampling recomputed end-to-end: per-source counts,
+    // rate = round((n/n_min)^(alpha-1), 6), 32-bit hex cutoff
+    // (lower(lpad(hex(...)))) matching Splitting.rateCutoffHex, then
+    // the same salted-hash survival test. A rate of exactly 1 (the
+    // smallest source) maps to the 'g' sentinel, which sorts above
+    // every hex bucket - keep-all, as in Spark.
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+           GROUP BY source),
+         r AS (SELECT source,
+             round(pow(CAST(n AS DOUBLE) / (SELECT min(n) FROM c),
+               0.5 - 1.0), 6) AS rate
+           FROM c),
+         cut AS (SELECT source,
+             CASE WHEN round(rate * 4294967296.0) >= 4294967296.0
+                  THEN 'g'
+                  ELSE lower(lpad(hex(CAST(round(rate * 4294967296.0)
+                    AS BIGINT)), 8, '0')) END AS cutoff
+           FROM r)
+         SELECT d.doc_id, d.source,
+                CAST(substr(md5('temp-v1' || d.text), 1, 8)
+                  < coalesce(cut.cutoff, 'g') AS INT) AS kept
+         FROM documents d LEFT JOIN cut ON cut.source = d.source""",
 
     "q_pack_bins" ->
       """SELECT doc_id, source, n_tokens,

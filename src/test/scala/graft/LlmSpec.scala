@@ -754,6 +754,25 @@ class LlmSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("temperature resampling: smallest source keeps all, big ones thin") {
+    // sources sized 40 / 10: alpha=0.5 -> rate_big = (40/10)^-0.5 = 0.5
+    val rows = (1L to 40L).map(i => (i, "big", s"doc number $i words")) ++
+      (41L to 50L).map(i => (i, "small", s"doc number $i words"))
+    val d = rows.toDF("doc_id", "source", "text")
+    val out = graft.llm.Splitting.temperatureSample(d, alpha = 0.5)
+    val kept = out.filter($"kept" === 1).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept("small") == 10L) // rate 1.0: every row survives
+    assert(kept("big") < 40L && kept("big") > 5L) // rate 0.5, hash-exact
+    // determinism: identical on re-run
+    val again = graft.llm.Splitting.temperatureSample(d, alpha = 0.5)
+      .filter($"kept" === 1).count()
+    assert(again == out.filter($"kept" === 1).count())
+    // alpha=1 is the natural mixture: everything keeps
+    val nat = graft.llm.Splitting.temperatureSample(d, alpha = 1.0)
+    assert(nat.filter($"kept" === 1).count() == 50L)
+  }
+
   test("PQ assignment: picks the true nearest codeword per subspace") {
     // 2 subspaces x 2 codewords x 2 dims; vectors sit exactly on
     // codewords, so the nearest assignment is unambiguous
