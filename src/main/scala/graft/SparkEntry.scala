@@ -975,12 +975,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("sample_bucket"),
           col("kept"))),
 
-    // temperature resampling (alpha=0.5): per-source keep rates derived
-    // from the source sizes, smallest source keeps all
+    // temperature resampling (alpha=0.5) over a deliberately SKEWED
+    // derived stratum (~70/20/10) - the fixture sources are uniform, so
+    // sampling on them would make every rate exactly 1.0 and the
+    // counts->rates->cutoff chain would never be exercised by the gate
     "q_sample_temperature" -> ((s, dir) =>
-      graft.llm.Splitting.temperatureSample(t(s, dir, "documents"),
-        alpha = 0.5)
-        .select(col("doc_id"), col("source"), col("kept"))),
+      graft.llm.Splitting.temperatureSample(
+        t(s, dir, "documents").withColumn("stratum",
+          when(pmod(col("doc_id"), lit(10)) < 7, "big")
+            .when(pmod(col("doc_id"), lit(10)) < 9, "mid")
+            .otherwise("small")),
+        alpha = 0.5, strataCol = "stratum")
+        .select(col("doc_id"), col("stratum"), col("kept"))),
 
     // token-budget sequence packing: next-fit bin by cumulative offset
     "q_pack_bins" -> ((s, dir) => {
@@ -1728,29 +1734,35 @@ object SparkEntry {
                     ELSE 'c0000000' END AS INT) AS kept
          FROM documents""",
 
-    // temperature resampling recomputed end-to-end: per-source counts,
-    // rate = round((n/n_min)^(alpha-1), 6), 32-bit hex cutoff
+    // temperature resampling recomputed end-to-end over the skewed
+    // derived stratum: counts (null strata excluded from n_min, as in
+    // Spark), rate = round((n/n_min)^(alpha-1), 6), 32-bit hex cutoff
     // (lower(lpad(hex(...)))) matching Splitting.rateCutoffHex, then
     // the same salted-hash survival test. A rate of exactly 1 (the
-    // smallest source) maps to the 'g' sentinel, which sorts above
+    // smallest stratum) maps to the 'g' sentinel, which sorts above
     // every hex bucket - keep-all, as in Spark.
     "q_sample_temperature" ->
-      """WITH c AS (SELECT source, count(*) AS n FROM documents
-           GROUP BY source),
-         r AS (SELECT source,
+      """WITH d AS (SELECT doc_id, text,
+             CASE WHEN doc_id % 10 < 7 THEN 'big'
+                  WHEN doc_id % 10 < 9 THEN 'mid'
+                  ELSE 'small' END AS stratum
+           FROM documents),
+         c AS (SELECT stratum, count(*) AS n FROM d
+           WHERE stratum IS NOT NULL GROUP BY stratum),
+         r AS (SELECT stratum,
              round(pow(CAST(n AS DOUBLE) / (SELECT min(n) FROM c),
                0.5 - 1.0), 6) AS rate
            FROM c),
-         cut AS (SELECT source,
+         cut AS (SELECT stratum,
              CASE WHEN round(rate * 4294967296.0) >= 4294967296.0
                   THEN 'g'
                   ELSE lower(lpad(hex(CAST(round(rate * 4294967296.0)
                     AS BIGINT)), 8, '0')) END AS cutoff
            FROM r)
-         SELECT d.doc_id, d.source,
+         SELECT d.doc_id, d.stratum,
                 CAST(substr(md5('temp-v1' || d.text), 1, 8)
                   < coalesce(cut.cutoff, 'g') AS INT) AS kept
-         FROM documents d LEFT JOIN cut ON cut.source = d.source""",
+         FROM d LEFT JOIN cut ON cut.stratum = d.stratum""",
 
     "q_pack_bins" ->
       """SELECT doc_id, source, n_tokens,

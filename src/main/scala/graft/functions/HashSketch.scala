@@ -248,10 +248,12 @@ case class SimHashText(child: Expression) extends UnaryExpression {
 
 /** Portable md5-bit SimHash signature as a 64-char '0'/'1' string - the
   * fused native path behind [[graft.llm.Dedup.simhashMd5Pairs]]. Tokens
-  * are maximal ASCII `[a-zA-Z0-9_]` runs, lowercased inline - so raw
-  * text works, and pre-lowercased input (Dedup wraps the column in
-  * `lower()` to match the DuckDB oracle's `lower(trim(...))` exactly,
-  * including non-ASCII lowercasing) passes through unchanged. Per token: bit j of the signature draw is bit
+  * are maximal ASCII `[a-zA-Z0-9_]` runs, lowercased inline, so plain
+  * ASCII text works raw. ORACLE PARITY still requires the `lower()`
+  * wrapper Dedup applies: characters whose UNICODE lowercase folds INTO
+  * ASCII (Kelvin sign -> 'k', dotted capital I -> 'i'+combining mark)
+  * tokenize differently raw vs pre-lowercased; pre-lowercased input
+  * passes through unchanged. Per token: bit j of the signature draw is bit
   * (63-j) of the big-endian first 8 md5 bytes - identical to "bit
   * (3 - j%4) of hex digit j/4 of the md5 hex string", which is what the
   * oracle computes from `md5(t)` text. Signature bit = 1 iff strictly

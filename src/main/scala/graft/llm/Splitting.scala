@@ -56,40 +56,9 @@ object Splitting {
     * Adds `sample_bucket` (the hex prefix) and `kept` (1/0); callers
     * filter on `kept`. Strata missing from `rates` fall back to
     * `defaultRate`. Pure map stage over a tiny when-chain - the rate
-    * map is driver-side configuration, not a joined table. */
-  /** Temperature-based mixture resampling: keep rates proportional to
-    * n_s^(alpha-1), normalized so the SMALLEST stratum keeps everything
-    * - the standard multilingual/source re-weighting (q_s proportional
-    * to n_s^alpha realized by downsampling only; alpha=1 keeps the
-    * natural mixture, alpha->0 approaches uniform). Stratum sizes are a
-    * one-aggregation driver-side scalar (|strata| rows - mixture config,
-    * not data); rates are quantized to 6 decimals so the engine-
-    * recomputed oracle agrees (pow differs in the last ulp across
-    * engines; the quantized rate does not, outside a ~1e-10 boundary
-    * measure). Survival itself is the same content-hash cutoff as
-    * [[sampleStratified]] - deterministic, re-runs reproduce the
-    * mixture exactly. */
-  def temperatureSample(df: DataFrame, alpha: Double = 0.5,
-                        strataCol: String = "source",
-                        contentCol: String = "text",
-                        salt: String = "temp-v1"): DataFrame = {
-    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
-    val counts = df.groupBy(col(strataCol))
-      .agg(count(lit(1)).as("n")).collect()
-      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
-    require(counts.nonEmpty, "temperatureSample on an empty table")
-    val nMin = counts.values.min
-    val rates = counts.map { case (s, n) =>
-      val raw = math.pow(n.toDouble / nMin, alpha - 1.0)
-      s -> BigDecimal(raw)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
-    // null strata fall through to defaultRate=1.0 (kept), mirroring the
-    // oracle's LEFT JOIN + coalesce('g')
-    sampleStratified(df, rates, strataCol, contentCol, salt,
-      defaultRate = 1.0)
-  }
-
+    * map is driver-side CONFIGURATION with config-sized cardinality;
+    * data-driven strata go through [[temperatureSample]]'s join path
+    * instead. */
   def sampleStratified(df: DataFrame, rates: Map[String, Double],
                        strataCol: String = "source",
                        contentCol: String = "text",
@@ -103,5 +72,50 @@ object Splitting {
     }
     df.withColumn("sample_bucket", bucket)
       .withColumn("kept", (bucket < cutoff).cast("int"))
+  }
+
+  /** Temperature-based mixture resampling: keep rates proportional to
+    * n_s^(alpha-1), normalized so the SMALLEST non-null stratum keeps
+    * everything - the standard multilingual/source re-weighting (q_s
+    * proportional to n_s^alpha realized by downsampling only; alpha=1
+    * keeps the natural mixture, alpha->0 approaches uniform). Rates are
+    * quantized to 6 decimals so the engine-recomputed oracle agrees
+    * (pow differs in the last ulp across engines; the quantized rate
+    * does not, outside a ~1e-10 boundary measure). Survival is the same
+    * salted content-hash cutoff as [[sampleStratified]].
+    *
+    * Null strata neither receive a rate nor participate in n_min; their
+    * rows are kept (rate 1), mirroring the oracle's LEFT JOIN +
+    * coalesce('g'). Unlike sampleStratified's config-sized when-chain,
+    * the per-stratum cutoffs attach via a BROADCAST JOIN of the
+    * (stratum, cutoff) frame - strata here are data-driven and may
+    * number in the thousands (per-language mixtures), and a
+    * thousands-deep CASE chain blows up Catalyst analysis. */
+  def temperatureSample(df: DataFrame, alpha: Double = 0.5,
+                        strataCol: String = "source",
+                        contentCol: String = "text",
+                        salt: String = "temp-v1"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n")).collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
+    val cutoffs = if (counts.isEmpty) Seq.empty[(String, String)] else {
+      val nMin = counts.values.min
+      counts.toSeq.map { case (s, n) =>
+        val raw = math.pow(n.toDouble / nMin, alpha - 1.0)
+        s -> rateCutoffHex(BigDecimal(raw)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cutDf = broadcast(cutoffs.toDF("__stratum", "__cutoff"))
+    val bucket = substring(
+      md5(concat(lit(salt), col(contentCol)).cast("binary")), 1, 8)
+    df.join(cutDf, col(strataCol) === col("__stratum"), "left")
+      .withColumn("sample_bucket", bucket)
+      .withColumn("kept",
+        (bucket < coalesce(col("__cutoff"), lit("g"))).cast("int"))
+      .drop("__stratum", "__cutoff")
   }
 }

@@ -771,6 +771,18 @@ class LlmSpec extends SparkSpec {
     // alpha=1 is the natural mixture: everything keeps
     val nat = graft.llm.Splitting.temperatureSample(d, alpha = 1.0)
     assert(nat.filter($"kept" === 1).count() == 50L)
+    // null strata: excluded from n_min, rows kept at rate 1 - and an
+    // all-null strata frame keeps everything instead of crashing
+    val withNull = rows.map { case (i, s, t) =>
+      (i, if (s == "small") null else s, t) }
+      .toDF("doc_id", "source", "text")
+    val nl = graft.llm.Splitting.temperatureSample(withNull, alpha = 0.5)
+    assert(nl.filter($"source".isNull && $"kept" === 1).count() == 10L)
+    assert(nl.filter($"source" === "big" && $"kept" === 1).count() == 40L)
+    val allNull = rows.map { case (i, _, t) => (i, null: String, t) }
+      .toDF("doc_id", "source", "text")
+    assert(graft.llm.Splitting.temperatureSample(allNull)
+      .filter($"kept" === 1).count() == 50L)
   }
 
   test("PQ assignment: picks the true nearest codeword per subspace") {
