@@ -2788,7 +2788,8 @@ object SparkEntry {
       val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
       s"""WITH a AS (SELECT ivf_cell,
                 CAST(embedding AS DOUBLE[]) AS emb
-              FROM ${ivfCellFromSql(centroids)}),
+              FROM ${ivfCellFromSql(centroids)}
+              WHERE embedding IS NOT NULL),
           s AS (SELECT ivf_cell, CAST(j AS INT) AS pos,
                 count(*) AS n,
                 CAST(sum(CAST(floor(emb[CAST(j AS INT) + 1] * 1000.0)

@@ -296,11 +296,20 @@ object Ann {
     * averages raw doubles; a cross-engine double sum is accumulation-
     * order noise, so THAT stays unit-pinned against planted clusters).
     * Same plan shape as the real update: one hash aggregation with
-    * map-side combine, k*dim result rows. */
+    * map-side combine, k*dim result rows.
+    *
+    * Null embeddings are filtered (a null vector has no coordinates to
+    * contribute; leaving the row in would let its ivf_cell assignment
+    * count toward nothing on this side while a naive per-dimension
+    * oracle still counts it in `n`). Vectors shorter than the nominal
+    * dimension remain a precondition: coordinates are produced only for
+    * positions present in the array, so ragged inputs diverge from any
+    * fixed-width recomputation - inputs must be fixed-width, like the
+    * other ANN oracles. */
   def kmeansStep(embeddings: DataFrame, centroids: Seq[Seq[Double]],
                  scale: Double = 1000.0,
                  vecCol: String = "embedding"): DataFrame =
-    ivfAssign(embeddings, centroids, vecCol)
+    ivfAssign(embeddings.filter(col(vecCol).isNotNull), centroids, vecCol)
       .select(col("ivf_cell"), posexplode(col(vecCol).cast("array<double>")))
       .groupBy(col("ivf_cell"), col("pos"))
       .agg(count(lit(1)).as("n"),

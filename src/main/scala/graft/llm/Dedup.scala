@@ -77,7 +77,11 @@ object Dedup {
     *     (boilerplate/common shingles); it contributes O(n^2) candidate
     *     pairs and near-zero precision, and every pair of truly similar
     *     docs still collides in their other bands. This bounds worst-case
-    *     cost at buckets*cap^2 regardless of data skew.
+    *     cost at buckets*cap^2 regardless of data skew. The default cap
+    *     (1000) is shared by every pair generator in this object
+    *     ([[simhashPairs]], [[simhashMd5Pairs]], [[minhashMd5Pairs]]) so
+    *     switching between the fast xxhash64 path and its portable md5
+    *     twin never changes recall through the cap.
     *
     * @param bands  number of LSH bands (k must be divisible by bands)
     * @param threshold  estimated-Jaccard cutoff for reporting a pair
@@ -85,7 +89,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", k: Int = 64, bands: Int = 16,
                       shingleN: Int = 3, threshold: Double = 0.7,
-                      maxBucketSize: Int = 100): DataFrame = {
+                      maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
 

@@ -59,9 +59,13 @@ object Export {
         .head.getLong(0).toInt
       val joinCond = partitionCols
         .map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
-      val salted = df.join(broadcast(buckets), joinCond)
+      // LEFT join + coalesce(1): if a partition column is nondeterministic
+      // (rand/uuid/time-derived) a value seen only by the write pass has
+      // no bucket row; an inner join would silently drop those rows.
+      val salted = df.join(broadcast(buckets), joinCond, "left")
         .drop(partitionCols.map(c => s"__k_$c"): _*)
-        .withColumn("__salt", pmod(hash(col(sortCol)), col("__buckets")))
+        .withColumn("__salt",
+          pmod(hash(col(sortCol)), coalesce(col("__buckets"), lit(1))))
       salted
         .repartition(math.max(1, 2 * totalBuckets),
           partitionCols.map(col) :+ col("__salt"): _*)

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting by content hash.
@@ -90,29 +91,39 @@ object Splitting {
     * the per-stratum cutoffs attach via a BROADCAST JOIN of the
     * (stratum, cutoff) frame - strata here are data-driven and may
     * number in the thousands (per-language mixtures), and a
-    * thousands-deep CASE chain blows up Catalyst analysis. */
+    * thousands-deep CASE chain blows up Catalyst analysis.
+    *
+    * Fully in-plan (one job): n_min is a `min(n) OVER ()` window over
+    * the per-stratum count frame - |strata| rows through one window
+    * partition, the same boundedness the old driver collect had, minus
+    * the extra job and the driver round-trip. The cutoff arithmetic
+    * (6-decimal rate quantization, 32-bit rounding, the "g" overflow
+    * sentinel for rates at 1.0 - see [[rateCutoffHex]]) runs as Catalyst
+    * expressions that mirror the DuckDB oracle text operation-for-
+    * operation. Works for any stratum column type (the join key is the
+    * column itself, never a driver-side string). */
   def temperatureSample(df: DataFrame, alpha: Double = 0.5,
                         strataCol: String = "source",
                         contentCol: String = "text",
                         salt: String = "temp-v1"): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
-    val counts = df.groupBy(col(strataCol))
-      .agg(count(lit(1)).as("n")).collect()
-      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
-    val cutoffs = if (counts.isEmpty) Seq.empty[(String, String)] else {
-      val nMin = counts.values.min
-      counts.toSeq.map { case (s, n) =>
-        val raw = math.pow(n.toDouble / nMin, alpha - 1.0)
-        s -> rateCutoffHex(BigDecimal(raw)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val cutDf = broadcast(cutoffs.toDF("__stratum", "__cutoff"))
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val rate = round(
+      pow(col("__n").cast("double") / col("__nmin").cast("double"),
+        alpha - 1.0), 6)
+    val rounded = round(rate * 4294967296.0)
+    val cutDf = counts
+      .withColumn("__nmin",
+        min(col("__n")).over(Window.partitionBy()))
+      .withColumn("__cutoff",
+        when(rounded >= 4294967296.0, lit("g"))
+          .otherwise(lower(lpad(hex(rounded.cast("long")), 8, "0"))))
+      .select(col("__stratum"), col("__cutoff"))
     val bucket = substring(
       md5(concat(lit(salt), col(contentCol)).cast("binary")), 1, 8)
-    df.join(cutDf, col(strataCol) === col("__stratum"), "left")
+    df.join(broadcast(cutDf), col(strataCol) === col("__stratum"), "left")
       .withColumn("sample_bucket", bucket)
       .withColumn("kept",
         (bucket < coalesce(col("__cutoff"), lit("g"))).cast("int"))

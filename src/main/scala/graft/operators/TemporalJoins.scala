@@ -57,13 +57,37 @@ object TemporalJoins {
       case org.apache.spark.sql.types.TimestampType => unix_seconds(c)
       case _ => c.cast("long")
     }
+    // The event-time columns get the same treatment as the tiebreak: a
+    // raw cast("long") on a DATE nulls under legacy mode (the row then
+    // vanishes via the null-ts filter) or throws under ANSI. Both sides
+    // must convert on the SAME scale (days vs seconds), so mixing a DATE
+    // ts with a TIMESTAMP ts is rejected rather than silently compared
+    // across units.
+    def tsFamily(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case org.apache.spark.sql.types.DateType => "date"
+      case org.apache.spark.sql.types.TimestampType => "timestamp"
+      case _: org.apache.spark.sql.types.NumericType => "numeric"
+      case other => throw new IllegalArgumentException(
+        s"asofJoin ts columns must be numeric/date/timestamp, got $other")
+    }
+    val (lTsType, rTsType) =
+      (left.schema(leftTs).dataType, right.schema(rightTs).dataType)
+    require(tsFamily(lTsType) == tsFamily(rTsType),
+      s"asofJoin ts columns must share a time scale: '$leftTs' is $lTsType " +
+        s"but '$rightTs' is $rTsType")
+    def tsAsLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.DateType => unix_date(c).cast("long")
+        case org.apache.spark.sql.types.TimestampType => unix_seconds(c)
+        case _ => c.cast("long")
+      }
     val leftStruct = struct(left.columns.map(col): _*)
     val payloadStruct = struct(
       (payloadCols ++ Seq(tiebreak).filterNot(payloadCols.contains)).map(col): _*)
 
     val l = left.select(
       keys.map(col) ++ Seq(
-        col(leftTs).cast("long").as("__ts"),
+        tsAsLong(col(leftTs), lTsType).as("__ts"),
         // at equal ts: inclusive puts right rows (tag 0) before left
         // rows in the sort so the running last() sees them; strict
         // orders left first so equal-ts right rows are invisible
@@ -85,7 +109,7 @@ object TemporalJoins {
         .reduce(_ && _))
       .select(
         keys.map(col) ++ Seq(
-          col(rightTs).cast("long").as("__ts"),
+          tsAsLong(col(rightTs), rTsType).as("__ts"),
           lit(if (inclusive) 0 else 1).as("__tag"),
           tieAsLong(col(tiebreak)).as("__tie"),
           lit(null).cast(left.select(leftStruct).schema.head.dataType).as("__l"),

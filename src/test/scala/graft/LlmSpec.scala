@@ -125,6 +125,40 @@ class LlmSpec extends SparkSpec {
       s"missed high-Jaccard pairs: ${(high -- pairs).take(5)}")
   }
 
+  test("xxhash64 and md5 minhash paths agree at equal bucket caps") {
+    // All pair generators share one maxBucketSize default (1000), so a
+    // user switching the fast xxhash64 path for its portable md5 twin
+    // must see the same recall through the cap. Equalize the verify
+    // stages (the md5 path verifies with exact Jaccard; do the same to
+    // the xxhash64 candidates) and the surviving pair sets must match -
+    // both with the cap slack (1000) and with the cap binding (cap=1
+    // drops every bucket on both paths: identical docs occupy every
+    // band/bucket together, and a 4-doc bucket exceeds 1).
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = Seq(
+      (1L, base), (2L, base + " extra"),
+      (3L, "completely different words entirely unrelated content here none"),
+      (4L, base)
+    ).toDF("doc_id", "text")
+    def exactVerified(cands: org.apache.spark.sql.DataFrame) = {
+      val sh = d.select($"doc_id".as("id"), Dedup.shingles($"text").as("sh"))
+      cands.select("id_a", "id_b")
+        .join(sh.select($"id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+        .join(sh.select($"id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+        .filter(Dedup.jaccard($"sh_a", $"sh_b") >= 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    for (cap <- Seq(1000, 1)) {
+      val fast = exactVerified(Dedup.minhashLshPairs(
+        d, threshold = 0.3, maxBucketSize = cap))
+      val portable = Dedup.minhashMd5Pairs(d, maxBucketSize = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(fast == portable, s"cap=$cap: $fast vs $portable")
+      if (cap == 1) assert(fast.isEmpty)
+      else assert(fast == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    }
+  }
+
   test("ngram Jaccard two-stage: exact precision, high-band recall") {
     val d = mutationDocs
     val sh = d.select($"doc_id", Dedup.shingles($"text").as("sh"))
