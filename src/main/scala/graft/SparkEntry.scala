@@ -57,6 +57,19 @@ object SparkEntry {
         st.genes, st.rgdIds, runTs, cutoff)
     }
 
+  /** md5-permutation minhash pairs over `documents`, computed once per
+    * (session, sf dir) and shared by q_d_minhash_md5 and q_d_dedup_e2e
+    * (pipeline.Memo - the same one-computation-N-projections topology
+    * as the flagship). localCheckpoint materializes the pair list so
+    * the e2e query's component rounds iterate over an already-computed
+    * frame instead of replaying the signature build. q_d_simhash_md5
+    * stays standalone: its signature family (per-token md5 bit votes)
+    * shares no subtree with the shingle-permutation signatures here. */
+  private def minhashMd5PairsShared(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Memo.once(s, s"minhash_md5_pairs:$dir") {
+      Dedup.minhashMd5Pairs(t(s, dir, "documents")).localCheckpoint()
+    }
+
   // decimal-exact sum: cast before and after so Spark and DuckDB agree
   // on both value and arrow type (decimal(18,2))
   private def dsum(c: Column): Column =
@@ -1013,8 +1026,7 @@ object SparkEntry {
 
     // portable md5-permutation MinHash-LSH with exact-Jaccard verify -
     // the DuckDB-checkable twin of the xxhash64 fast path
-    "q_d_minhash_md5" -> ((s, dir) =>
-      Dedup.minhashMd5Pairs(t(s, dir, "documents"))),
+    "q_d_minhash_md5" -> ((s, dir) => minhashMd5PairsShared(s, dir)),
 
     // portable md5-bit SimHash with chunk blocking + hamming verify -
     // the DuckDB-checkable twin of the xxhash64 SimHash fast path
@@ -1025,7 +1037,7 @@ object SparkEntry {
     // pairs -> connected components -> keep min-id per cluster
     "q_d_dedup_e2e" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Dedup.nearDupSurvivors(docs, Dedup.minhashMd5Pairs(docs))
+      Dedup.nearDupSurvivors(docs, minhashMd5PairsShared(s, dir))
         .select(col("doc_id"), col("source"))
     }),
 

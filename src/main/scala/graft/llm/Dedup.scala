@@ -411,8 +411,12 @@ object Dedup {
                       maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
+    // persisted: three consumers (signature build + both verify joins)
+    // would each re-run the scan and shingle pass otherwise. Lifecycle
+    // is the caller's, as in [[removeBoilerplateChunks]].
     val withSh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
+      .persist()
     val sig = transform(sequence(lit(1), lit(k)), i =>
       array_min(transform(col("sh"), sh =>
         substring(md5(concat(i.cast("string"), lit("|"), sh).cast("binary")),
