@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.model.Species
 import graft.operators.{Maintenance, Reports}
 import graft.pipeline.{AgrPipeline, Fixtures, OrthologPipeline}
+import graft.sources.Readers
 
 /** Flow-level CLI mirroring the reference's loading-manager entry point
   * (OrthologRelationLoadingManager.main, :49-118):
@@ -18,6 +19,14 @@ import graft.pipeline.{AgrPipeline, Fixtures, OrthologPipeline}
   * Extra (engine-side) flags: `--sfDir <dir>` source/state dir (default
   * /root/testdata/sf0.001), `--out <dir>` output state dir (default
   * /tmp/graft_cli_out), `--maxAgeDays <n>` freshness gate.
+  *
+  * Source-file flags (the reference's download targets, read via the
+  * real TSV readers instead of the TPC-H-derived fixture frames):
+  * `--hcop <tsv>` + `--ncbi <tsv>` feed the species flow through
+  * Readers.readHcopPlusNcbi (S2/F1/F2/X1/X2), `--alliance <tsv>` feeds
+  * the AGR flow through Readers.readAlliance (S3/F3/X3/X4/X7), and
+  * `--sanityFloor <n>` parameterizes the D4 volume gate (reference
+  * default 5000; FIXTURES.md requires it tunable for small fixtures).
   *
   * Dispatch order matches the reference: --agrOrthologs short-circuits;
   * --species all loops the searchable non-human species behind the D5
@@ -51,6 +60,10 @@ object Cli {
     var sfDir = "/root/testdata/sf0.001"
     var out = "/tmp/graft_cli_out"
     var maxAgeDays = 20000 // test-data orders dates are from 1998
+    var hcopPath: Option[String] = None
+    var ncbiPath: Option[String] = None
+    var alliancePath: Option[String] = None
+    var sanityFloor = 5000L // D4 default, OrthologRelationParser.java:47-49
 
     var i = 0
     def value(flag: String): Option[String] = {
@@ -66,9 +79,18 @@ object Cli {
         case "--sfDir" => value("--sfDir") match { case Some(v) => sfDir = v; case None => return -1 }
         case "--out" => value("--out") match { case Some(v) => out = v; case None => return -1 }
         case "--maxAgeDays" => value("--maxAgeDays") match { case Some(v) => maxAgeDays = v.toInt; case None => return -1 }
+        case "--hcop" => hcopPath = value("--hcop"); if (hcopPath.isEmpty) return -1
+        case "--ncbi" => ncbiPath = value("--ncbi"); if (ncbiPath.isEmpty) return -1
+        case "--alliance" => alliancePath = value("--alliance"); if (alliancePath.isEmpty) return -1
+        case "--sanityFloor" => value("--sanityFloor") match { case Some(v) => sanityFloor = v.toLong; case None => return -1 }
         case other => System.err.println(s"ERROR: unknown argument: $other"); return -1
       }
       i += 1
+    }
+
+    if (hcopPath.isDefined != ncbiPath.isDefined) {
+      System.err.println("ERROR: --hcop and --ncbi must be given together")
+      return -1
     }
 
     val runTs = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")
@@ -80,7 +102,11 @@ object Cli {
       // (AgrTsvLoader.java:51) - derived, not a second hardcoded clock
       val cutoff = java.sql.Timestamp.from(
         runTs.toInstant.minus(java.time.Duration.ofHours(1)))
-      val r = AgrPipeline.run(Fixtures.allianceLines(spark, sfDir),
+      val lines = alliancePath match {
+        case Some(p) => Readers.readAlliance(spark, p)
+        case None    => Fixtures.allianceLines(spark, sfDir)
+      }
+      val r = AgrPipeline.run(lines,
         st.agrOrthologs, st.xrefs, st.genes, st.rgdIds, runTs, cutoff)
       write(r.agrOrthologs, s"$out/agr_orthologs")
       println(s"AGR_ORTHOLOGS=${r.agrOrthologs.count()}")
@@ -90,9 +116,18 @@ object Cli {
     val runForAll = speciesArg.exists(_.equalsIgnoreCase("all"))
     val speciesTypeKey = speciesArg.map(Species.parse).getOrElse(Species.ALL)
 
+    // S2/F1/F2/D4: per-species relation source - real TSV files when
+    // given, otherwise the TPC-H-derived fixture frames
+    def relationsFor(sp: Int): DataFrame = (hcopPath, ncbiPath) match {
+      case (Some(h), Some(n)) => Readers.requireSanityFloor(
+        Readers.readHcopPlusNcbi(spark, h, n, sp), sanityFloor)
+      case _ => Fixtures.relations(spark, sfDir)
+    }
+
     if (runForAll) {
       Reports.checkAllianceFreshness(st.agrOrthologs, now, maxAgeDays)
-      searchableNonHuman.foreach(sp => runSpecies(spark, sfDir, out, st, sp, runTs))
+      searchableNonHuman.foreach(sp =>
+        runSpecies(spark, out, st, sp, runTs, relationsFor(sp)))
       return 0
     }
 
@@ -112,7 +147,7 @@ object Cli {
       println(s"FIXED_ORTHOLOGS=${updOrtho.count()} FIXED_ASSOCS=${updAssoc.count()}")
     } else {
       Reports.checkAllianceFreshness(st.agrOrthologs, now, maxAgeDays)
-      runSpecies(spark, sfDir, out, st, speciesTypeKey, runTs)
+      runSpecies(spark, out, st, speciesTypeKey, runTs, relationsFor(speciesTypeKey))
     }
     0
   }
@@ -124,12 +159,11 @@ object Cli {
   private[graft] def searchableNonHuman: Seq[Int] =
     Species.dim.map(_._1).filter(_ != Species.HUMAN)
 
-  private def runSpecies(spark: SparkSession, sfDir: String, out: String,
+  private def runSpecies(spark: SparkSession, out: String,
                          st: OrthologPipeline.State, speciesTypeKey: Int,
-                         runTs: java.sql.Timestamp): Unit = {
+                         runTs: java.sql.Timestamp, rel: DataFrame): Unit = {
     val name = Species.dim.find(_._1 == speciesTypeKey).map(_._2)
       .getOrElse(speciesTypeKey.toString)
-    val rel = Fixtures.relations(spark, sfDir)
     val r = OrthologPipeline.runSpecies(rel, st, speciesTypeKey, runTs)
     write(r.orthologs, s"$out/$name/orthologs")
     write(r.associations, s"$out/$name/associations")

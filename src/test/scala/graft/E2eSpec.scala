@@ -1,0 +1,50 @@
+package graft
+
+/** CLI golden end-to-end: both file-input flows (`--species rat
+  * --hcop/--ncbi`, `--agrOrthologs --alliance`) run over the checked-in
+  * FIXTURES.md-shaped TSVs through the REAL readers (S2/S3/F1-F3/X1-X4/
+  * X7), the full pipeline, and the parquet sinks; every output state
+  * table must equal the checked-in golden dump byte for byte.
+  *
+  * This folds the previously unit-only rows (F12 dispatch, X9 threaded
+  * clock, S3/X7 comment+header skip, D4 floor) into one executable
+  * comparison vs OrthologRelationLoadingManager.java:120-155 semantics.
+  * Regenerate goldens with `sbt "Test/runMain graft.E2eGoldenGen"` and
+  * review the diff.
+  */
+class E2eSpec extends SparkSpec {
+
+  private lazy val outDirs: Map[String, String] = {
+    val out = java.nio.file.Files.createTempDirectory("e2e_spec").toString
+    E2eGolden.runFlows(spark, out)
+  }
+
+  for (name <- Seq("rat_orthologs", "rat_associations", "agr_orthologs")) {
+    test(s"golden e2e: $name matches the checked-in dump") {
+      val got = E2eGolden.canon(spark.read.parquet(outDirs(name)))
+      val want = E2eGolden.readGolden(name)
+      // schema line first: a type drift fails with a readable message
+      assert(got.head == want.head, "schema line diverged")
+      assert(got.size == want.size,
+        s"row count ${got.size - 1} != golden ${want.size - 1}")
+      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(g == w, s"line $i diverged:\n  got  $g\n  want $w")
+      }
+    }
+  }
+
+  test("D4: the default 5000-row sanity floor rejects the tiny fixture") {
+    val out = java.nio.file.Files.createTempDirectory("e2e_floor").toString
+    intercept[IllegalArgumentException] {
+      graft.tools.Cli.run(Array(
+        "--species", "rat", "--sfDir", "/root/testdata/sf0.001", "--out", out,
+        "--hcop", s"${E2eGolden.fixtureDir}/hcop.tsv",
+        "--ncbi", s"${E2eGolden.fixtureDir}/ncbi_gene_orthologs.tsv"), spark)
+    }
+  }
+
+  test("--hcop without --ncbi is a usage error") {
+    assert(graft.tools.Cli.run(Array(
+      "--species", "rat", "--hcop", "x.tsv"), spark) == -1)
+  }
+}
