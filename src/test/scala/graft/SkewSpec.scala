@@ -2,10 +2,13 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.Skew
+import graft.llm.Dedup
 
-/** Salted-join semantics: identical rows to the plain join, and the
-  * physical join key carries the salt (so one hot key spreads over
-  * `salts` reducers). */
+/** Adversarial skew: every guard that must keep per-task work bounded
+  * when one key/bucket/partition-value holds half the data (the 100x
+  * failure mode a small-SF bench cannot see). Timing is not assertable
+  * deterministically, so each test asserts the deterministic proxy:
+  * rows per bucket / file / shuffle partition stay bounded. */
 class SkewSpec extends SparkSpec {
   import spark.implicits._
 
@@ -24,5 +27,84 @@ class SkewSpec extends SparkSpec {
     // the join condition includes the salt column
     val plan = salted.queryExecution.executedPlan.toString
     assert(plan.contains("__salt"), plan)
+  }
+
+  test("salted join spreads a 90%-hot key across shuffle partitions") {
+    val big = (1 to 10000).map(i => (if (i <= 9000) 1 else i % 50, i))
+      .toDF("k", "payload")
+    val dim = (0 to 50).map(i => (i, s"name$i")).toDF("k", "name")
+
+    def maxPartRows(df: org.apache.spark.sql.DataFrame): Long = {
+      val counts = df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect()
+      if (counts.isEmpty) 0L else counts.max
+    }
+    // plain join: the hot key's 9000 rows land in ONE reducer
+    val plain = big.repartition(4, col("k")).join(dim, Seq("k"))
+    // salted join: (k, salt) spreads them over the salt space
+    val salted = Skew.saltedJoin(big, dim, Seq("k"), salts = 8)
+    val total = 10000L
+    assert(maxPartRows(plain) >= (total * 0.9).toLong)
+    assert(maxPartRows(salted) <= (total * 0.6).toLong,
+      "hot key not spread by salting")
+  }
+
+  test("minhash LSH: a 50%-hot band bucket is capped, no quadratic pairs") {
+    // 400 docs: 200 copies of IDENTICAL text (every band bucket hot),
+    // plus 100 near-dup pairs that must still be found
+    val hot = (1 to 200).map(i => (s"h$i", "the same hot text repeated everywhere"))
+    val pairs = (1 to 100).flatMap(i => Seq(
+      (s"a$i", s"unique document number $i with shared shingle content tail"),
+      (s"b$i", s"unique document number $i with shared shingle content tail x")))
+    val d = (hot ++ pairs).toDF("doc_id", "text")
+
+    val found = Dedup.minhashLshPairs(d, maxBucketSize = 100)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    // guard: zero pairs from the hot clique (cap 100 < 200 members) -
+    // without the cap it would emit C(200,2)=19900 pairs per band
+    assert(!found.exists { case (a, b) => a.startsWith("h") && b.startsWith("h") },
+      "hot-clique pairs leaked past the bucket cap")
+    // the planted near-dups elsewhere still surface
+    val planted = found.count { case (a, b) =>
+      a.stripPrefix("a") == b.stripPrefix("b") }
+    assert(planted >= 90, s"only $planted/100 planted near-dups found")
+    assert(found.size <= 300, s"pair blowup: ${found.size}")
+  }
+
+  test("simhash: a hot chunk value is capped, normal near-dups survive") {
+    val hot = (1 to 200).map(i => (s"h$i", "identical simhash payload"))
+    // planted dups: identical per-pair text (hamming 0), unique per i -
+    // their buckets have size 2 and must survive the cap
+    val pairs = (1 to 50).flatMap(i => Seq(
+      (s"a$i", s"simhash probe text $i alpha beta gamma delta"),
+      (s"b$i", s"simhash probe text $i alpha beta gamma delta")))
+    val d = (hot ++ pairs).toDF("doc_id", "text")
+    val found = Dedup.simhashPairs(d, maxBucketSize = 100)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(!found.exists { case (a, b) => a.startsWith("h") && b.startsWith("h") },
+      "hot-clique pairs leaked past the chunk-bucket cap")
+    val planted = found.count { case (a, b) =>
+      a.stripPrefix("a") == b.stripPrefix("b") }
+    assert(planted >= 40, s"only $planted/50 planted near-dups found")
+  }
+
+  test("export: a 90%-hot partition value is bounded per file AND parallel") {
+    val rows = (1 to 1000).map(i =>
+      (i.toLong, if (i <= 900) "hot" else s"cold${i % 5}", s"doc$i"))
+      .toDF("doc_id", "source", "text")
+    val out = java.nio.file.Files.createTempDirectory("skew_export").toString
+    graft.llm.Export.writePartitioned(rows, out,
+      partitionCols = Seq("source"), targetRowsPerFile = 100L)
+
+    val hotFiles = new java.io.File(s"$out/source=hot")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    // ceil(900/100)=9 buckets: parallel writers, not one 900-row task
+    assert(hotFiles.length >= 5 && hotFiles.length <= 9,
+      s"hot value wrote ${hotFiles.length} files, want 5..9")
+    // and no single file (= one writer task's share) is unbounded
+    val perFile = hotFiles.map(f =>
+      spark.read.parquet(f.getPath).count())
+    assert(perFile.max <= 300,
+      s"one writer task got ${perFile.max} of 900 hot rows")
+    assert(perFile.sum == 900L)
   }
 }
