@@ -96,13 +96,15 @@ object SparkEntry {
       s"(CASE WHEN ${dotSql(p)} > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
   /** Subquery computing per-row IVF cell (first-max tie-break) plus the
-    * passed-through embedding, for the given centroids. */
+    * passed-through embedding and the winning unit-centroid dot `m`
+    * (q_ann_prune divides it by the row norm for cosine-to-own-centroid;
+    * the other consumers ignore it), for the given centroids. */
   private def ivfCellFromSql(centroids: Seq[Seq[Double]]): String = {
     val sims = Ann.unitCentroids(centroids).map(dotSql)
     val simCols = sims.zipWithIndex.map { case (s, i) => s"$s AS s$i" }.mkString(", ")
     val m = sims.indices.map(i => s"s$i").mkString("greatest(", ", ", ")")
     val cases = sims.indices.map(i => s"WHEN s$i = m THEN $i").mkString(" ")
-    s"""(SELECT vec_id, embedding, CAST(CASE $cases END AS INT) AS ivf_cell
+    s"""(SELECT vec_id, embedding, m, CAST(CASE $cases END AS INT) AS ivf_cell
         FROM (SELECT *, $m AS m
               FROM (SELECT vec_id, embedding, $simCols FROM embeddings)))"""
   }
@@ -1010,6 +1012,16 @@ object SparkEntry {
           col("pack_bin"))
     }),
 
+    // concat-and-chunk packing: one (doc, chunk) span row per fixed
+    // 256-token training sequence the doc touches; docs straddle cuts
+    "q_pack_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.wordCount(col("text")))
+      graft.llm.Packing.assignChunks(docs, seqLen = 256)
+        .select(col("doc_id"), col("source"), col("chunk_id"),
+          col("begin_off"), col("end_off"))
+    }),
+
     // random-projection reduction + scalar quantization, flattened to
     // (vec_id, dim_idx, grid cell) rows; DuckDB recomputes from the
     // same literal planes
@@ -1255,6 +1267,18 @@ object SparkEntry {
       Ann.pqAssign(t(s, dir, "embeddings"), pqCodebooks)
         .select(col("vec_id") +:
           pqCodebooks.indices.map(j => col(s"pq_code_$j")): _*)),
+
+    // SemDeDup semantic dedup: IVF-celled greedy keep-lowest-id over
+    // within-cell cosine near-dup pairs (non-transitive by design)
+    "q_d_semdedup" -> ((s, dir) =>
+      Ann.semanticDedup(t(s, dir, "embeddings"),
+        Ann.hyperplanes(64, 8, seed = 11L), threshold = 0.4)),
+
+    // prototypicality pruning: drop the floor(n*0.25) most-central rows
+    // of each IVF cell under the (cosine-to-centroid desc, id asc) order
+    "q_ann_prune" -> ((s, dir) =>
+      Ann.prototypicalityPrune(t(s, dir, "embeddings"),
+        Ann.hyperplanes(64, 8, seed = 11L), fraction = 0.25)),
 
     // Structured Streaming surfaced in the registry: file-source stream
     // over the events table (explicit schema - the parquet ts column is
@@ -1787,6 +1811,30 @@ object SparkEntry {
                    CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
                      AS n_tokens
                  FROM documents))""",
+
+    // concat-and-chunk recomputed from the same per-stratum running
+    // token offset: a doc spans chunks floor(start/256)..floor((end-1)/
+    // 256) and contributes the in-chunk range [begin_off, end_off);
+    // integer-only, zero-token docs emit nothing on both sides
+    "q_pack_chunks" ->
+      """WITH o AS (
+           SELECT doc_id, source, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start
+           FROM (SELECT doc_id, source,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+                     AS n_tokens
+                 FROM documents)),
+         s AS (SELECT doc_id, source, tok_start,
+                      tok_start + n_tokens AS tok_end
+               FROM o WHERE n_tokens > 0)
+         SELECT doc_id, source, CAST(ch AS BIGINT) AS chunk_id,
+                CAST(greatest(tok_start - ch * 256, 0) AS BIGINT)
+                  AS begin_off,
+                CAST(least(tok_end - ch * 256, 256) AS BIGINT) AS end_off
+         FROM s, UNNEST(generate_series(
+           CAST(floor(tok_start / 256.0) AS BIGINT),
+           CAST(floor((tok_end - 1) / 256.0) AS BIGINT))) AS t(ch)""",
 
     "q_emb_project" -> {
       val planes = Ann.hyperplanes(64, 8, seed = 19L)
@@ -2819,6 +2867,45 @@ object SparkEntry {
     // summation differences, as documented for the ANN oracles
     "q_ann_pq_assign" ->
       s"SELECT * FROM ${pqCodesSql(pqCodebooks)}",
+
+    // SemDeDup recomputed: same cell assignment, a row is dropped iff a
+    // lower-id same-cell row is cosine-similar >= 0.4 (NOT EXISTS as a
+    // left join on the distinct dup set) - no recursion by design
+    "q_d_semdedup" -> {
+      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+      s"""WITH c AS (SELECT vec_id, embedding, ivf_cell
+                     FROM ${ivfCellFromSql(centroids)}),
+          d AS (SELECT DISTINCT a.vec_id AS vid
+                FROM c a JOIN c b
+                  ON a.ivf_cell = b.ivf_cell AND b.vec_id < a.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) >= 0.4)
+          SELECT c.vec_id, c.ivf_cell, CAST(d.vid IS NULL AS INT) AS kept
+          FROM c LEFT JOIN d ON d.vid = c.vec_id"""
+    },
+
+    // prototypicality pruning recomputed: cosine to the own-cell
+    // centroid is m (the winning unit-centroid dot) over the row norm;
+    // rank under the identical (sim desc, id asc) total order, drop
+    // floor(n * 0.25) per cell
+    "q_ann_prune" -> {
+      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+      s"""WITH c AS (SELECT vec_id, ivf_cell,
+                CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[])) = 0 THEN 0.0
+                     ELSE m / sqrt(list_dot_product(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[]))) END AS sim
+              FROM ${ivfCellFromSql(centroids)}),
+          r AS (SELECT vec_id, ivf_cell,
+                row_number() OVER (PARTITION BY ivf_cell
+                  ORDER BY sim DESC, vec_id ASC) AS rn,
+                count(*) OVER (PARTITION BY ivf_cell) AS n
+              FROM c)
+          SELECT vec_id, ivf_cell,
+                 CAST(rn > floor(n * 0.25) AS INT) AS kept
+          FROM r"""
+    },
 
     "q_ann_ivf_topk" -> {
       val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)

@@ -383,4 +383,92 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. '23,
+    * arXiv:2303.09540): coarse-cluster the embeddings ([[ivfAssign]]
+    * over a literal centroid list), then within each cell greedily keep
+    * the lowest-id member of every near-duplicate neighborhood - a
+    * vector is dropped iff SOME lower-id vector in its cell is
+    * cosine-similar above `threshold`. That keep rule is deliberately
+    * non-transitive: a chain A~B~C with cos(A,C) < threshold keeps both
+    * A and C (the paper's per-pair semantics), which is what makes the
+    * result a single anti-join rather than an iterative
+    * connected-components pass - see [[graft.llm.Dedup.nearDupSurvivors]]
+    * for the transitive-cluster variant over text.
+    *
+    * Scale shape: pairwise work happens only inside a cell (the paper's
+    * point - clustering turns the O(N^2) pairwise pass into
+    * O(sum n_c^2)), as one equi-join on the cell id; cell size is
+    * governed by k, the paper's own scaling lever (k grows with the
+    * corpus). For hard per-bucket caps under adversarial skew layer the
+    * [[cosineNearDupPairs]] sub-split guards over the same join shape.
+    *
+    * Null embeddings are kept unconditionally (nothing to compare);
+    * zero-norm vectors compare at cosine 0 (as in [[cosine]]) and so
+    * never exceed a positive threshold. Output: one row per input row -
+    * (idCol, ivf_cell [null for null embeddings], kept). */
+  def semanticDedup(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                    threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0,
+      s"threshold=$threshold must be positive (zero-norm rows compare at 0)")
+    // stage the norm as a column first - same quadratic-HOF trap as
+    // cosineNearDupPairs (a norm inside the transform lambda re-evaluates
+    // per element)
+    val assigned = ivfAssign(embeddings.filter(col(vecCol).isNotNull), centroids, vecCol)
+      .select(col(idCol).as("id"), col("ivf_cell"), col(vecCol),
+        norm(col(vecCol)).as("nrm"))
+    val unit = when(col("nrm") === 0, transform(col(vecCol), _ => lit(0.0)))
+      .otherwise(transform(col(vecCol), x => x.cast("double") / col("nrm")))
+    val cells = assigned.select(col("id"), col("ivf_cell"), unit.as("v"))
+    val lo = cells.select(col("ivf_cell"), col("id").as("id_lo"), col("v").as("v_lo"))
+    val dups = cells.join(lo, Seq("ivf_cell"))
+      .filter(col("id_lo") < col("id") && dot(col("v"), col("v_lo")) >= threshold)
+      .select(col("id")).distinct().withColumn("__dup", lit(1))
+    cells.select(col("id"), col("ivf_cell"))
+      .unionByName(embeddings.filter(col(vecCol).isNull)
+        .select(col(idCol).as("id"), lit(null).cast("int").as("ivf_cell")))
+      .join(dups, Seq("id"), "left")
+      .select(col("id").as(idCol), col("ivf_cell"),
+        col("__dup").isNull.cast("int").as("kept"))
+  }
+
+  /** Prototypicality-based data pruning (Sorscher et al. '22 "Beyond
+    * neural scaling laws", arXiv:2206.14486): rank each cluster's
+    * members by cosine similarity to their assigned centroid and drop
+    * the most prototypical `fraction` (floor(n*fraction) rows per cell
+    * under the total (similarity desc, id asc) order) - redundant
+    * examples near the cluster core go first, the informative tail is
+    * kept. With abundant data the paper prunes easy/prototypical
+    * examples; passing the rank ascending instead (keep the core, drop
+    * the tail) is the scarce-data regime and is the same plan with the
+    * window order flipped - this implements the abundant-data direction.
+    *
+    * One scan + one per-cell window (single shuffle on the cell id);
+    * similarity to the OWN centroid is array_max over the same
+    * unit-centroid dot list [[ivfAssign]] computes, divided by the row
+    * norm, so no second pass over the vector and nothing reaches the
+    * driver. Zero-norm rows rank at similarity 0. Null embeddings are a
+    * precondition violation like the other ANN oracles (filter first).
+    * Output: (idCol, ivf_cell, kept). */
+  def prototypicalityPrune(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                           fraction: Double,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(fraction >= 0 && fraction < 1, s"fraction=$fraction outside [0, 1)")
+    val cents = array(unitCentroids(centroids).map(c => array(c.map(lit): _*)): _*)
+    val sims = embeddings
+      .withColumn("__sims", transform(cents, c => dot(col(vecCol), c)))
+      .withColumn("ivf_cell",
+        (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("int"))
+      .withColumn("__nrm", norm(col(vecCol)))
+      .withColumn("__sim", when(col("__nrm") === 0, lit(0.0))
+        .otherwise(array_max(col("__sims")) / col("__nrm")))
+    val w = Window.partitionBy(col("ivf_cell"))
+      .orderBy(col("__sim").desc, col(idCol).asc)
+    val n = Window.partitionBy(col("ivf_cell"))
+    sims.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .select(col(idCol), col("ivf_cell"),
+        (col("__rn") > floor(col("__n") * fraction)).cast("int").as("kept"))
+  }
 }

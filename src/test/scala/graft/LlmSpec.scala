@@ -840,6 +840,124 @@ class LlmSpec extends SparkSpec {
     assert(l2(Seq(0.1, -0.9), cbs(1)(1)) < l2(Seq(0.1, -0.9), cbs(1)(0)))
   }
 
+  // shared brute-force helpers for the SemDeDup / prune tests: replicate
+  // ivfAssign's argmax-over-unit-centroid-dots rule driver-side
+  private def bruteCos(a: Seq[Float], b: Seq[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    if (na * nb == 0) 0.0 else d / (na * nb)
+  }
+  private def bruteCell(v: Seq[Float], centroids: Seq[Seq[Double]]): Int = {
+    val sims = Ann.unitCentroids(centroids)
+      .map(c => c.zip(v).map { case (x, y) => x * y.toDouble }.sum)
+    sims.indexOf(sims.max)
+  }
+
+  test("semantic dedup: keeps lowest id per in-cell near-dup set, non-transitive") {
+    val rnd = new scala.util.Random(23)
+    val centroids = Ann.hyperplanes(16, 4, seed = 11L)
+    // 12 tight clusters of 4 near-identical vectors + 20 isolated
+    val rows = (for {
+      c <- 0 until 12
+      centre = Seq.fill(16)(rnd.nextGaussian())
+      v <- 0 until 4
+    } yield ((c * 4 + v).toLong,
+      centre.map(x => (x + rnd.nextGaussian() * 0.01).toFloat))) ++
+      (0 until 20).map(i => ((100 + i).toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val vecs = rows.toDF("vec_id", "embedding")
+
+    // brute-force expected: drop iff a lower-id same-cell row has cos >= t
+    val raw = rows.sortBy(_._1)
+    val cells = raw.map { case (id, v) => id -> bruteCell(v, centroids) }.toMap
+    val expectDropped = (for {
+      (ia, va) <- raw; (ib, vb) <- raw
+      if ib < ia && cells(ia) == cells(ib) && bruteCos(va, vb) >= 0.9
+    } yield ia).toSet
+    assert(expectDropped.size >= 12 * 2) // clusters rarely straddle cells
+
+    val got = Ann.semanticDedup(vecs, centroids, threshold = 0.9)
+      .select("vec_id", "kept").as[(Long, Int)].collect().toMap
+    assert(got.size == raw.size)
+    for ((id, _) <- raw)
+      assert(got(id) == (if (expectDropped(id)) 0 else 1), s"vec $id")
+
+    // null embeddings are kept with a null cell, never dropped or lost
+    val withNull = vecs.unionByName(
+      Seq((999L, null: Seq[Float])).toDF("vec_id", "embedding"))
+    val nullRow = Ann.semanticDedup(withNull, centroids, threshold = 0.9)
+      .filter($"vec_id" === 999L)
+      .select($"ivf_cell".isNull, $"kept").as[(Boolean, Int)].collect()
+    assert(nullRow.toSeq == Seq((true, 1)))
+  }
+
+  test("prototypicality prune: drops floor(n*f) most-central rows per cell") {
+    val rnd = new scala.util.Random(31)
+    val centroids = Ann.hyperplanes(8, 4, seed = 11L)
+    // graded noise around each centroid so similarity ranks are spread
+    val rows = (for {
+      (c, ci) <- centroids.zipWithIndex
+      v <- 0 until 25
+    } yield ((ci * 25 + v).toLong,
+      c.map(x => (x + rnd.nextGaussian() * 0.05 * (v + 1)).toFloat)))
+    val vecs = rows.toDF("vec_id", "embedding")
+
+    // brute-force: per cell, rank by (cos-to-own-centroid desc, id asc)
+    val units = Ann.unitCentroids(centroids)
+    val scored = rows.map { case (id, v) =>
+      val cell = bruteCell(v, centroids)
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val sim = if (nrm == 0) 0.0
+        else units(cell).zip(v).map { case (x, y) => x * y.toDouble }.sum / nrm
+      (id, cell, sim)
+    }
+    val expectDropped = scored.groupBy(_._2).flatMap { case (_, members) =>
+      val k = math.floor(members.size * 0.25).toInt
+      members.sortBy { case (id, _, sim) => (-sim, id) }.take(k).map(_._1)
+    }.toSet
+
+    val got = Ann.prototypicalityPrune(vecs, centroids, fraction = 0.25)
+      .select("vec_id", "kept").as[(Long, Int)].collect().toMap
+    assert(got.size == rows.size)
+    for ((id, _, _) <- scored)
+      assert(got(id) == (if (expectDropped(id)) 0 else 1), s"vec $id")
+    // fraction 0 keeps everything
+    assert(Ann.prototypicalityPrune(vecs, centroids, fraction = 0.0)
+      .filter($"kept" === 0).count() == 0)
+  }
+
+  test("chunk packing: spans tile fixed-size sequences exactly") {
+    val docs = Seq(
+      ("s1", 1L, 100), ("s1", 2L, 0), ("s1", 3L, 700), ("s1", 4L, 56),
+      ("s1", 5L, 300), ("s2", 6L, 256), ("s2", 7L, 1), ("s2", 8L, 255)
+    ).toDF("source", "doc_id", "n_tokens")
+    val got = graft.llm.Packing.assignChunks(docs, seqLen = 256)
+      .select("source", "doc_id", "chunk_id", "begin_off", "end_off")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+
+    // brute-force: running offset per stratum, spans per 256-token cut
+    val expect = Seq(
+      ("s1", Seq(1L -> 100, 3L -> 700, 4L -> 56, 5L -> 300)),
+      ("s2", Seq(6L -> 256, 7L -> 1, 8L -> 255))).flatMap { case (src, ds) =>
+      var off = 0L
+      ds.flatMap { case (id, n) =>
+        val start = off; val end = off + n; off = end
+        (start / 256 to (end - 1) / 256).map { ch =>
+          (src, id, ch,
+            math.max(start - ch * 256, 0L), math.min(end - ch * 256, 256L))
+        }
+      }
+    }
+    assert(got.toSet == expect.toSet)
+    // zero-token doc emits nothing
+    assert(!got.exists(_._2 == 2L))
+    // every span is a valid, non-empty in-chunk range
+    for ((_, _, _, b, e) <- got) assert(b >= 0 && b < e && e <= 256)
+    // per doc, span lengths sum to the doc's tokens
+    val byDoc = got.groupBy(_._2).view.mapValues(_.map(r => r._5 - r._4).sum)
+    assert(byDoc(3L) == 700 && byDoc(6L) == 256 && byDoc(8L) == 255)
+  }
+
   test("BPE pair counts: frequency-weighted adjacent char pairs") {
     // vocabulary: "aba" x3, "ab" x1, "x" x1 (too short -> no pairs)
     // pairs: ab (3 from aba + 1 from ab = 4), ba (3)
