@@ -1280,6 +1280,17 @@ object SparkEntry {
       Ann.prototypicalityPrune(t(s, dir, "embeddings"),
         Ann.hyperplanes(64, 8, seed = 11L), fraction = 0.25)),
 
+    // semantic contamination screen: corpus rows (vec_id % 20 != 7)
+    // flagged when any benchmark row (vec_id % 20 == 7) in their 2
+    // probed IVF cells is cosine-similar >= 0.35
+    "q_contam_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Contamination.semanticScreen(
+        emb.filter(pmod(col("vec_id"), lit(20)) =!= 7),
+        emb.filter(pmod(col("vec_id"), lit(20)) === 7),
+        Ann.hyperplanes(64, 8, seed = 11L), threshold = 0.35)
+    }),
+
     // Structured Streaming surfaced in the registry: file-source stream
     // over the events table (explicit schema - the parquet ts column is
     // TIMESTAMP(NANOS), so event time is derived), watermarked tumbling
@@ -2882,6 +2893,35 @@ object SparkEntry {
                         CAST(b.embedding AS DOUBLE[])) >= 0.4)
           SELECT c.vec_id, c.ivf_cell, CAST(d.vid IS NULL AS INT) AS kept
           FROM c LEFT JOIN d ON d.vid = c.vec_id"""
+    },
+
+    // semantic contamination screen recomputed: per-corpus-row probe
+    // cells via the knn_join (sim desc, cell asc) rank pattern, bench
+    // cells via the first-max CASE, flag on any in-cell cosine >= 0.35
+    "q_contam_semantic" -> {
+      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+      val sims = Ann.unitCentroids(centroids).map(dotSql)
+      val legs = sims.zipWithIndex.map { case (s, i) =>
+        s"SELECT vec_id, embedding, $s AS s, $i AS cell FROM embeddings WHERE vec_id % 20 <> 7"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH probe AS (
+           SELECT vec_id AS id, embedding AS qv, cell FROM (
+             SELECT vec_id, embedding, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, cell ASC) AS rn
+             FROM ($legs))
+           WHERE rn <= 2),
+         bench AS (
+           SELECT embedding AS bv, ivf_cell AS cell
+           FROM ${ivfCellFromSql(centroids)} WHERE vec_id % 20 = 7),
+         hits AS (
+           SELECT DISTINCT p.id FROM probe p JOIN bench b
+             ON b.cell = p.cell
+           WHERE list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                   CAST(b.bv AS DOUBLE[])) >= 0.35)
+         SELECT c.vec_id, CAST(h.id IS NOT NULL AS INT) AS contaminated
+         FROM (SELECT vec_id FROM embeddings WHERE vec_id % 20 <> 7) c
+         LEFT JOIN hits h ON h.id = c.vec_id"""
     },
 
     // prototypicality pruning recomputed: cosine to the own-cell

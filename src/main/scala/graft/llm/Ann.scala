@@ -346,19 +346,18 @@ object Ann {
     * (cosine desc, id asc) order; cells are disjoint so no candidate
     * dedupe is needed. `excludeSelf` drops q_id == neighbor id matches
     * when queries are drawn from the corpus itself. */
-  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int,
-              centroids: Seq[Seq[Double]], nprobe: Int = 2,
-              excludeSelf: Boolean = false,
-              qIdCol: String = "q_id", cIdCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+  /** Per-row probe cells: the `nprobe` cells whose unit centroids are
+    * closest to the row's vector, as an array column under the total
+    * (sim desc, cell asc) order - the column-level analogue of
+    * [[probeCells]] (ties resolve exactly like the oracle's first-max
+    * CASE chain). Shared by [[knnJoin]] and
+    * [[graft.llm.Contamination.semanticScreen]]. */
+  def probeCellsCol(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column = {
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe $nprobe outside [1, ${centroids.size}]")
-    // per-row probe cells: (sim, cell) structs sorted by the total
-    // (sim desc, cell asc) order - ties resolve exactly like the
-    // oracle's first-max CASE chain
-    def simsFor(v: Column) = array(unitCentroids(centroids).zipWithIndex.map {
+    val sims = array(unitCentroids(centroids).zipWithIndex.map {
       case (cvec, i) =>
-        struct(dot(v, array(cvec.map(lit): _*)).as("s"), lit(i).as("cell"))
+        struct(dot(vec, array(cvec.map(lit): _*)).as("s"), lit(i).as("cell"))
     }: _*)
     val cmp = (l: Column, r: Column) =>
       when(l.getField("s") > r.getField("s"), -1)
@@ -366,11 +365,18 @@ object Ann {
         .when(l.getField("cell") < r.getField("cell"), -1)
         .when(l.getField("cell") > r.getField("cell"), 1)
         .otherwise(0)
+    transform(slice(array_sort(sims, cmp), 1, nprobe), s => s.getField("cell"))
+  }
+
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroids: Seq[Seq[Double]], nprobe: Int = 2,
+              excludeSelf: Boolean = false,
+              qIdCol: String = "q_id", cIdCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
     val probed = queries
       .select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"))
       .withColumn("cell",
-        explode(transform(slice(array_sort(simsFor(col("__qv")), cmp), 1, nprobe),
-          s => s.getField("cell"))))
+        explode(probeCellsCol(col("__qv"), centroids, nprobe)))
     val cells = ivfAssign(corpus, centroids, vecCol)
       .select(col(cIdCol).as("neighbor_id"), col(vecCol).as("__cv"),
         col("ivf_cell").as("cell"))

@@ -52,4 +52,39 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared")) // inputs deduped -> count = distinct
       .filter(col("n_shared") >= minOverlap)
   }
+
+  /** Semantic (embedding-space) contamination screen - the complement
+    * of [[ngramOverlap]] for paraphrased or re-worded eval leakage that
+    * shares no literal n-gram: flag a corpus row when ANY benchmark
+    * embedding is cosine-similar above `threshold`. Each corpus row
+    * probes its `nprobe` nearest IVF cells ([[graft.llm.Ann.probeCellsCol]],
+    * the same per-row multi-probe as knnJoin, so a benchmark vector
+    * just across a cell boundary is still found); benchmark rows are
+    * assigned one cell each and BROADCAST (eval sets are ~1e3-1e5 rows
+    * vs 1e9+ corpus rows), so the corpus is touched in one map-side
+    * pass - no shuffle of the big side at all. Every corpus row
+    * surfaces exactly once: (corpusId, contaminated 0/1); null corpus
+    * embeddings screen clean. */
+  def semanticScreen(corpus: DataFrame, bench: DataFrame,
+                     centroids: Seq[Seq[Double]], threshold: Double,
+                     nprobe: Int = 2,
+                     corpusId: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0,
+      s"threshold=$threshold must be positive (zero-norm rows compare at 0)")
+    val probed = corpus.filter(col(vecCol).isNotNull)
+      .select(col(corpusId).as("id"), col(vecCol).as("__qv"))
+      .withColumn("cell",
+        explode(Ann.probeCellsCol(col("__qv"), centroids, nprobe)))
+    val benchCells = Ann.ivfAssign(bench.filter(col(vecCol).isNotNull),
+        centroids, vecCol)
+      .select(col(vecCol).as("__bv"), col("ivf_cell").as("cell"))
+    val hits = probed.join(broadcast(benchCells), Seq("cell"))
+      .filter(Ann.cosine(col("__qv"), col("__bv")) >= threshold)
+      .select(col("id")).distinct().withColumn("__hit", lit(1))
+    corpus.select(col(corpusId).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(corpusId),
+        col("__hit").isNotNull.cast("int").as("contaminated"))
+  }
 }

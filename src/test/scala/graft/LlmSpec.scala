@@ -269,11 +269,15 @@ class LlmSpec extends SparkSpec {
   }
 
   test("SCALE: no CartesianProduct / BroadcastNestedLoop in pair plans") {
+    val oneVec = Seq((1L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val planes8 = Ann.hyperplanes(8, 4, seed = 11L)
     for (df <- Seq(
       Dedup.minhashLshPairs(docs),
       Dedup.simhashPairs(docs),
-      Ann.cosineNearDupPairs(
-        Seq((1L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding"), dim = 8))) {
+      Ann.cosineNearDupPairs(oneVec, dim = 8),
+      Ann.semanticDedup(oneVec, planes8, threshold = 0.9),
+      graft.llm.Contamination.semanticScreen(oneVec, oneVec, planes8,
+        threshold = 0.9))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), plan.take(500))
       assert(!plan.contains("BroadcastNestedLoop"), plan.take(500))
@@ -924,6 +928,35 @@ class LlmSpec extends SparkSpec {
     // fraction 0 keeps everything
     assert(Ann.prototypicalityPrune(vecs, centroids, fraction = 0.0)
       .filter($"kept" === 0).count() == 0)
+  }
+
+  test("semantic contamination screen: flags near-copies of bench rows only") {
+    val rnd = new scala.util.Random(41)
+    val centroids = Ann.hyperplanes(16, 4, seed = 11L)
+    val bench = (0 until 5).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    // corpus: a near-copy of each bench row + 30 unrelated randoms
+    val copies = bench.map { case (i, v) =>
+      (100 + i, v.map(x => x + rnd.nextGaussian().toFloat * 0.01f))
+    }
+    val noise = (0 until 30).map(i =>
+      ((200 + i).toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val corpus = (copies ++ noise).toDF("vec_id", "embedding")
+    val got = graft.llm.Contamination.semanticScreen(
+      corpus, bench.toDF("vec_id", "embedding"), centroids, threshold = 0.9)
+      .as[(Long, Int)].collect().toMap
+    assert(got.size == 35)
+    // every near-copy flagged (its bench twin shares the top-1 cell)
+    for (i <- 100L until 105L) assert(got(i) == 1, s"copy $i")
+    // unrelated 16-dim gaussians essentially never hit cosine 0.9
+    for (i <- 200L until 230L) assert(got(i) == 0, s"noise $i")
+    // null corpus embeddings screen clean instead of crashing
+    val withNull = corpus.unionByName(
+      Seq((999L, null: Seq[Float])).toDF("vec_id", "embedding"))
+    assert(graft.llm.Contamination.semanticScreen(withNull,
+      bench.toDF("vec_id", "embedding"), centroids, threshold = 0.9)
+      .filter($"vec_id" === 999L).select($"contaminated")
+      .as[Int].collect().toSeq == Seq(0))
   }
 
   test("chunk packing: spans tile fixed-size sequences exactly") {
