@@ -1053,6 +1053,15 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // leakage-safe split: whole near-dup clusters share one train/val/
+    // test assignment (keyed by the cluster's min content hash); reuses
+    // the session-memoized md5-minhash pair frame
+    "q_split_leakage_safe" -> ((s, dir) =>
+      graft.llm.Splitting.leakageSafeSplit(
+        t(s, dir, "documents"), minhashMd5PairsShared(s, dir))
+        .select(col("doc_id"), col("source"), col("split_bucket"),
+          col("split"))),
+
     // sub-document boilerplate removal: 10-word chunks shared by >=2
     // docs are deleted, survivors re-joined in order
     "q_d_boilerplate" -> ((s, dir) =>
@@ -1944,6 +1953,35 @@ object SparkEntry {
          dups AS (SELECT id FROM l12 WHERE lbl <> id)
          SELECT d.doc_id, d.source FROM documents d
          WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.id = d.doc_id)"""
+    },
+
+    // leakage-safe split: the SAME pairs + component chain as
+    // q_d_dedup_e2e, then one cluster key (min per-doc md5) and the
+    // assignSplit bucket CASE over it; docs in no pair cluster alone
+    "q_split_leakage_safe" -> {
+      val rounds = (1 to 12).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT n.id,
+             least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+           FROM l${i - 1} n LEFT JOIN (
+             SELECT s.u, min(x.lbl) AS mn FROM sym s
+             JOIN l${i - 1} x ON x.id = s.v GROUP BY s.u) m
+             ON m.u = n.id)"""
+      }.mkString(",\n         ")
+      s"""WITH $minhashMd5CtesSql,
+         sym AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM sym),
+         $rounds,
+         cl AS (SELECT d.doc_id, d.source, d.text,
+                       coalesce(l.lbl, d.doc_id) AS cluster
+                FROM documents d LEFT JOIN l12 l ON l.id = d.doc_id),
+         k AS (SELECT cluster, substr(min(md5(text)), 1, 2) AS b
+               FROM cl GROUP BY cluster)
+         SELECT cl.doc_id, cl.source, k.b AS split_bucket,
+                CASE WHEN k.b < 'cc' THEN 'train'
+                     WHEN k.b < 'e6' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM cl JOIN k USING (cluster)"""
     },
 
     // 10-word chunks, md5 per chunk, drop chunks in >=2 distinct docs,

@@ -129,4 +129,43 @@ object Splitting {
         (bucket < coalesce(col("__cutoff"), lit("g"))).cast("int"))
       .drop("__stratum", "__cutoff")
   }
+
+  /** Leakage-safe split: [[assignSplit]] keyed by the near-duplicate
+    * CLUSTER rather than the document, so every member of a connected
+    * near-dup component receives the SAME train/val/test assignment -
+    * closing the split-leakage hole a per-doc hash split has on a
+    * near-dup corpus (a training doc's near-copy lands in val/test and
+    * inflates eval). `pairs` is any near-dup pair frame (minhash LSH,
+    * SimHash, embedding cosine); the split key is the cluster's MINIMUM
+    * per-doc content hash, a pure function of the cluster's content -
+    * ids, row order, and partitioning never influence the assignment,
+    * and docs in no pair reduce exactly to assignSplit's per-doc
+    * content-hash bucket. Docs with null content in a cluster defer to
+    * the cluster's non-null minimum; an all-null cluster (or null-text
+    * singleton) has a null bucket and lands in "test", as in
+    * assignSplit.
+    *
+    * Scale shape: one connected-components run over the pair graph
+    * (log-round pointer jumping; the pair frame is the expensive input
+    * and is typically shared/memoized upstream), one left join of docs
+    * to labels, one per-cluster window min. */
+  def leakageSafeSplit(df: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id", contentCol: String = "text",
+                       trainUpperHex: String = "cc",
+                       valUpperHex: String = "e6"): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+    val withCluster = df
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("__cluster", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy(col("__cluster"))
+    val bucket = substring(
+      min(md5(col(contentCol).cast("binary"))).over(w), 1, 2)
+    withCluster
+      .withColumn("split_bucket", bucket)
+      .withColumn("split",
+        when(bucket < trainUpperHex, "train")
+          .when(bucket < valUpperHex, "val")
+          .otherwise("test"))
+      .drop("component", "__cluster")
+  }
 }

@@ -930,6 +930,34 @@ class LlmSpec extends SparkSpec {
       .filter($"kept" === 0).count() == 0)
   }
 
+  test("leakage-safe split: clusters move as one; singletons match assignSplit") {
+    val docs = (1L to 40L).map(i => (i, s"document body number $i")).toDF("doc_id", "text")
+    // two clusters (1-2-3 chained, 10-11) + everything else isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = graft.llm.Splitting.leakageSafeSplit(docs, pairs)
+      .select("doc_id", "split_bucket", "split")
+      .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 40)
+    // all cluster members share the assignment, keyed by min member hash
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(10L) == got(11L))
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectKey = Seq(1L, 2L, 3L).map(i => h(s"document body number $i")).min
+    assert(got(1L)._1 == expectKey.take(2))
+    // isolated docs reduce to the per-doc assignSplit bucket
+    val solo = graft.llm.Splitting.assignSplit(docs.filter($"doc_id" >= 20))
+      .select("doc_id", "split_bucket", "split")
+      .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    for (i <- 20L to 40L) assert(got(i) == solo(i), s"doc $i")
+    // a null-text singleton lands in test instead of crashing
+    val withNull = docs.unionByName(
+      Seq((99L, null: String)).toDF("doc_id", "text"))
+    val nullRow = graft.llm.Splitting.leakageSafeSplit(withNull, pairs)
+      .filter($"doc_id" === 99L).select($"split").as[String].collect()
+    assert(nullRow.toSeq == Seq("test"))
+  }
+
   test("semantic contamination screen: flags near-copies of bench rows only") {
     val rnd = new scala.util.Random(41)
     val centroids = Ann.hyperplanes(16, 4, seed = 11L)
