@@ -427,10 +427,16 @@ object Ann {
     val unit = when(col("nrm") === 0, transform(col(vecCol), _ => lit(0.0)))
       .otherwise(transform(col(vecCol), x => x.cast("double") / col("nrm")))
     val cells = assigned.select(col("id"), col("ivf_cell"), unit.as("v"))
-    val lo = cells.select(col("ivf_cell"), col("id").as("id_lo"), col("v").as("v_lo"))
-    val dups = cells.join(lo, Seq("ivf_cell"))
-      .filter(col("id_lo") < col("id") && dot(col("v"), col("v_lo")) >= threshold)
-      .select(col("id")).distinct().withColumn("__dup", lit(1))
+    val lo = cells.select(col("ivf_cell").as("cell_lo"), col("id").as("id_lo"),
+      col("v").as("v_lo"))
+    // LEFT SEMI: "exists a lower-id near neighbor" needs one witness, so
+    // the pair set is never materialized - on a degenerate cell (all
+    // vectors identical) each probe row short-circuits at its first
+    // match instead of emitting O(n^2) pairs
+    val dups = cells.join(lo,
+        col("ivf_cell") === col("cell_lo") && col("id_lo") < col("id") &&
+          dot(col("v"), col("v_lo")) >= threshold, "left_semi")
+      .select(col("id")).withColumn("__dup", lit(1))
     cells.select(col("id"), col("ivf_cell"))
       .unionByName(embeddings.filter(col(vecCol).isNull)
         .select(col(idCol).as("id"), lit(null).cast("int").as("ivf_cell")))

@@ -61,10 +61,12 @@ object Contamination {
     * the same per-row multi-probe as knnJoin, so a benchmark vector
     * just across a cell boundary is still found); benchmark rows are
     * assigned one cell each and BROADCAST (eval sets are ~1e3-1e5 rows
-    * vs 1e9+ corpus rows), so the corpus is touched in one map-side
-    * pass - no shuffle of the big side at all. Every corpus row
-    * surfaces exactly once: (corpusId, contaminated 0/1); null corpus
-    * embeddings screen clean. */
+    * vs 1e9+ corpus rows), so the candidate pass over the corpus is
+    * map-side; the only shuffle of the big side is the final
+    * flag-attach join on the id (hits are not provably small, so they
+    * do not broadcast). Every corpus row surfaces exactly once:
+    * (corpusId, contaminated 0/1); null corpus embeddings screen
+    * clean. */
   def semanticScreen(corpus: DataFrame, bench: DataFrame,
                      centroids: Seq[Seq[Double]], threshold: Double,
                      nprobe: Int = 2,
@@ -78,9 +80,13 @@ object Contamination {
         explode(Ann.probeCellsCol(col("__qv"), centroids, nprobe)))
     val benchCells = Ann.ivfAssign(bench.filter(col(vecCol).isNotNull),
         centroids, vecCol)
-      .select(col(vecCol).as("__bv"), col("ivf_cell").as("cell"))
-    val hits = probed.join(broadcast(benchCells), Seq("cell"))
-      .filter(Ann.cosine(col("__qv"), col("__bv")) >= threshold)
+      .select(col(vecCol).as("__bv"), col("ivf_cell").as("__bcell"))
+    // LEFT SEMI against the broadcast bench: one witness flags the row,
+    // so no (corpus x bench) candidate set is ever materialized; the
+    // distinct collapses the nprobe probe rows per id
+    val hits = probed.join(broadcast(benchCells),
+        col("cell") === col("__bcell") &&
+          Ann.cosine(col("__qv"), col("__bv")) >= threshold, "left_semi")
       .select(col("id")).distinct().withColumn("__hit", lit(1))
     corpus.select(col(corpusId).as("id"))
       .join(hits, Seq("id"), "left")

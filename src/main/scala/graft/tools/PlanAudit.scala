@@ -53,7 +53,12 @@ object PlanAudit {
       "q_d_simhash_md5",  // md5-bit signature + chunk bucket join
       "q_ann_kmeans_step",// assignment + per-cell/dim combine
       "q_ann_pq_assign",  // pure map stage: PQ codes
-      "q_t_bpe_pairs")    // word-freq collapse + pair explode
+      "q_t_bpe_pairs",    // word-freq collapse + pair explode
+      "q_d_semdedup",     // in-cell pair join + dup anti-join
+      "q_ann_prune",      // per-cell rank window, one shuffle
+      "q_contam_semantic",// probe explode + broadcast bench join
+      "q_pack_chunks",    // cumulative window + bounded explode
+      "q_split_leakage_safe") // components + cluster-key window
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)

@@ -893,6 +893,16 @@ class LlmSpec extends SparkSpec {
       .filter($"vec_id" === 999L)
       .select($"ivf_cell".isNull, $"kept").as[(Boolean, Int)].collect()
     assert(nullRow.toSeq == Seq((true, 1)))
+
+    // degenerate cell: thousands of identical vectors collapse to one
+    // survivor without materializing the O(n^2) pair set (semi join)
+    val clone = Seq.fill(16)(0.5f)
+    val clones = (0L until 3000L).map(i => (i, clone)).toDF("vec_id", "embedding")
+    val deduped = Ann.semanticDedup(clones, centroids, threshold = 0.9)
+    assert(deduped.filter($"kept" === 1).select($"vec_id")
+      .as[Long].collect().toSeq == Seq(0L))
+    val plan = deduped.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(800))
   }
 
   test("prototypicality prune: drops floor(n*f) most-central rows per cell") {
