@@ -1003,6 +1003,30 @@ object SparkEntry {
         alpha = 0.5, strataCol = "stratum")
         .select(col("doc_id"), col("stratum"), col("kept"))),
 
+    // explicit target-weight mixture over the same skewed stratum:
+    // big targets 30%, small 70%, mid is OUT of the recipe (weight 0 ->
+    // dropped) - exercises the keep-all sentinel, a fractional cutoff,
+    // and the zero-drop path in one query
+    "q_sample_mixture" -> ((s, dir) =>
+      graft.llm.Splitting.mixtureSample(
+        t(s, dir, "documents").withColumn("stratum",
+          when(pmod(col("doc_id"), lit(10)) < 7, "big")
+            .when(pmod(col("doc_id"), lit(10)) < 9, "mid")
+            .otherwise("small")),
+        weights = Map("big" -> 0.3, "small" -> 0.7),
+        strataCol = "stratum")
+        .select(col("doc_id"), col("stratum"), col("kept"))),
+
+    // deterministic training-order shuffle: content-hash shard + rank
+    // within shard - a reproducible permutation with no global sort
+    "q_shuffle_order" -> ((s, dir) =>
+      graft.llm.Splitting.shuffleOrder(t(s, dir, "documents"))
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // per-source log2 token-length histogram (sequence-budget planning)
+    "q_t_length_hist" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(t(s, dir, "documents"))),
+
     // token-budget sequence packing: next-fit bin by cumulative offset
     "q_pack_bins" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1241,6 +1265,17 @@ object SparkEntry {
       Ann.cosineNearDupPairs(t(s, dir, "embeddings"), dim = 64,
         threshold = 0.4, bits = 4)
         .select(col("id_a"), col("id_b"))),
+
+    // ANN self-evaluation: per-query recall@5 of the nprobe=2 IVF probe
+    // search against brute-force exact top-5 (queries broadcast, self
+    // excluded) - the acceptance metric that sizes nprobe/centroids
+    "q_ann_recall" -> ((s, dir) => {
+      val centroids = Ann.hyperplanes(64, 8, seed = 11L)
+      val emb = t(s, dir, "embeddings")
+      Ann.recallAtK(
+        emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "q_id"),
+        emb, k = 5, centroids, nprobe = 2, excludeSelf = true)
+    }),
 
     // multimodal plumbing: asset metadata projection (binary column
     // pruned from the scan) and video frame sampling; the synthetic
@@ -1819,6 +1854,65 @@ object SparkEntry {
                 CAST(substr(md5('temp-v1' || d.text), 1, 8)
                   < coalesce(cut.cutoff, 'g') AS INT) AS kept
          FROM d LEFT JOIN cut ON cut.stratum = d.stratum""",
+
+    // target-weight mixture recomputed: same skewed stratum, ratio =
+    // CASE-weight / n, rate = round(ratio / max(ratio), 6), the shared
+    // 32-bit cutoff chain; out-of-recipe strata get the '00000000'
+    // drop-all cutoff (vs temperatureSample's keep-null 'g')
+    "q_sample_mixture" ->
+      """WITH d AS (SELECT doc_id, text,
+             CASE WHEN doc_id % 10 < 7 THEN 'big'
+                  WHEN doc_id % 10 < 9 THEN 'mid'
+                  ELSE 'small' END AS stratum
+           FROM documents),
+         c AS (SELECT stratum, count(*) AS n FROM d
+           WHERE stratum IS NOT NULL GROUP BY stratum),
+         r0 AS (SELECT stratum,
+             (CASE WHEN stratum = 'big' THEN 0.3
+                   WHEN stratum = 'small' THEN 0.7
+                   ELSE 0.0 END) / CAST(n AS DOUBLE) AS ratio
+           FROM c),
+         r AS (SELECT stratum,
+             CASE WHEN (SELECT max(ratio) FROM r0) = 0 THEN NULL
+                  ELSE round(ratio / (SELECT max(ratio) FROM r0), 6)
+                  END AS rate
+           FROM r0),
+         cut AS (SELECT stratum,
+             CASE WHEN rate IS NULL THEN '00000000'
+                  WHEN round(rate * 4294967296.0) >= 4294967296.0
+                  THEN 'g'
+                  ELSE lower(lpad(hex(CAST(round(rate * 4294967296.0)
+                    AS BIGINT)), 8, '0')) END AS cutoff
+           FROM r)
+         SELECT d.doc_id, d.stratum,
+                CAST(substr(md5('mix-v1' || d.text), 1, 8)
+                  < coalesce(cut.cutoff, '00000000') AS INT) AS kept
+         FROM d LEFT JOIN cut ON cut.stratum = d.stratum""",
+
+    // training-order shuffle recomputed: same salted hash, first hex
+    // char as the shard, rank of (full hash, id) within the shard
+    "q_shuffle_order" ->
+      """SELECT doc_id, substr(md5('shuffle-v1' || text), 1, 1) AS shard,
+             CAST(row_number() OVER (
+               PARTITION BY substr(md5('shuffle-v1' || text), 1, 1)
+               ORDER BY md5('shuffle-v1' || text) ASC, doc_id ASC)
+               AS BIGINT) AS pos
+         FROM documents""",
+
+    // log2 token-length histogram: len(bin(n)) is the integer-exact
+    // floor(log2)+1 on both engines; all-integer aggregates
+    "q_t_length_hist" ->
+      """SELECT source,
+             CASE WHEN n <= 0 THEN 0
+                  ELSE CAST(len(bin(n)) AS INT) END AS bucket,
+             count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS sum_tokens,
+             min(n) AS min_tokens, max(n) AS max_tokens
+         FROM (SELECT source,
+                 coalesce(CAST(len(string_split_regex(trim(text), '\s+'))
+                   AS INT), 0) AS n
+               FROM documents)
+         GROUP BY 1, 2""",
 
     "q_pack_bins" ->
       """SELECT doc_id, source, n_tokens,
@@ -3022,6 +3116,50 @@ object SparkEntry {
                neighbor_id ASC) AS BIGINT) AS rank
            FROM cand)
          WHERE rank <= 5"""
+    },
+
+    // recall@5 recomputed: the q_ann_knn_join probe/candidate/rank CTEs
+    // for the approximate side, a brute-force window rank for the exact
+    // side, hits counted by left join on (q_id, neighbor_id)
+    "q_ann_recall" -> {
+      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+      val sims = Ann.unitCentroids(centroids).map(dotSql)
+      val legs = sims.zipWithIndex.map { case (s, i) =>
+        s"SELECT vec_id AS q_id, embedding, $s AS s, $i AS cell FROM embeddings WHERE vec_id < 5"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH probe AS (
+           SELECT q_id, embedding AS qv, cell FROM (
+             SELECT q_id, embedding, cell,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY s DESC, cell ASC) AS rn
+             FROM ($legs))
+           WHERE rn <= 2),
+         approx AS (
+           SELECT q_id, neighbor_id FROM (
+             SELECT p.q_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.q_id
+                 ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                   CAST(p.qv AS DOUBLE[])) DESC NULLS LAST,
+                 c.vec_id ASC) AS rank
+             FROM probe p JOIN ${ivfCellFromSql(centroids)} c
+               ON c.ivf_cell = p.cell
+             WHERE c.vec_id <> p.q_id)
+           WHERE rank <= 5),
+         exact AS (
+           SELECT q_id, neighbor_id FROM (
+             SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])) DESC NULLS LAST,
+                 c.vec_id ASC) AS rank
+             FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+             JOIN embeddings c ON c.vec_id <> q.vec_id)
+           WHERE rank <= 5)
+         SELECT e.q_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+                CAST(count(a.neighbor_id) AS DOUBLE) / 5 AS recall
+         FROM exact e LEFT JOIN approx a
+           ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY e.q_id"""
     },
 
     "q_ann_neardup" -> {

@@ -483,4 +483,43 @@ object Ann {
       .select(col(idCol), col("ivf_cell"),
         (col("__rn") > floor(col("__n") * fraction)).cast("int").as("kept"))
   }
+
+  /** ANN quality self-evaluation: per-query recall@k of the IVF probe
+    * search ([[knnJoin]]) against brute-force exact cosine top-k over
+    * the same corpus - the standard acceptance metric for any
+    * approximate index (tune nprobe/centroid count until measured
+    * recall clears the bar, on a sampled query set).
+    *
+    * Scale shape: the approximate side is the production [[knnJoin]]
+    * plan (probe-cell equi-join, per-query window). The exact side is
+    * the deliberate brute-force baseline - the query set BROADCASTS
+    * against the corpus (evaluation query sets are 1e2-1e5 rows vs
+    * 1e9+ corpus rows), one map-side pass + per-query top-k, no corpus
+    * shuffle. Never run it with a large query frame; sample first.
+    * Both sides share the (cosine desc, id asc) total order, so ties
+    * rank identically. Output: (q_id, n_hits, recall) with
+    * recall = n_hits / k, one int/int division. */
+  def recallAtK(queries: DataFrame, corpus: DataFrame, k: Int,
+                centroids: Seq[Seq[Double]], nprobe: Int = 2,
+                excludeSelf: Boolean = false,
+                qIdCol: String = "q_id", cIdCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val approx = knnJoin(queries, corpus, k, centroids, nprobe, excludeSelf,
+        qIdCol, cIdCol, vecCol)
+      .select(col("q_id"), col("neighbor_id")).withColumn("__hit", lit(1))
+    val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val crossed = c.crossJoin(broadcast(q))
+    val matched = if (excludeSelf)
+      crossed.filter(col("q_id") =!= col("neighbor_id")) else crossed
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(cosine(col("__qv"), col("__cv")).desc, col("neighbor_id").asc)
+    matched.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("q_id"), col("neighbor_id"))
+      .join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / k)
+  }
 }

@@ -130,6 +130,92 @@ object Splitting {
       .drop("__stratum", "__cutoff")
   }
 
+  /** Explicit target-weight mixture construction: realize target
+    * proportions `weights` (web 30%, books 60%, code 10%) by
+    * DOWNSAMPLING only - rate_s = (w_s / n_s) / max_t(w_t / n_t), so
+    * the stratum whose natural share falls furthest below its target
+    * keeps everything and every other stratum downsamples toward the
+    * recipe (upsampling is a repetition policy, out of scope here).
+    * The complement of [[temperatureSample]]: temperature derives the
+    * weights from the counts; this takes them as explicit
+    * configuration. Strata absent from `weights` - and null strata -
+    * get weight 0 and are dropped entirely ("not in the recipe" is an
+    * exclusion, unlike temperatureSample's keep-nulls contract).
+    *
+    * Same determinism contract and scale shape as temperatureSample:
+    * rates quantized to 6 decimals, the 32-bit hex cutoff of
+    * [[rateCutoffHex]] mirrored in-plan, survival a pure function of
+    * salted content hash, cutoffs attached by broadcast join (one
+    * count aggregate + one map pass over the data). */
+  def mixtureSample(df: DataFrame, weights: Map[String, Double],
+                    strataCol: String = "source",
+                    contentCol: String = "text",
+                    salt: String = "mix-v1"): DataFrame = {
+    require(weights.values.forall(_ >= 0.0),
+      s"negative mixture weight in $weights")
+    require(weights.values.exists(_ > 0.0),
+      "mixture needs at least one positive weight")
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val wcol = weights.foldLeft(lit(0.0)) {
+      case (rest, (stratum, wgt)) =>
+        when(col("__stratum") === stratum, lit(wgt)).otherwise(rest)
+    }
+    val rate = round(col("__ratio") / col("__rmax"), 6)
+    val rounded = round(rate * 4294967296.0)
+    val cutDf = counts
+      .withColumn("__ratio", wcol / col("__n").cast("double"))
+      .withColumn("__rmax",
+        max(col("__ratio")).over(Window.partitionBy()))
+      .withColumn("__cutoff",
+        // every in-recipe stratum missing from the data: __rmax can be
+        // 0 only when NO weighted stratum has rows - then nothing
+        // survives (rate would be 0/0)
+        when(col("__rmax") === 0, lit("00000000"))
+          .when(rounded >= 4294967296.0, lit("g"))
+          .otherwise(lower(lpad(hex(rounded.cast("long")), 8, "0"))))
+      .select(col("__stratum"), col("__cutoff"))
+    val bucket = substring(
+      md5(concat(lit(salt), col(contentCol)).cast("binary")), 1, 8)
+    df.join(broadcast(cutDf), col(strataCol) === col("__stratum"), "left")
+      .withColumn("sample_bucket", bucket)
+      .withColumn("kept",
+        (bucket < coalesce(col("__cutoff"), lit("00000000"))).cast("int"))
+      .drop("__stratum", "__cutoff")
+  }
+
+  /** Deterministic global "shuffle" for training order: every row gets
+    * a (shard, pos) coordinate that is a pure function of its content -
+    * shard = first `shardHexChars` of md5(salt || content) (16^c
+    * shards), pos = rank of the full hash (ties to idCol) within the
+    * shard. Reading shards in order, positions in order, is a
+    * reproducible pseudorandom permutation of the corpus: re-runs,
+    * repartitioning, and insertion order cannot change it, and a new
+    * salt is a fresh permutation (epoch reshuffle without a seed
+    * store).
+    *
+    * Scale shape: ONE shuffle (hash partition on shard), then a
+    * per-shard sort of n/16^c rows - no global total-order exchange.
+    * Size shardHexChars so a shard fits an executor's sort budget
+    * (c=4 -> 65536 shards, ~1.5M rows/shard at 1e11 rows). Null
+    * content hashes to a null shard whose rows rank by idCol - they
+    * stay addressable, flagged by shard IS NULL. */
+  def shuffleOrder(df: DataFrame, idCol: String = "doc_id",
+                   contentCol: String = "text",
+                   salt: String = "shuffle-v1",
+                   shardHexChars: Int = 1): DataFrame = {
+    require(shardHexChars >= 1 && shardHexChars <= 8,
+      s"shardHexChars $shardHexChars outside [1, 8]")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h",
+        md5(concat(lit(salt), col(contentCol)).cast("binary")))
+      .withColumn("shard", substring(col("__h"), 1, shardHexChars))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Leakage-safe split: [[assignSplit]] keyed by the near-duplicate
     * CLUSTER rather than the document, so every member of a connected
     * near-dup component receives the SAME train/val/test assignment -

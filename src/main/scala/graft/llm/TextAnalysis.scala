@@ -415,4 +415,29 @@ object TextAnalysis {
       .select(col(strataCol), col("n_docs"), col("n_kept"), col("keep_rate"),
         col("total_words"), col("total_chars"), col("top_drop_reason"))
   }
+
+  /** Per-source token-length histogram on log2 buckets - the
+    * sequence-budget planning table (how much of each source fits a
+    * 2k/8k/32k context, what packing wastes, where truncation bites).
+    * bucket = number of binary digits of the token count (len(bin(n)):
+    * 1 for 1, 2 for 2-3, 3 for 4-7, ...; 0 reserved for null text), an
+    * INTEGER-EXACT log2 floor - floor(log2(n)) through doubles misranks
+    * exact powers of two on engines whose log2 lands a ulp low.
+    *
+    * One scan, one hash aggregate on (source, bucket) with map-side
+    * combine; all outputs integers, so the aggregate hash-matches any
+    * engine. Null sources group together (a real category: unattributed
+    * docs); null text lands in bucket 0 with 0 tokens. */
+  def lengthHistogram(df: DataFrame, strataCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
+    val n = coalesce(wordCount(col(textCol)), lit(0))
+    df.select(col(strataCol).as("source"), n.as("__n"))
+      .withColumn("bucket",
+        when(col("__n") <= 0, lit(0)).otherwise(length(bin(col("__n")))))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).cast("long").as("sum_tokens"),
+        min(col("__n")).as("min_tokens"),
+        max(col("__n")).as("max_tokens"))
+  }
 }

@@ -58,7 +58,11 @@ object PlanAudit {
       "q_ann_prune",      // per-cell rank window, one shuffle
       "q_contam_semantic",// probe explode + broadcast bench join
       "q_pack_chunks",    // cumulative window + bounded explode
-      "q_split_leakage_safe") // components + cluster-key window
+      "q_split_leakage_safe", // components + cluster-key window
+      "q_ann_recall",     // knnJoin + broadcast brute-force baseline
+      "q_sample_mixture", // count agg + broadcast cutoff join
+      "q_shuffle_order",  // one shard shuffle, per-shard rank
+      "q_t_length_hist")  // single hash aggregate
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)

@@ -1275,4 +1275,112 @@ class LlmSpec extends SparkSpec {
     assert(b._1 == "b" && b._2 == 1L && b._3 == 1L && b._4 == 1.0 &&
       b._7 == None)
   }
+
+  test("recall@k: all-cell probe scores 1.0, narrow probe never exceeds") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.9f, 0.2f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, Seq(0.5f, 0.5f, 0.0f, 0.0f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val centroids = Ann.hyperplanes(4, 3, seed = 5L)
+    val queries = emb.filter($"vec_id" < 2).withColumnRenamed("vec_id", "q_id")
+    // probing every cell makes knnJoin exact, so recall must be 1.0
+    val full = Ann.recallAtK(queries, emb, k = 3, centroids,
+      nprobe = centroids.size, excludeSelf = true)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(full == Seq((0L, 3L, 1.0), (1L, 3L, 1.0)))
+    // a 1-cell probe can only lose candidates: recall <= 1, one row
+    // per query either way
+    val narrow = Ann.recallAtK(queries, emb, k = 3, centroids,
+      nprobe = 1, excludeSelf = true)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(narrow.map(_._1) == Seq(0L, 1L))
+    assert(narrow.forall(r => r._2 >= 0L && r._2 <= 3L && r._3 == r._2 / 3.0))
+  }
+
+  test("mixture sample: shortest-falling stratum keeps all, recipe-less drops") {
+    // natural 40/10 vs targets big=0.3, small=0.7: ratio small is
+    // larger, so small keeps all and big thins to (0.3/40)/(0.7/10)
+    val rows = (1L to 40L).map(i => (i, "big", s"doc number $i words")) ++
+      (41L to 50L).map(i => (i, "small", s"doc number $i words")) ++
+      (51L to 60L).map(i => (i, "mid", s"doc number $i words"))
+    val d = rows.toDF("doc_id", "source", "text")
+    val out = graft.llm.Splitting.mixtureSample(d,
+      Map("big" -> 0.3, "small" -> 0.7))
+    val kept = out.filter($"kept" === 1).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept("small") == 10L)            // rate 1.0 -> 'g' sentinel
+    assert(kept("big") < 40L)               // rate ~0.107, hash-exact
+    assert(!kept.contains("mid"))           // not in the recipe: dropped
+    // determinism and null-stratum exclusion
+    val again = graft.llm.Splitting.mixtureSample(d,
+      Map("big" -> 0.3, "small" -> 0.7)).filter($"kept" === 1).count()
+    assert(again == out.filter($"kept" === 1).count())
+    val withNull = rows.map { case (i, s, t) =>
+      (i, if (s == "mid") null else s, t) }.toDF("doc_id", "source", "text")
+    assert(graft.llm.Splitting.mixtureSample(withNull,
+        Map("big" -> 0.3, "small" -> 0.7))
+      .filter($"source".isNull && $"kept" === 1).count() == 0L)
+    // a recipe that matches NO stratum in the data keeps nothing
+    assert(graft.llm.Splitting.mixtureSample(d, Map("ghost" -> 1.0))
+      .filter($"kept" === 1).count() == 0L)
+    intercept[IllegalArgumentException] {
+      graft.llm.Splitting.mixtureSample(d, Map("big" -> -0.1))
+    }
+  }
+
+  test("shuffle order: a deterministic permutation, salt reshuffles") {
+    val d = (1L to 200L).map(i => (i, s"doc number $i words"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Splitting.shuffleOrder(d)
+      .select($"doc_id", $"shard", $"pos")
+      .as[(Long, String, Long)].collect().toSeq
+    // every row has a coordinate; (shard, pos) is a bijection with
+    // contiguous per-shard positions starting at 1
+    assert(out.length == 200)
+    assert(out.map(r => (r._2, r._3)).distinct.length == 200)
+    out.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted == (1L to rows.length).toSeq)
+    }
+    // re-run identical; new salt is a different permutation
+    val again = graft.llm.Splitting.shuffleOrder(d)
+      .select($"doc_id", $"shard", $"pos")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(again.sortBy(_._1) == out.sortBy(_._1))
+    val other = graft.llm.Splitting.shuffleOrder(d, salt = "shuffle-v2")
+      .select($"doc_id", $"shard", $"pos")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(other.sortBy(_._1) != out.sortBy(_._1))
+    // null text: null shard, ranked by id among themselves
+    val withNull = Seq((1L, "alpha"), (2L, null: String), (3L, null: String))
+      .toDF("doc_id", "text")
+    val nl = graft.llm.Splitting.shuffleOrder(withNull)
+      .filter($"shard".isNull).select($"doc_id", $"pos")
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(nl == Seq((2L, 1L), (3L, 2L)))
+  }
+
+  test("length histogram: exact log2 buckets, integer stats, null text") {
+    val d = Seq(
+      (1L, "a", "one"),                              // 1 token  -> bucket 1
+      (2L, "a", "two words"),                        // 2        -> bucket 2
+      (3L, "a", "three words here"),                 // 3        -> bucket 2
+      (4L, "a", Seq.fill(4)("w").mkString(" ")),     // 4        -> bucket 3
+      (5L, "a", Seq.fill(8)("w").mkString(" ")),     // 8        -> bucket 4
+      (6L, "b", Seq.fill(7)("w").mkString(" ")),     // 7        -> bucket 3
+      (7L, "b", null: String)                        // null     -> bucket 0
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.lengthHistogram(d)
+      .as[(String, Int, Long, Long, Int, Int)].collect().toSet
+    assert(got == Set(
+      ("a", 1, 1L, 1L, 1, 1),
+      ("a", 2, 2L, 5L, 2, 3),
+      ("a", 3, 1L, 4L, 4, 4),
+      ("a", 4, 1L, 8L, 8, 8),
+      ("b", 3, 1L, 7L, 7, 7),
+      ("b", 0, 1L, 0L, 0, 0)))
+  }
 }
