@@ -144,6 +144,43 @@ object SparkEntry {
     * directly, q_d_dedup_e2e chains component propagation onto it.
     * `bndk` mirrors the Spark side's maxBucketSize=1000 band-bucket
     * cut, so a bucket above the cap at larger SF cannot break parity. */
+  /** Unrolled BPE-training oracle: `rounds` chained CTE stages, each
+    * recomputing the pair argmax from the previous segmentation and
+    * applying the merge with plain replace() on the chr(1)-wrapped
+    * symbol string - the exact string operation the Spark side runs,
+    * so the left-to-right non-overlapping merge order agrees. */
+  private def bpeTrainSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS (
+           SELECT wc, syms[i] AS l, syms[i + 1] AS r FROM (
+             SELECT wc,
+               string_split(trim(seg, chr(1)), chr(1) || chr(1)) AS syms,
+               unnest(range(1, len(string_split(trim(seg, chr(1)),
+                 chr(1) || chr(1))))) AS i
+             FROM seg${r - 1})),
+         m$r AS (SELECT l, r, CAST(sum(wc) AS BIGINT) AS n FROM p$r
+           GROUP BY l, r ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+         seg$r AS (SELECT s.wc,
+             replace(s.seg, chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+               chr(1) || m.l || m.r || chr(1)) AS seg
+           FROM seg${r - 1} s CROSS JOIN m$r m)"""
+    }.mkString(",\n         ")
+    val union = (1 to rounds).map { r =>
+      s"""SELECT $r AS "round", l AS "left", r AS "right", n FROM m$r"""
+    }.mkString("\n           UNION ALL ")
+    s"""WITH t AS (SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
+             AS w
+           FROM documents),
+         w AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM t
+           WHERE NOT contains(w, chr(1)) GROUP BY w),
+         seg0 AS (SELECT wc,
+             regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g') AS seg
+           FROM w),
+         $stages
+         $union"""
+  }
+
   private def minhashMd5CtesSql: String =
     """w AS (SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
@@ -1132,6 +1169,12 @@ object SparkEntry {
     // word-frequency table, top-k merge candidates under a total order
     "q_t_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(t(s, dir, "documents"), 100)),
+
+    // tokenizer training, the FULL loop: 6 BPE rounds (re-segment under
+    // learned merges -> recount pairs -> adopt the argmax); the result
+    // is the learned merge table a tokenizer ships
+    "q_t_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), rounds = 6)),
 
     // best-5-docs-per-source curation by quality score (total order,
     // per-stratum window rank - no global sort)
@@ -2273,6 +2316,9 @@ object SparkEntry {
          agg AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n
            FROM p GROUP BY pair)
          SELECT pair, n FROM agg ORDER BY n DESC, pair ASC LIMIT 100""",
+
+    // the full 6-round training loop recomputed as unrolled CTE stages
+    "q_t_bpe_train" -> bpeTrainSql(6),
 
     // per-source top-5 by the q_t_quality score formula; identical
     // per-row double arithmetic in both engines makes the ordering

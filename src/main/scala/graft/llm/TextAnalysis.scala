@@ -58,6 +58,80 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Tokenizer training, the full loop: `rounds` BPE iterations over
+    * the corpus vocabulary. Each round re-segments every distinct word
+    * under the merges learned so far, recounts adjacent symbol pairs
+    * weighted by word frequency ([[bpePairCounts]]'s hot loop), and
+    * adopts the (n desc, left asc, right asc) argmax as the round's
+    * merge rule. Returns the learned merge table
+    * (round, left, right, n) - the model a BPE tokenizer ships.
+    *
+    * Representation: a word's segmentation is ONE string - symbols
+    * wrapped in U+0001 separators - so applying a
+    * merge is a single non-regex `replace` of ^L^^R^ with ^LR^, whose
+    * left-to-right non-overlapping scan IS the BPE merge order, and
+    * whose semantics are identical in any engine ("aaa" + merge(a,a)
+    * -> [aa, a]). No per-row lambda fold, no UDF.
+    *
+    * Scale shape: the corpus collapses to the distinct-word frequency
+    * table ONCE (the only corpus-sized pass, one shuffle); every round
+    * then runs over the vocab-sized frame (persisted - each round's
+    * job would otherwise replay the corpus scan plus all prior
+    * rounds). Only the per-round argmax row reaches the driver - the
+    * merge table IS driver-side model state, exactly like
+    * [[Ann.kmeansCentroids]]'s centroids. Words containing the
+    * separator byte are dropped (precondition, vanishingly rare in
+    * text); training stops early when no pair remains. */
+  def bpeTrain(df: DataFrame, rounds: Int,
+               textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds $rounds outside [1, 64]")
+    val sep = "\u0001"
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(normalizedWords(col(textCol))).as("w"))
+      .filter(!col("w").contains(sep))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    var seg = words
+      .select(col("wc"),
+        regexp_replace(col("w"), "(.)", s"$sep$$1$sep").as("seg"))
+      .persist()
+    seg.count() // materialize before the loop re-reads it per round
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      val syms = split(
+        regexp_replace(col("seg"), s"^$sep|$sep$$", ""), s"$sep$sep")
+      val top = seg
+        .select(col("wc"), syms.as("__syms"))
+        .filter(size(col("__syms")) >= 2)
+        .select(col("wc"), explode(
+          transform(sequence(lit(1), size(col("__syms")) - 1),
+            i => struct(element_at(col("__syms"), i).as("l"),
+              element_at(col("__syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      top.headOption match {
+        case None => dry = true
+        case Some((l, rr, n)) =>
+          merges += ((r, l, rr, n))
+          val next = seg
+            .withColumn("seg", org.apache.spark.sql.functions.replace(
+              col("seg"), lit(s"$sep$l$sep$sep$rr$sep"), lit(s"$sep$l$rr$sep")))
+            .persist()
+          next.count()
+          seg.unpersist()
+          seg = next
+          r += 1
+      }
+    }
+    seg.unpersist()
+    merges.toSeq.toDF("round", "left", "right", "n")
+  }
+
   /** Quality-scoring feature columns (length / punctuation / stopword
     * ratios and friends). Returns the input plus feature columns; the
     * composite `quality_score` is a simple monotone blend in [0,1]. */

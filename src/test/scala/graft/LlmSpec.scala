@@ -1363,6 +1363,25 @@ class LlmSpec extends SparkSpec {
     assert(nl == Seq((2L, 1L), (3L, 2L)))
   }
 
+  test("bpe training loop: hand-computed merges, overlap order, early stop") {
+    // vocab aaab:3, ab:2. Round 1: pairs (a,a)=6 (two per 'aaab'),
+    // (a,b)=5 -> merge (a,a). Left-to-right: 'aaab' -> [aa, a, b].
+    // Round 2: (aa,a)=3, (a,b)=5 -> merge (a,b) -> [aa, ab] / [ab].
+    // Round 3: (aa,ab)=3 -> merge. Round 4: no pairs -> early stop.
+    val d = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(d, rounds = 5)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1, "a", "a", 6L),
+      (2, "a", "b", 5L),
+      (3, "aa", "ab", 3L)))
+    // tie on n: (l asc, r asc) breaks it deterministically
+    val tie = Seq((1L, "xy yx")).toDF("doc_id", "text")
+    val first = TextAnalysis.bpeTrain(tie, rounds = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(first == Seq((1, "x", "y", 1L)))
+  }
+
   test("length histogram: exact log2 buckets, integer stats, null text") {
     val d = Seq(
       (1L, "a", "one"),                              // 1 token  -> bucket 1
