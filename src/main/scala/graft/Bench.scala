@@ -21,10 +21,33 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
 
+    // WITHIN-pass trim, run every SPARK_GRAFT_TRIM_EVERY queries
+    // (default 16; 0 disables): several operators persist() internal
+    // frames with "cache lifecycle is the caller's" (Dedup shingle
+    // frames, PrepPipeline scrub, BPE rounds), so one full pass used to
+    // accumulate every query's cached blocks - heap/GC pressure that the
+    // r06 driver session showed as a warm pass SLOWER than cold. The trim
+    // drops those blocks but KEEPS checkpointed RDDs: the session memo
+    // (pipeline/agr/minhash_md5 families) roots its shared results at
+    // localCheckpoint RDDs, which cannot recompute once unpersisted, and
+    // memo consumers are not adjacent in pass order (q_split_leakage_safe
+    // reads the minhash memo built ~40 queries earlier). Plain persists
+    // are recomputable by plan, so dropping them mid-pass only ever
+    // costs a recompute, never correctness.
+    val trimEvery = sys.env.getOrElse("SPARK_GRAFT_TRIM_EVERY", "16").toInt
+    def trimPassState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed)
+        .foreach(_.unpersist(blocking = false))
+    }
+
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
-        .map { case (name, fn) =>
+        .zipWithIndex
+        .map { case ((name, fn), i) =>
+        if (trimEvery > 0 && i > 0 && i % trimEvery == 0) trimPassState()
         val t0 = System.nanoTime()
         // noop write forces full evaluation of every column (a bare count()
         // would let Catalyst prune the work away)
@@ -50,15 +73,22 @@ object Bench {
         .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
     }
 
-    // two full passes: the first carries JVM/codegen/classloader warmup.
-    // Headline per-query numbers are the per-query MIN of the two passes
-    // (a plan's steady-state cost; multi-job flagship queries showed
-    // +-25% run-to-run GC/materialization noise on the plain second
-    // pass). Both pass totals ride along for reference.
-    val cold = pass()
-    resetPassState()
-    val warm = pass()
-    val best = cold.zip(warm).map { case ((k, c), (_, w)) => k -> math.min(c, w) }
+    // N full passes (SPARK_GRAFT_PASSES, default 2): the first carries
+    // JVM/codegen/classloader warmup. Headline per-query numbers are the
+    // per-query MIN across passes (a plan's steady-state cost; multi-job
+    // flagship queries showed +-25% run-to-run GC/materialization noise
+    // on the plain second pass). First/last pass totals ride along for
+    // reference as cold_total/warm_total.
+    val nPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    val passes = (1 to nPasses).map { i =>
+      if (i > 1) resetPassState()
+      pass()
+    }
+    val cold = passes.head
+    val warm = passes.last
+    val best = passes.tail.foldLeft(cold) { (acc, p) =>
+      acc.zip(p).map { case ((k, a), (_, b)) => k -> math.min(a, b) }
+    }
     // ms precision and cost-descending order: the harness keeps only the
     // TAIL of stdout, so the compact line puts expensive queries first -
     // truncation can only ever drop sub-ms noise. The complete record is

@@ -67,7 +67,10 @@ object SparkEntry {
     * shares no subtree with the shingle-permutation signatures here. */
   private def minhashMd5PairsShared(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Memo.once(s, s"minhash_md5_pairs:$dir") {
-      Dedup.minhashMd5Pairs(t(s, dir, "documents")).localCheckpoint()
+      // the Checkpointed variant materializes eagerly AND releases the
+      // operator-internal shingle cache - only the O(pairs) checkpoint
+      // outlives this call (see Dedup.minhashMd5PairsCheckpointed)
+      Dedup.minhashMd5PairsCheckpointed(t(s, dir, "documents"))
     }
 
   // decimal-exact sum: cast before and after so Spark and DuckDB agree
@@ -3067,8 +3070,13 @@ object SparkEntry {
           d AS (SELECT DISTINCT a.vec_id AS vid
                 FROM c a JOIN c b
                   ON a.ivf_cell = b.ivf_cell AND b.vec_id < a.vec_id
-                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                        CAST(b.embedding AS DOUBLE[])) >= 0.4)
+                WHERE CASE WHEN list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(a.embedding AS DOUBLE[])) = 0
+                         OR list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) = 0
+                      THEN 0.0
+                      ELSE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) END >= 0.4)
           SELECT c.vec_id, c.ivf_cell, CAST(d.vid IS NULL AS INT) AS kept
           FROM c LEFT JOIN d ON d.vid = c.vec_id"""
     },
@@ -3095,8 +3103,13 @@ object SparkEntry {
          hits AS (
            SELECT DISTINCT p.id FROM probe p JOIN bench b
              ON b.cell = p.cell
-           WHERE list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
-                   CAST(b.bv AS DOUBLE[])) >= 0.35)
+           WHERE CASE WHEN list_dot_product(CAST(p.qv AS DOUBLE[]),
+                         CAST(p.qv AS DOUBLE[])) = 0
+                    OR list_dot_product(CAST(b.bv AS DOUBLE[]),
+                         CAST(b.bv AS DOUBLE[])) = 0
+                 THEN 0.0
+                 ELSE list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                        CAST(b.bv AS DOUBLE[])) END >= 0.35)
          SELECT c.vec_id, CAST(h.id IS NOT NULL AS INT) AS contaminated
          FROM (SELECT vec_id FROM embeddings WHERE vec_id % 20 <> 7) c
          LEFT JOIN hits h ON h.id = c.vec_id"""

@@ -408,12 +408,40 @@ object Dedup {
   def minhashMd5Pairs(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", k: Int = 16, bands: Int = 8,
                       shingleN: Int = 3, threshold: Double = 0.5,
-                      maxBucketSize: Int = 1000): DataFrame = {
+                      maxBucketSize: Int = 1000): DataFrame =
+    minhashMd5PairsImpl(df, idCol, textCol, k, bands, shingleN, threshold,
+      maxBucketSize)._1
+
+  /** [[minhashMd5Pairs]], materialized via localCheckpoint with the
+    * internal shingle cache released before returning. The lazy variant
+    * persists a shingle frame whose only reclamation path is a global
+    * `spark.catalog.clearCache()` (the frame is internal, so the caller
+    * holds no handle to unpersist) - long sessions that call it
+    * repeatedly accumulate cached shingle partitions. Use this variant
+    * when the pair list will be consumed more than once (SparkEntry's
+    * session memo does): the eager checkpoint pins ONLY the O(pairs)
+    * result, and the O(corpus) shingle blocks are freed immediately. */
+  def minhashMd5PairsCheckpointed(df: DataFrame, idCol: String = "doc_id",
+                                  textCol: String = "text", k: Int = 16,
+                                  bands: Int = 8, shingleN: Int = 3,
+                                  threshold: Double = 0.5,
+                                  maxBucketSize: Int = 1000): DataFrame = {
+    val (pairs, withSh) = minhashMd5PairsImpl(df, idCol, textCol, k, bands,
+      shingleN, threshold, maxBucketSize)
+    try pairs.localCheckpoint() // eager: materializes before the finally
+    finally withSh.unpersist(blocking = false)
+  }
+
+  private def minhashMd5PairsImpl(df: DataFrame, idCol: String,
+                                  textCol: String, k: Int, bands: Int,
+                                  shingleN: Int, threshold: Double,
+                                  maxBucketSize: Int): (DataFrame, DataFrame) = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
     // persisted: three consumers (signature build + both verify joins)
     // would each re-run the scan and shingle pass otherwise. Lifecycle
-    // is the caller's, as in [[removeBoilerplateChunks]].
+    // is the caller's, as in [[removeBoilerplateChunks]] - prefer
+    // [[minhashMd5PairsCheckpointed]] when the result outlives the call.
     val withSh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
       .persist()
@@ -440,7 +468,7 @@ object Dedup {
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard")) -> withSh
   }
 
   /** Sub-document boilerplate removal (CCNet-style chunk dedup): split

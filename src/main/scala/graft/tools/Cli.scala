@@ -92,6 +92,20 @@ object Cli {
       System.err.println("ERROR: --hcop and --ncbi must be given together")
       return -1
     }
+    // Source-file flags must match the flow that reads them: --alliance
+    // is only read by --agrOrthologs, --hcop/--ncbi only by the
+    // --species flows (--agrOrthologs short-circuits before relationsFor
+    // and --fixXRefDataSet never builds relations). A silently-ignored
+    // input file is worse than an error - the user believes the load ran
+    // against their data.
+    if (alliancePath.isDefined && !agrOrthologs) {
+      System.err.println("ERROR: --alliance is only read by the --agrOrthologs flow")
+      return -1
+    }
+    if (hcopPath.isDefined && (agrOrthologs || fixXref)) {
+      System.err.println("ERROR: --hcop/--ncbi are only read by the --species flows")
+      return -1
+    }
 
     val runTs = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")
     val now = java.sql.Timestamp.valueOf("2026-08-12 00:00:00")

@@ -47,4 +47,16 @@ class E2eSpec extends SparkSpec {
     assert(graft.tools.Cli.run(Array(
       "--species", "rat", "--hcop", "x.tsv"), spark) == -1)
   }
+
+  test("a source-file flag on a flow that will not read it is a usage error") {
+    // --alliance feeds only the --agrOrthologs flow
+    assert(graft.tools.Cli.run(Array(
+      "--species", "rat", "--alliance", "x.tsv"), spark) == -1)
+    // --hcop/--ncbi feed only the --species flows
+    assert(graft.tools.Cli.run(Array(
+      "--agrOrthologs", "--hcop", "x.tsv", "--ncbi", "y.tsv"), spark) == -1)
+    assert(graft.tools.Cli.run(Array(
+      "--species", "rat", "--fixXRefDataSet",
+      "--hcop", "x.tsv", "--ncbi", "y.tsv"), spark) == -1)
+  }
 }
