@@ -73,6 +73,18 @@ object SparkEntry {
       Dedup.minhashMd5PairsCheckpointed(t(s, dir, "documents"))
     }
 
+  /** Trained BPE merge table (6 rounds over `documents`), computed once
+    * per (session, sf dir) and shared by q_t_bpe_train and
+    * q_t_bpe_encode. Training is a driver-side loop whose product is
+    * model state (the kmeans-centroid pattern), so the memo holds the
+    * collected rows, not a plan. */
+  private def bpeMergesShared(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    graft.pipeline.Memo.once(s, s"bpe_merges:$dir") {
+      import s.implicits._
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), rounds = 6)
+        .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    }
+
   // decimal-exact sum: cast before and after so Spark and DuckDB agree
   // on both value and arrow type (decimal(18,2))
   private def dsum(c: Column): Column =
@@ -182,6 +194,89 @@ object SparkEntry {
            FROM w),
          $stages
          $union"""
+  }
+
+  /** BPE-ENCODE oracle: replays [[bpeTrainSql]]'s merge chain but
+    * carries the word through every seg stage (LEFT JOIN ON TRUE so a
+    * dry round keeps the segmentation instead of emptying it), then
+    * rebuilds the induced vocabulary (corpus chars asc, then merge
+    * products in round order, first id wins on a re-created token),
+    * encodes each distinct word, and reassembles per-doc csv token ids
+    * in word order - the exact chain TextAnalysis.bpeEncode runs. */
+  private def bpeEncodeSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS (
+           SELECT wc, syms[i] AS l, syms[i + 1] AS r FROM (
+             SELECT wc,
+               string_split(trim(seg, chr(1)), chr(1) || chr(1)) AS syms,
+               unnest(range(1, len(string_split(trim(seg, chr(1)),
+                 chr(1) || chr(1))))) AS i
+             FROM seg${r - 1})),
+         m$r AS (SELECT l, r FROM p$r
+           GROUP BY l, r ORDER BY CAST(sum(wc) AS BIGINT) DESC, l ASC, r ASC
+           LIMIT 1),
+         seg$r AS (SELECT s.w, s.wc,
+             CASE WHEN m.l IS NULL THEN s.seg
+                  ELSE replace(s.seg,
+                    chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+                    chr(1) || m.l || m.r || chr(1)) END AS seg
+           FROM seg${r - 1} s LEFT JOIN m$r m ON TRUE)"""
+    }.mkString(",\n         ")
+    val mu = (1 to rounds)
+      .map(r => s"SELECT $r AS rnd, l, r FROM m$r")
+      .mkString("\n           UNION ALL ")
+    s"""WITH t AS (SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
+             AS w
+           FROM documents),
+         w AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM t
+           WHERE NOT contains(w, chr(1)) GROUP BY w),
+         seg0 AS (SELECT w, wc,
+             regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g') AS seg
+           FROM w),
+         $stages,
+         toks AS (SELECT w,
+             string_split(trim(seg, chr(1)), chr(1) || chr(1)) AS toks
+           FROM seg$rounds),
+         chars AS (SELECT DISTINCT substr(w, i, 1) AS tok FROM w,
+             LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+         mu AS ($mu),
+         v0 AS (SELECT tok, 0 AS grp, tok AS ord FROM chars
+           UNION ALL
+           SELECT l || r AS tok, 1 AS grp,
+                  lpad(CAST(rnd AS VARCHAR), 6, '0') AS ord
+           FROM mu),
+         v1 AS (SELECT tok,
+             CAST(row_number() OVER (ORDER BY grp, ord) - 1 AS INT) AS id
+           FROM v0),
+         vocab AS (SELECT tok, id FROM (
+             SELECT tok, id,
+                    row_number() OVER (PARTITION BY tok ORDER BY id) AS rn
+             FROM v1)
+           WHERE rn = 1),
+         enc AS (SELECT t0.w,
+             array_to_string(list(CAST(v.id AS VARCHAR) ORDER BY t0.i), ',')
+               AS ids_csv,
+             CAST(count(*) AS INT) AS n
+           FROM (SELECT w, i, toks[i] AS tok FROM toks,
+               LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)) t0
+           JOIN vocab v ON v.tok = t0.tok
+           GROUP BY t0.w),
+         d AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+         dw AS (SELECT doc_id, i, ws[i] AS w FROM d,
+             LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)
+           WHERE NOT contains(ws[i], chr(1))),
+         agg AS (SELECT dw.doc_id,
+             CAST(sum(e.n) AS INT) AS n_tokens,
+             string_agg(e.ids_csv, ',' ORDER BY dw.i) AS token_csv
+           FROM dw JOIN enc e ON e.w = dw.w
+           GROUP BY dw.doc_id)
+         SELECT d0.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                coalesce(a.token_csv, '') AS token_csv
+         FROM (SELECT doc_id FROM documents) d0
+         LEFT JOIN agg a ON a.doc_id = d0.doc_id"""
   }
 
   private def minhashMd5CtesSql: String =
@@ -1057,6 +1152,20 @@ object SparkEntry {
         strataCol = "stratum")
         .select(col("doc_id"), col("stratum"), col("kept"))),
 
+    // repetition/upsampling mixture over the same recipe: small's 70%
+    // target sits far above its 10% natural share -> integer copies
+    // (floor(rate) + hash-fractional extra); big is the keep-once
+    // reference, mid is out of recipe (0 copies)
+    "q_sample_mixture_up" -> ((s, dir) =>
+      graft.llm.Splitting.mixtureRepeat(
+        t(s, dir, "documents").withColumn("stratum",
+          when(pmod(col("doc_id"), lit(10)) < 7, "big")
+            .when(pmod(col("doc_id"), lit(10)) < 9, "mid")
+            .otherwise("small")),
+        weights = Map("big" -> 0.3, "small" -> 0.7),
+        strataCol = "stratum")
+        .select(col("doc_id"), col("stratum"), col("copies"))),
+
     // deterministic training-order shuffle: content-hash shard + rank
     // within shard - a reproducible permutation with no global sort
     "q_shuffle_order" -> ((s, dir) =>
@@ -1175,9 +1284,23 @@ object SparkEntry {
 
     // tokenizer training, the FULL loop: 6 BPE rounds (re-segment under
     // learned merges -> recount pairs -> adopt the argmax); the result
-    // is the learned merge table a tokenizer ships
-    "q_t_bpe_train" -> ((s, dir) =>
-      TextAnalysis.bpeTrain(t(s, dir, "documents"), rounds = 6)),
+    // is the learned merge table a tokenizer ships (memo-shared with
+    // q_t_bpe_encode - train once, encode under the trained model)
+    "q_t_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      bpeMergesShared(s, dir).toDF("round", "left", "right", "n")
+    }),
+
+    // tokenizer APPLICATION: encode every document under the trained
+    // merge table - per-doc token ids (csv for a cross-engine-stable
+    // compare) + n_tokens, the train -> encode -> pack chain's middle
+    "q_t_bpe_encode" -> ((s, dir) => {
+      val merges = bpeMergesShared(s, dir).map { case (_, l, r, _) => (l, r) }
+      TextAnalysis.bpeEncode(t(s, dir, "documents"), merges)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(transform(col("token_ids"), i => i.cast("string")), ",")
+            .as("token_csv"))
+    }),
 
     // best-5-docs-per-source curation by quality score (total order,
     // per-stratum window rank - no global sort)
@@ -1935,6 +2058,46 @@ object SparkEntry {
                   < coalesce(cut.cutoff, '00000000') AS INT) AS kept
          FROM d LEFT JOIN cut ON cut.stratum = d.stratum""",
 
+    // upsampling mixture recomputed: rate = round(least(ratio /
+    // min_positive(ratio), 64), 6) >= 1, copies = floor(rate) + the
+    // hash-fractional extra under the shared 32-bit cutoff chain;
+    // out-of-recipe strata get 0 copies
+    "q_sample_mixture_up" ->
+      """WITH d AS (SELECT doc_id, text,
+             CASE WHEN doc_id % 10 < 7 THEN 'big'
+                  WHEN doc_id % 10 < 9 THEN 'mid'
+                  ELSE 'small' END AS stratum
+           FROM documents),
+         c AS (SELECT stratum, count(*) AS n FROM d
+           WHERE stratum IS NOT NULL GROUP BY stratum),
+         r0 AS (SELECT stratum,
+             (CASE WHEN stratum = 'big' THEN 0.3
+                   WHEN stratum = 'small' THEN 0.7
+                   ELSE 0.0 END) / CAST(n AS DOUBLE) AS ratio
+           FROM c),
+         r AS (SELECT stratum,
+             CASE WHEN ratio = 0
+                    OR (SELECT min(ratio) FROM r0 WHERE ratio > 0) IS NULL
+                  THEN 0.0
+                  ELSE round(least(
+                    ratio / (SELECT min(ratio) FROM r0 WHERE ratio > 0),
+                    64.0), 6) END AS rate
+           FROM r0),
+         cut AS (SELECT stratum,
+             CAST(floor(rate) AS INT) AS base,
+             CASE WHEN round((rate - floor(rate)) * 4294967296.0)
+                    >= 4294967296.0
+                  THEN 'g'
+                  ELSE lower(lpad(hex(CAST(
+                    round((rate - floor(rate)) * 4294967296.0)
+                    AS BIGINT)), 8, '0')) END AS fcut
+           FROM r)
+         SELECT d.doc_id, d.stratum,
+                coalesce(cut.base, 0)
+                  + CAST(substr(md5('mixrep-v1' || d.text), 1, 8)
+                      < coalesce(cut.fcut, '00000000') AS INT) AS copies
+         FROM d LEFT JOIN cut ON cut.stratum = d.stratum""",
+
     // training-order shuffle recomputed: same salted hash, first hex
     // char as the shard, rank of (full hash, id) within the shard
     "q_shuffle_order" ->
@@ -2322,6 +2485,10 @@ object SparkEntry {
 
     // the full 6-round training loop recomputed as unrolled CTE stages
     "q_t_bpe_train" -> bpeTrainSql(6),
+
+    // BPE encode replayed end-to-end: merge chain -> induced vocabulary
+    // -> per-word ids -> per-doc csv reassembly in word order
+    "q_t_bpe_encode" -> bpeEncodeSql(6),
 
     // per-source top-5 by the q_t_quality score formula; identical
     // per-row double arithmetic in both engines makes the ordering

@@ -185,6 +185,75 @@ object Splitting {
       .drop("__stratum", "__cutoff")
   }
 
+  /** Repetition/upsampling mixture policy - the complement of
+    * [[mixtureSample]]: realize target proportions whose weight sits
+    * ABOVE a stratum's natural share by integer repetition. Rates are
+    * normalized so the most over-represented in-recipe stratum keeps
+    * exactly one copy - rate_s = (w_s / n_s) / min_t>0(w_t / n_t) >= 1
+    * - and every other stratum repeats toward the recipe:
+    * `copies = floor(rate) + (1 if hash-fraction else 0)`, where the
+    * fractional extra copy reuses the [[rateCutoffHex]] 32-bit cutoff
+    * against the salted content hash, so expected copies equal the rate
+    * and the decision is a pure content function (re-runs, row order,
+    * and partitioning reproduce the mixture exactly). Strata absent
+    * from `weights` - and null strata - get 0 copies ("not in the
+    * recipe" is an exclusion, as in mixtureSample).
+    *
+    * Adds `sample_bucket` and integer `copies`; callers realize the
+    * repetition with `explode(sequence(lit(1), col("copies")))`, whose
+    * expansion is bounded by ceil(max rate) <= ceil(`maxRate`) - the
+    * clamp keeps a pathological recipe (2-row stratum targeted at 50%)
+    * from exploding a stratum by millions. Rates quantized to 6
+    * decimals like mixtureSample, so any md5-capable engine replays the
+    * copy counts bit-for-bit. One count aggregate + broadcast cutoff
+    * join + map pass - no data-sized shuffle. */
+  def mixtureRepeat(df: DataFrame, weights: Map[String, Double],
+                    strataCol: String = "source",
+                    contentCol: String = "text",
+                    salt: String = "mixrep-v1",
+                    maxRate: Double = 64.0): DataFrame = {
+    require(weights.values.forall(_ >= 0.0),
+      s"negative mixture weight in $weights")
+    require(weights.values.exists(_ > 0.0),
+      "mixture needs at least one positive weight")
+    require(maxRate >= 1.0, s"maxRate $maxRate < 1")
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val wcol = weights.foldLeft(lit(0.0)) {
+      case (rest, (stratum, wgt)) =>
+        when(col("__stratum") === stratum, lit(wgt)).otherwise(rest)
+    }
+    val frac = col("__rate") - floor(col("__rate"))
+    val rounded = round(frac * 4294967296.0)
+    val cutDf = counts
+      .withColumn("__ratio", wcol / col("__n").cast("double"))
+      .withColumn("__rmin",
+        min(when(col("__ratio") > 0, col("__ratio")))
+          .over(Window.partitionBy()))
+      // __rmin null only when NO in-recipe stratum has rows - then
+      // nothing repeats (rate 0 for every stratum)
+      .withColumn("__rate",
+        when(col("__ratio") === 0 || col("__rmin").isNull, lit(0.0))
+          .otherwise(round(least(col("__ratio") / col("__rmin"),
+            lit(maxRate)), 6)))
+      .withColumn("__base", floor(col("__rate")).cast("int"))
+      .withColumn("__fcut",
+        // unreachable at 6-decimal quantization (max frac 0.999999
+        // rounds below 2^32) but kept symmetric with rateCutoffHex
+        when(rounded >= 4294967296.0, lit("g"))
+          .otherwise(lower(lpad(hex(rounded.cast("long")), 8, "0"))))
+      .select(col("__stratum"), col("__base"), col("__fcut"))
+    val bucket = substring(
+      md5(concat(lit(salt), col(contentCol)).cast("binary")), 1, 8)
+    df.join(broadcast(cutDf), col(strataCol) === col("__stratum"), "left")
+      .withColumn("sample_bucket", bucket)
+      .withColumn("copies",
+        coalesce(col("__base"), lit(0)) +
+          (bucket < coalesce(col("__fcut"), lit("00000000"))).cast("int"))
+      .drop("__stratum", "__base", "__fcut")
+  }
+
   /** Deterministic global "shuffle" for training order: every row gets
     * a (shard, pos) coordinate that is a pure function of its content -
     * shard = first `shardHexChars` of md5(salt || content) (16^c

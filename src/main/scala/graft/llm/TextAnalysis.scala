@@ -132,6 +132,101 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "left", "right", "n")
   }
 
+  /** Tokenizer application: encode the corpus under a TRAINED merge
+    * table ([[bpeTrain]]'s `(left, right)` rules in round order) and
+    * emit per document the token-id sequence plus its length - the
+    * train -> encode -> pack chain a tokenizer pipeline ships.
+    *
+    * Semantics: a word's segmentation starts as single characters and
+    * applies each merge in training order as ONE left-to-right
+    * non-overlapping `replace` over the U+0001-separated symbol string -
+    * the exact operation [[bpeTrain]]'s rounds apply, so
+    * `encode(train(corpus))` reproduces training's final segmentation
+    * symbol-for-symbol. Token ids come from the induced vocabulary:
+    * corpus characters first (sorted ascending), then one id per merge
+    * in round order; when a later merge re-creates an existing token
+    * string (e.g. (a,bc) after (ab,c) both form "abc"), the FIRST id
+    * wins, so ids are a function of the vocabulary alone.
+    *
+    * Output: `idCol`, `n_tokens` (int), `token_ids` (array<int> in
+    * document word order; words split the id stream in reading order).
+    * Documents with no words (null/empty text) keep a row with
+    * `n_tokens = 0` and an empty array. Words containing the U+0001
+    * separator are dropped, mirroring [[bpeTrain]]'s precondition.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-word frame
+    * before any per-character work (the [[bpeTrain]] pattern) - the
+    * merge-application chain (<= 64 codegen'd `replace` calls in one
+    * projection) and the per-word id lookup run over |vocabulary| rows,
+    * not |tokens|. The vocabulary (chars + one row per merge) is
+    * config-sized and broadcasts; its id assignment runs a
+    * single-partition window over that config-sized frame only. The
+    * only corpus-sized work is the tokenize-explode, one equi-join
+    * against the encoded word frame (word-hash shuffle), and the
+    * per-doc reassembly aggregation - the same two-shuffle shape as
+    * any tokenize pass. */
+  def bpeEncode(df: DataFrame, merges: Seq[(String, String)],
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(merges.size <= 4096, s"merge table size ${merges.size} > 4096")
+    require(merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty },
+      "empty symbol in merge table")
+    val sep = "\u0001"
+    val words = df.select(explode(normalizedWords(col(textCol))).as("w"))
+      .filter(!col("w").contains(sep))
+      .distinct()
+    val seg0 = regexp_replace(col("w"), "(.)", s"$sep$$1$sep")
+    val segN = merges.foldLeft(seg0) { case (acc, (l, r)) =>
+      org.apache.spark.sql.functions.replace(
+        acc, lit(s"$sep$l$sep$sep$r$sep"), lit(s"$sep$l$r$sep"))
+    }
+    val toks = split(regexp_replace(segN, s"^$sep|$sep$$", ""), s"$sep$sep")
+    // vocabulary: corpus chars (grp 0, ordered by char) then merge
+    // products (grp 1, ordered by round); duplicate token strings keep
+    // the first id. Both frames are vocabulary/config-sized, so the
+    // unpartitioned windows are driver-bounded by construction.
+    val chars = words.select(explode(transform(
+        sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1)))).as("tok"))
+      .distinct()
+      .select(col("tok"), lit(0).as("grp"), col("tok").as("ord"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mergedToks = merges.zipWithIndex
+      .map { case ((l, r), i) => (l + r, 1, f"${i + 1}%06d") }
+      .toDF("tok", "grp", "ord")
+    val wId = org.apache.spark.sql.expressions.Window
+      .orderBy(col("grp"), col("ord"))
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok")).orderBy(col("id"))
+    val vocab = chars.union(mergedToks)
+      .withColumn("id", (row_number().over(wId) - 1).cast("int"))
+      .withColumn("__rn", row_number().over(wTok))
+      .filter(col("__rn") === 1)
+      .select(col("tok"), col("id"))
+    // per distinct word: ordered token-id array (every segmentation
+    // token is a corpus char or a merge product, so the join is total)
+    val encoded = words.select(col("w"), toks.as("__toks"))
+      .select(col("w"), posexplode(col("__toks")).as(Seq("i", "tok")))
+      .join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("w"))
+      .agg(array_sort(collect_list(struct(col("i"), col("id")))).as("__ps"))
+      .select(col("w"), transform(col("__ps"), p => p("id")).as("__ids"))
+    val docToks = df
+      .select(col(idCol), posexplode(normalizedWords(col(textCol))).as(Seq("p", "w")))
+      .filter(!col("w").contains(sep))
+      .join(encoded, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("p"), col("__ids")))).as("__ps"))
+      .select(col(idCol),
+        flatten(transform(col("__ps"), x => x("__ids"))).as("token_ids"))
+    df.select(col(idCol))
+      .join(docToks, Seq(idCol), "left")
+      .withColumn("token_ids",
+        coalesce(col("token_ids"), array().cast("array<int>")))
+      .withColumn("n_tokens", size(col("token_ids")))
+      .select(col(idCol), col("n_tokens"), col("token_ids"))
+  }
+
   /** Quality-scoring feature columns (length / punctuation / stopword
     * ratios and friends). Returns the input plus feature columns; the
     * composite `quality_score` is a simple monotone blend in [0,1]. */

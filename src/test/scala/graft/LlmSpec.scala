@@ -1332,6 +1332,51 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("mixture repeat: reference keeps one copy, under-represented repeats") {
+    // natural 40/10 vs targets big=0.3, small=0.7: ratio_big = 0.3/40 is
+    // the positive minimum -> big is the keep-once reference (rate 1.0
+    // exactly: base 1, frac 0); small's rate = (0.7/10)/(0.3/40) =
+    // 9.333333 -> 9 or 10 copies by hash fraction; mid is out of recipe
+    val rows = (1L to 40L).map(i => (i, "big", s"doc number $i words")) ++
+      (41L to 50L).map(i => (i, "small", s"doc number $i words")) ++
+      (51L to 60L).map(i => (i, "mid", s"doc number $i words"))
+    val d = rows.toDF("doc_id", "source", "text")
+    val out = graft.llm.Splitting.mixtureRepeat(d,
+      Map("big" -> 0.3, "small" -> 0.7))
+    val bySource = out.groupBy($"source")
+      .agg(min($"copies").as("lo"), max($"copies").as("hi"),
+        sum($"copies").as("total"))
+      .as[(String, Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(bySource("big") == ((1, 1, 40L)))     // exact-integer rate
+    assert(bySource("mid") == ((0, 0, 0L)))      // not in the recipe
+    val (slo, shi, stot) = bySource("small")
+    assert(slo >= 9 && shi <= 10)                // floor(9.333333) + {0,1}
+    assert(stot >= 90L && stot <= 100L)          // expected ~93.3
+    // determinism: copies are a pure content function
+    val again = graft.llm.Splitting.mixtureRepeat(d,
+      Map("big" -> 0.3, "small" -> 0.7))
+      .agg(sum($"copies")).as[Long].head()
+    assert(again == 40L + stot)
+    // null stratum and a recipe matching nothing in the data: 0 copies
+    val withNull = rows.map { case (i, s, t) =>
+      (i, if (s == "mid") null else s, t) }.toDF("doc_id", "source", "text")
+    assert(graft.llm.Splitting.mixtureRepeat(withNull,
+        Map("big" -> 0.3, "small" -> 0.7))
+      .filter($"source".isNull && $"copies" =!= 0).count() == 0L)
+    assert(graft.llm.Splitting.mixtureRepeat(d, Map("ghost" -> 1.0))
+      .filter($"copies" =!= 0).count() == 0L)
+    // maxRate clamps a pathological recipe: 1-row stratum targeted huge
+    val clamp = graft.llm.Splitting.mixtureRepeat(d,
+      Map("big" -> 0.001, "small" -> 0.999), maxRate = 8.0)
+      .filter($"source" === "small")
+      .agg(max($"copies")).as[Int].head()
+    assert(clamp <= 8)
+    intercept[IllegalArgumentException] {
+      graft.llm.Splitting.mixtureRepeat(d, Map("big" -> -0.1))
+    }
+  }
+
   test("shuffle order: a deterministic permutation, salt reshuffles") {
     val d = (1L to 200L).map(i => (i, s"doc number $i words"))
       .toDF("doc_id", "text")
@@ -1380,6 +1425,47 @@ class LlmSpec extends SparkSpec {
     val first = TextAnalysis.bpeTrain(tie, rounds = 1)
       .as[(Int, String, String, Long)].collect().toSeq
     assert(first == Seq((1, "x", "y", 1L)))
+  }
+
+  test("bpe encode: round-trips trained merges, vocab ids, empty docs") {
+    // train on the hand-computed corpus: merges (a,a), (a,b), (aa,ab)
+    // (see the training test above); the induced vocabulary is chars
+    // a=0, b=1 then merge products aa=2, ab=3, aaab=4
+    val corpus = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(corpus, rounds = 5)
+      .orderBy($"round")
+      .as[(Int, String, String, Long)].collect().toSeq
+      .map { case (_, l, r, _) => (l, r) }
+    val docs = Seq(
+      (1L, "aaab aaab aaab ab ab"), // -> [aaab]x3 ++ [ab]x2 = [4,4,4,3,3]
+      (2L, "ba ab"),                // ba never merges -> [b, a, ab]
+      (3L, null: String),           // no words: empty ids, n_tokens 0
+      (4L, "aab")                   // [aa, b]: merge 1 applies, 2 cannot
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, merges)
+      .orderBy($"doc_id")
+      .as[(Long, Int, Seq[Int])].collect().toSeq
+    assert(got == Seq(
+      (1L, 5, Seq(4, 4, 4, 3, 3)),
+      (2L, 3, Seq(1, 0, 3)),
+      (3L, 0, Seq()),
+      (4L, 2, Seq(2, 1))))
+    // encode(train(corpus)) reproduces training's final segmentation:
+    // every corpus word collapses to a single learned token
+    val self = TextAnalysis.bpeEncode(corpus, merges)
+      .as[(Long, Int, Seq[Int])].head()
+    assert(self == ((1L, 5, Seq(4, 4, 4, 3, 3))))
+    // duplicate token string from distinct merges keeps the FIRST id:
+    // merges (x,y) then (xy on its own right side never re-created) -
+    // plant (a,b) twice via a table with ("a","b"), ("ab","c"), ("a","bc")
+    // where both later merges form "abc"
+    val dup = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    val plantedDup = Seq(("a", "b"), ("ab", "c"), ("a", "bc"))
+    val gotDup = TextAnalysis.bpeEncode(dup, plantedDup)
+      .as[(Long, Int, Seq[Int])].head()
+    // chars a=0,b=1,c=2; merges ab=3, abc=4 ((a,bc)'s product "abc"
+    // duplicates id 4 and keeps it); each "abc" -> [ab,c] -> [abc] = [4]
+    assert(gotDup == ((1L, 2, Seq(4, 4))))
   }
 
   test("length histogram: exact log2 buckets, integer stats, null text") {
