@@ -376,7 +376,11 @@ object TextAnalysis {
     * Plan: one aggregation to (doc, term, tf), one to (term, df) - a
     * vocabulary-sized frame, shuffled not broadcast (web-scale vocab
     * with typos/ids can be billions of terms) - one equi-join back on
-    * the term, one per-doc top-1 window. */
+    * the term, one per-doc top-1 window. Skew note: the df side joins
+    * back co-partitioned on its own grouping key - AQE's skew rule
+    * cannot split that shape; a diagnosed hot term routes through
+    * [[graft.operators.Skew.saltedJoin]] (tools/SkewProbe measurement,
+    * PLANS.md "skew-join adoption"). */
   def topTermPerDoc(df: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val words = df.select(col(idCol),
@@ -522,7 +526,13 @@ object TextAnalysis {
     * division - engine-reproducible. Plan: one distinct to (doc, term),
     * one hash aggregate to the vocabulary, one equi-join back on the
     * term (vocabulary-sized frame, shuffled not broadcast - web-scale
-    * vocab can be billions of terms), one per-doc aggregate. */
+    * vocab can be billions of terms), one per-doc aggregate.
+    *
+    * Skew note: the dfreq side joins back co-partitioned on its own
+    * grouping key, the regime AQE's skew rule cannot split (it needs a
+    * fresh shuffle on both sides) - under a diagnosed hot term, route
+    * the join through [[graft.operators.Skew.saltedJoin]]; measured
+    * trade-off in tools/SkewProbe + PLANS.md "skew-join adoption". */
   def withCommonnessScore(df: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
     val words = df.select(col(idCol),
