@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Agr
+import graft.pipeline.Fixtures
+
+/** Stage-level wall-clock profile of the --agrOrthologs chain behind
+  * q_agr_counts / q_agr_e2e (PLANS.md "q_agr_counts trend"): times each
+  * phase of AgrPipeline.run separately so a drifting total can be
+  * attributed to a NAMED stage instead of re-measured as one number.
+  * Two iterations; the first carries JVM/codegen warmup. */
+object AgrProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"AGRPROFILE $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val runTs = java.sql.Timestamp.valueOf("2026-08-01 12:00:00")
+    val cutoff = java.sql.Timestamp.valueOf("2026-08-01 11:00:00")
+
+    for (iter <- 1 to 2) {
+      println(s"--- iteration $iter")
+      val (lines, st) = timed("fixtures") {
+        val l = Fixtures.allianceLines(spark, dir).localCheckpoint()
+        l.count()
+        (l, Fixtures.state(spark, dir))
+      }
+      val curies = timed("curies distinct") {
+        val c = lines.select(col("curie1").as("curie"),
+            col("geneSymbol1").as("geneSymbol"),
+            col("speciesTypeKey1").as("speciesTypeKey"))
+          .unionByName(lines.select(col("curie2").as("curie"),
+            col("geneSymbol2").as("geneSymbol"),
+            col("speciesTypeKey2").as("speciesTypeKey")))
+          .distinct().localCheckpoint()
+        c.count(); c
+      }
+      val maxRgd = timed("max rgdId scalar") {
+        st.genes.agg(coalesce(max(col("rgdId")), lit(0))).first().getInt(0)
+      }
+      val resolved = timed("resolve+assign ckpt") {
+        val r = Agr.assignNewGenes(
+          Agr.resolveCuries(curies, st.xrefs, st.genes, st.rgdIds), maxRgd)
+          .localCheckpoint()
+        r.count(); r
+      }
+      val upserted = timed("bind+upsert ckpt") {
+        val r1 = resolved.select(col("curie").as("curie1"), col("rgdId").as("rgdId1"))
+        val r2 = resolved.select(col("curie").as("curie2"), col("rgdId").as("rgdId2"))
+        val bound = lines.join(r1, Seq("curie1")).join(r2, Seq("curie2"))
+          .filter(col("rgdId1").isNotNull && col("rgdId2").isNotNull)
+        val incoming = bound.select(
+          col("rgdId1").as("geneRgdId1"),
+          col("rgdId2").as("geneRgdId2"),
+          lit("stringent").as("confidence"),
+          when(col("isBestScore"), "Y").otherwise("N").as("isBestScore"),
+          when(col("isBestRevScore"), "Y").otherwise("N").as("isBestRevScore"),
+          col("algorithms").as("methodsMatched"))
+        val u = Agr.upsertAgrOrthologs(incoming, st.agrOrthologs, runTs)
+          .localCheckpoint()
+        u.count(); u
+      }
+      timed("guard+final groupBy") {
+        val initialCount = st.agrOrthologs.count()
+        val (finalState, _) =
+          Agr.deleteStaleWithGuard(upserted, cutoff, initialCount, "10%")
+        finalState
+          .groupBy(col("isBestScore"), col("isBestRevScore"), col("methodsMatched"))
+          .agg(count(lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    spark.stop()
+  }
+}
