@@ -196,14 +196,16 @@ object SparkEntry {
          $union"""
   }
 
-  /** BPE-ENCODE oracle: replays [[bpeTrainSql]]'s merge chain but
-    * carries the word through every seg stage (LEFT JOIN ON TRUE so a
-    * dry round keeps the segmentation instead of emptying it), then
-    * rebuilds the induced vocabulary (corpus chars asc, then merge
-    * products in round order, first id wins on a re-created token),
-    * encodes each distinct word, and reassembles per-doc csv token ids
-    * in word order - the exact chain TextAnalysis.bpeEncode runs. */
-  private def bpeEncodeSql(rounds: Int): String = {
+  /** BPE-ENCODE oracle CTE chain (through per-doc `agg`): replays
+    * [[bpeTrainSql]]'s merge chain but carries the word through every
+    * seg stage (LEFT JOIN ON TRUE so a dry round keeps the segmentation
+    * instead of emptying it), then rebuilds the induced vocabulary
+    * (corpus chars asc, then merge products in round order, first id
+    * wins on a re-created token), encodes each distinct word, and
+    * reassembles per-doc csv token ids in word order - the exact chain
+    * TextAnalysis.bpeEncode runs. Shared by q_t_bpe_encode and the
+    * q_pack_bpe end-to-end pack oracle. */
+  private def bpeEncodeCtes(rounds: Int): String = {
     val stages = (1 to rounds).map { r =>
       s"""p$r AS (
            SELECT wc, syms[i] AS l, syms[i + 1] AS r FROM (
@@ -225,7 +227,7 @@ object SparkEntry {
     val mu = (1 to rounds)
       .map(r => s"SELECT $r AS rnd, l, r FROM m$r")
       .mkString("\n           UNION ALL ")
-    s"""WITH t AS (SELECT unnest(list_filter(
+    s"""t AS (SELECT unnest(list_filter(
              string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
              AS w
            FROM documents),
@@ -272,12 +274,40 @@ object SparkEntry {
              CAST(sum(e.n) AS INT) AS n_tokens,
              string_agg(e.ids_csv, ',' ORDER BY dw.i) AS token_csv
            FROM dw JOIN enc e ON e.w = dw.w
-           GROUP BY dw.doc_id)
+           GROUP BY dw.doc_id)"""
+  }
+
+  private def bpeEncodeSql(rounds: Int): String =
+    s"""WITH ${bpeEncodeCtes(rounds)}
          SELECT d0.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
                 coalesce(a.token_csv, '') AS token_csv
          FROM (SELECT doc_id FROM documents) d0
          LEFT JOIN agg a ON a.doc_id = d0.doc_id"""
-  }
+
+  /** Train -> encode -> pack oracle: the per-doc BPE token counts from
+    * [[bpeEncodeCtes]] feed the same per-source running-offset chunk
+    * layout q_pack_chunks pins (zero-token docs occupy no span). */
+  private def bpePackSql(rounds: Int, seqLen: Int): String =
+    s"""WITH ${bpeEncodeCtes(rounds)},
+         nd AS (SELECT d0.doc_id, d0.source,
+                  coalesce(a.n_tokens, 0) AS n_tokens
+                FROM (SELECT doc_id, source FROM documents) d0
+                LEFT JOIN agg a ON a.doc_id = d0.doc_id),
+         o AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start
+               FROM nd),
+         s AS (SELECT doc_id, source, tok_start,
+                 tok_start + n_tokens AS tok_end
+               FROM o WHERE n_tokens > 0)
+         SELECT doc_id, source, CAST(ch AS BIGINT) AS chunk_id,
+                CAST(greatest(tok_start - ch * $seqLen, 0) AS BIGINT)
+                  AS begin_off,
+                CAST(least(tok_end - ch * $seqLen, $seqLen) AS BIGINT)
+                  AS end_off
+         FROM s, UNNEST(generate_series(
+           CAST(floor(tok_start / $seqLen.0) AS BIGINT),
+           CAST(floor((tok_end - 1) / $seqLen.0) AS BIGINT))) AS t(ch)"""
 
   private def minhashMd5CtesSql: String =
     """w AS (SELECT doc_id,
@@ -1300,6 +1330,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           array_join(transform(col("token_ids"), i => i.cast("string")), ",")
             .as("token_csv"))
+    }),
+
+    // the tokenizer chain END-TO-END: train (memoized) -> encode ->
+    // concat-and-chunk pack on the REAL BPE token counts - the
+    // pretraining sequence layout a data pipeline actually ships
+    "q_pack_bpe" -> ((s, dir) => {
+      val merges = bpeMergesShared(s, dir).map { case (_, l, r, _) => (l, r) }
+      val docs = t(s, dir, "documents")
+      val enc = TextAnalysis.bpeEncode(docs, merges)
+        .select(col("doc_id"), col("n_tokens"))
+      graft.llm.Packing.assignChunks(
+          docs.select(col("doc_id"), col("source")).join(enc, Seq("doc_id")),
+          seqLen = 256)
+        .select(col("doc_id"), col("source"), col("chunk_id"),
+          col("begin_off"), col("end_off"))
     }),
 
     // best-5-docs-per-source curation by quality score (total order,
@@ -2489,6 +2534,10 @@ object SparkEntry {
     // BPE encode replayed end-to-end: merge chain -> induced vocabulary
     // -> per-word ids -> per-doc csv reassembly in word order
     "q_t_bpe_encode" -> bpeEncodeSql(6),
+
+    // tokenizer chain end-to-end: the encode chain's n_tokens feeding
+    // the q_pack_chunks per-source running-offset chunk layout
+    "q_pack_bpe" -> bpePackSql(6, 256),
 
     // per-source top-5 by the q_t_quality score formula; identical
     // per-row double arithmetic in both engines makes the ordering

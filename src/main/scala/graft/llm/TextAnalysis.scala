@@ -95,7 +95,13 @@ object TextAnalysis {
       .select(col("wc"),
         regexp_replace(col("w"), "(.)", s"$sep$$1$sep").as("seg"))
       .persist()
-    seg.count() // materialize before the loop re-reads it per round
+    // one job per round: the argmax action is the FIRST action over the
+    // lazily-persisted current segmentation, so it both materializes the
+    // cache and returns the merge - no separate count() job. The parent
+    // frame stays persisted until the child's cache is populated (the
+    // argmax below reads the child), then unpersists: the child never
+    // recomputes through an evicted parent.
+    var parent: Option[org.apache.spark.sql.DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var dry = false
@@ -114,20 +120,20 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
         .limit(1)
         .as[(String, String, Long)].collect()
+      parent.foreach(_.unpersist()) // seg's cache is populated now
+      parent = Some(seg)
       top.headOption match {
         case None => dry = true
         case Some((l, rr, n)) =>
           merges += ((r, l, rr, n))
-          val next = seg
+          seg = seg
             .withColumn("seg", org.apache.spark.sql.functions.replace(
               col("seg"), lit(s"$sep$l$sep$sep$rr$sep"), lit(s"$sep$l$rr$sep")))
             .persist()
-          next.count()
-          seg.unpersist()
-          seg = next
           r += 1
       }
     }
+    parent.foreach(_.unpersist())
     seg.unpersist()
     merges.toSeq.toDF("round", "left", "right", "n")
   }
