@@ -1338,8 +1338,8 @@ object SparkEntry {
     "q_pack_bpe" -> ((s, dir) => {
       val merges = bpeMergesShared(s, dir).map { case (_, l, r, _) => (l, r) }
       val docs = t(s, dir, "documents")
-      val enc = TextAnalysis.bpeEncode(docs, merges)
-        .select(col("doc_id"), col("n_tokens"))
+      // count-only encode path: packing needs lengths, not id arrays
+      val enc = TextAnalysis.bpeTokenCounts(docs, merges)
       graft.llm.Packing.assignChunks(
           docs.select(col("doc_id"), col("source")).join(enc, Seq("doc_id")),
           seqLen = 256)
@@ -2139,8 +2139,9 @@ object SparkEntry {
            FROM r)
          SELECT d.doc_id, d.stratum,
                 coalesce(cut.base, 0)
-                  + CAST(substr(md5('mixrep-v1' || d.text), 1, 8)
-                      < coalesce(cut.fcut, '00000000') AS INT) AS copies
+                  + CAST(coalesce(substr(md5('mixrep-v1' || d.text), 1, 8)
+                      < coalesce(cut.fcut, '00000000'), FALSE) AS INT)
+                  AS copies
          FROM d LEFT JOIN cut ON cut.stratum = d.stratum""",
 
     // training-order shuffle recomputed: same salted hash, first hex

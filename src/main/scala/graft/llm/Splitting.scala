@@ -200,13 +200,19 @@ object Splitting {
     * recipe" is an exclusion, as in mixtureSample).
     *
     * Adds `sample_bucket` and integer `copies`; callers realize the
-    * repetition with `explode(sequence(lit(1), col("copies")))`, whose
-    * expansion is bounded by ceil(max rate) <= ceil(`maxRate`) - the
-    * clamp keeps a pathological recipe (2-row stratum targeted at 50%)
-    * from exploding a stratum by millions. Rates quantized to 6
-    * decimals like mixtureSample, so any md5-capable engine replays the
-    * copy counts bit-for-bit. One count aggregate + broadcast cutoff
-    * join + map pass - no data-sized shuffle. */
+    * repetition with `filter(col("copies") > 0)` THEN
+    * `explode(sequence(lit(1), col("copies")))` - the filter is load-
+    * bearing, because Spark infers a NEGATIVE step for sequence(1, 0)
+    * and an unguarded explode would emit TWO rows ([1, 0]) for every
+    * excluded document. Expansion is bounded by ceil(max rate) <=
+    * ceil(`maxRate`) - the clamp keeps a pathological recipe (2-row
+    * stratum targeted at 50%) from exploding a stratum by millions.
+    * Null content cannot be hashed, so a null-`contentCol` row in an
+    * in-recipe stratum gets its base copies with no fractional extra
+    * (never a null `copies`). Rates quantized to 6 decimals like
+    * mixtureSample, so any md5-capable engine replays the copy counts
+    * bit-for-bit. One count aggregate + broadcast cutoff join + map
+    * pass - no data-sized shuffle. */
   def mixtureRepeat(df: DataFrame, weights: Map[String, Double],
                     strataCol: String = "source",
                     contentCol: String = "text",
@@ -250,7 +256,8 @@ object Splitting {
       .withColumn("sample_bucket", bucket)
       .withColumn("copies",
         coalesce(col("__base"), lit(0)) +
-          (bucket < coalesce(col("__fcut"), lit("00000000"))).cast("int"))
+          coalesce((bucket < coalesce(col("__fcut"), lit("00000000")))
+            .cast("int"), lit(0)))
       .drop("__stratum", "__base", "__fcut")
   }
 

@@ -171,11 +171,21 @@ object TextAnalysis {
     * against the encoded word frame (word-hash shuffle), and the
     * per-doc reassembly aggregation - the same two-shuffle shape as
     * any tokenize pass. */
-  def bpeEncode(df: DataFrame, merges: Seq[(String, String)],
-                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(merges.size <= 4096, s"merge table size ${merges.size} > 4096")
+  /** Bound matches [[bpeTrain]]'s rounds limit: the merge chain is ONE
+    * nested-replace projection, and a table past a few hundred rules
+    * would outgrow whole-stage codegen's method limit (a chunked-
+    * projection variant is the path for external 30k-rule tables). */
+  private def requireMergeTable(merges: Seq[(String, String)]): Unit = {
+    require(merges.size <= 64, s"merge table size ${merges.size} > 64")
     require(merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty },
       "empty symbol in merge table")
+  }
+
+  /** Shared encode core: the DISTINCT-word frame with each word's
+    * post-merge segmentation token array (`w`, `toks`) - the
+    * vocabulary-sized stage [[bpeEncode]] and [[bpeTokenCounts]] share. */
+  private def encodedWordFrame(df: DataFrame, merges: Seq[(String, String)],
+                               textCol: String): DataFrame = {
     val sep = "\u0001"
     val words = df.select(explode(normalizedWords(col(textCol))).as("w"))
       .filter(!col("w").contains(sep))
@@ -185,7 +195,16 @@ object TextAnalysis {
       org.apache.spark.sql.functions.replace(
         acc, lit(s"$sep$l$sep$sep$r$sep"), lit(s"$sep$l$r$sep"))
     }
-    val toks = split(regexp_replace(segN, s"^$sep|$sep$$", ""), s"$sep$sep")
+    words.select(col("w"),
+      split(regexp_replace(segN, s"^$sep|$sep$$", ""), s"$sep$sep").as("toks"))
+  }
+
+  def bpeEncode(df: DataFrame, merges: Seq[(String, String)],
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    requireMergeTable(merges)
+    val sep = "\u0001"
+    val wordToks = encodedWordFrame(df, merges, textCol)
+    val words = wordToks.select(col("w"))
     // vocabulary: corpus chars (grp 0, ordered by char) then merge
     // products (grp 1, ordered by round); duplicate token strings keep
     // the first id. Both frames are vocabulary/config-sized, so the
@@ -211,8 +230,8 @@ object TextAnalysis {
       .select(col("tok"), col("id"))
     // per distinct word: ordered token-id array (every segmentation
     // token is a corpus char or a merge product, so the join is total)
-    val encoded = words.select(col("w"), toks.as("__toks"))
-      .select(col("w"), posexplode(col("__toks")).as(Seq("i", "tok")))
+    val encoded = wordToks
+      .select(col("w"), posexplode(col("toks")).as(Seq("i", "tok")))
       .join(broadcast(vocab), Seq("tok"))
       .groupBy(col("w"))
       .agg(array_sort(collect_list(struct(col("i"), col("id")))).as("__ps"))
@@ -231,6 +250,32 @@ object TextAnalysis {
         coalesce(col("token_ids"), array().cast("array<int>")))
       .withColumn("n_tokens", size(col("token_ids")))
       .select(col(idCol), col("n_tokens"), col("token_ids"))
+  }
+
+  /** Count-only BPE encode: per-doc `n_tokens` under the trained merge
+    * table WITHOUT assembling the token-id arrays. [[bpeEncode]]'s
+    * n_tokens is size(flatten(collect_list(...))), which Catalyst
+    * cannot prune to a count - so consumers that only need lengths
+    * (sequence packing, budget planning) use this operator and skip
+    * the id lookup, the per-word array sort, and the array shuffle
+    * entirely: per-word counts are vocabulary-sized, and the per-doc
+    * aggregation ships one integer per word instead of an id array. */
+  def bpeTokenCounts(df: DataFrame, merges: Seq[(String, String)],
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    requireMergeTable(merges)
+    val sep = "\u0001"
+    val wordN = encodedWordFrame(df, merges, textCol)
+      .select(col("w"), size(col("toks")).as("__wn"))
+    val docN = df
+      .select(col(idCol), explode(normalizedWords(col(textCol))).as("w"))
+      .filter(!col("w").contains(sep))
+      .join(wordN, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__wn")).cast("int").as("n_tokens"))
+    df.select(col(idCol))
+      .join(docN, Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0)))
   }
 
   /** Quality-scoring feature columns (length / punctuation / stopword

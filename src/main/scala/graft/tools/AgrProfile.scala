@@ -9,7 +9,14 @@ import graft.pipeline.Fixtures
   * q_agr_counts / q_agr_e2e (PLANS.md "q_agr_counts trend"): times each
   * phase of AgrPipeline.run separately so a drifting total can be
   * attributed to a NAMED stage instead of re-measured as one number.
-  * Two iterations; the first carries JVM/codegen warmup. */
+  * Two iterations; the first carries JVM/codegen warmup.
+  *
+  * SYNC WARNING: the stage bodies MIRROR AgrPipeline.run (the curies
+  * union, maxRgd scalar, r1/r2 bind, incoming mapping) - run() cannot
+  * expose per-stage hooks without giving up its single-plan shape, so
+  * any semantic change to AgrPipeline.run MUST be mirrored here or the
+  * attribution this tool prints describes a chain production no longer
+  * runs. Cross-check against AgrPipeline.scala:36-80 when editing. */
 object AgrProfile {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -38,6 +45,11 @@ object AgrProfile {
         val l = Fixtures.allianceLines(spark, dir).localCheckpoint()
         l.count()
         (l, Fixtures.state(spark, dir))
+      }
+      // run() pays this scalar up front, so time it as its own stage
+      // rather than folding it into the guard
+      val initialCount = timed("initial state count") {
+        st.agrOrthologs.count()
       }
       val curies = timed("curies distinct") {
         val c = lines.select(col("curie1").as("curie"),
@@ -75,7 +87,6 @@ object AgrProfile {
         u.count(); u
       }
       timed("guard+final groupBy") {
-        val initialCount = st.agrOrthologs.count()
         val (finalState, _) =
           Agr.deleteStaleWithGuard(upserted, cutoff, initialCount, "10%")
         finalState

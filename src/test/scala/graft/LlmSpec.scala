@@ -1372,6 +1372,14 @@ class LlmSpec extends SparkSpec {
       .filter($"source" === "small")
       .agg(max($"copies")).as[Int].head()
     assert(clamp <= 8)
+    // null content in an in-recipe stratum: base copies, never null -
+    // big's rate is exactly 1.0 here, so the null-text doc keeps 1 copy
+    val withNullText = (rows :+ ((61L, "big", null: String)))
+      .toDF("doc_id", "source", "text")
+    val nullCopies = graft.llm.Splitting.mixtureRepeat(withNullText,
+      Map("big" -> 0.3, "small" -> 0.7))
+      .filter($"doc_id" === 61L).select($"copies").as[Int].head()
+    assert(nullCopies == 1)
     intercept[IllegalArgumentException] {
       graft.llm.Splitting.mixtureRepeat(d, Map("big" -> -0.1))
     }
@@ -1466,6 +1474,14 @@ class LlmSpec extends SparkSpec {
     // chars a=0,b=1,c=2; merges ab=3, abc=4 ((a,bc)'s product "abc"
     // duplicates id 4 and keeps it); each "abc" -> [ab,c] -> [abc] = [4]
     assert(gotDup == ((1L, 2, Seq(4, 4))))
+    // count-only path agrees with the full encode on every doc
+    val counts = TextAnalysis.bpeTokenCounts(docs, merges)
+      .as[(Long, Int)].collect().toMap
+    assert(counts == Map(1L -> 5, 2L -> 3, 3L -> 0, 4L -> 2))
+    // merge-table bound matches the trainer's rounds limit
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncode(docs, Seq.fill(65)(("a", "b")))
+    }
   }
 
   test("length histogram: exact log2 buckets, integer stats, null text") {
