@@ -56,7 +56,7 @@ object Export {
       // empty dataset still writes cleanly (empty parquet + metadata)
       val totalBuckets = buckets
         .agg(coalesce(sum(col("__buckets")), lit(0L)))
-        .head.getLong(0).toInt
+        .head().getLong(0).toInt
       val joinCond = partitionCols
         .map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
       // LEFT join + coalesce(1): if a partition column is nondeterministic

@@ -290,7 +290,7 @@ object TextAnalysis {
     val nWords = size(words)
     val stopwords = Array("the", "a", "an", "and", "or", "of", "to", "in",
       "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
-    val nStop = size(filter(words, w => w.isin(stopwords.map(lit(_)): _*)))
+    val nStop = size(filter(words, w => w.isin(stopwords.toIndexedSeq.map(lit(_)): _*)))
     val nPunct = nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))
     val nDigit = nChars - length(regexp_replace(t, "[0-9]", ""))
     val nUpper = nChars - length(regexp_replace(t, "[A-Z]", ""))

@@ -111,10 +111,10 @@ object Merge {
     // full-outer classification join on (src, destSp)
     val i = inc.select(
       col("srcRgdId").as("k_src"), col("destSpeciesTypeKey").as("k_dsp"),
-      struct(inc.columns.map(col): _*).as("inc"))
+      struct(inc.columns.toIndexedSeq.map(col): _*).as("inc"))
     val s = bestState.select(
       col("srcRgdId").as("k_src"), col("destSpeciesTypeKey").as("k_dsp"),
-      struct(bestState.columns.map(col): _*).as("ex"))
+      struct(bestState.columns.toIndexedSeq.map(col): _*).as("ex"))
 
     val cmp = joinedComparison(i.join(s, Seq("k_src", "k_dsp"), "full_outer"))
       .persist()
@@ -159,7 +159,7 @@ object Merge {
       .foldLeft(insertedFilled0) { (f, c) =>
         f.withColumn(c, lit(null).cast(state.schema(c).dataType))
       }
-      .select(state.columns.map(col): _*)
+      .select(state.columns.toIndexedSeq.map(col): _*)
       .persist() // assignSequential leaves SQL-plan land (RDD zipWithIndex);
                  // without this every consumer re-runs its count job + sort
 

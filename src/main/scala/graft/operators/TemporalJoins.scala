@@ -81,7 +81,7 @@ object TemporalJoins {
         case org.apache.spark.sql.types.TimestampType => unix_seconds(c)
         case _ => c.cast("long")
       }
-    val leftStruct = struct(left.columns.map(col): _*)
+    val leftStruct = struct(left.columns.toIndexedSeq.map(col): _*)
     val payloadStruct = struct(
       (payloadCols ++ Seq(tiebreak).filterNot(payloadCols.contains)).map(col): _*)
 

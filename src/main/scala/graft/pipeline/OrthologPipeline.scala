@@ -96,7 +96,7 @@ object OrthologPipeline {
       .join(finalDeletes.select(col("assocKey")), Seq("assocKey"), "left_anti")
       .join(sync.updates.select(col("assocKey")), Seq("assocKey"), "left_anti")
     val newAssociations = untouchedAssocs
-      .unionByName(sync.updates.select(untouchedAssocs.columns.map(col): _*))
+      .unionByName(sync.updates.select(untouchedAssocs.columns.toIndexedSeq.map(col): _*))
       .unionByName(assignAssocKeys(
         sync.inserts.unionByName(repairInserts), state.associations))
 

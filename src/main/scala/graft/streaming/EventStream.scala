@@ -104,7 +104,7 @@ object EventStream {
                    watermark: String = "2 hours"): DataFrame = {
     require(hiSec >= loSec, s"empty interval [$loSec, $hiSec]")
     def prefixed(df: DataFrame, p: String) =
-      df.select(df.columns.map(c => col(c).as(p + c)): _*)
+      df.select(df.columns.toIndexedSeq.map(c => col(c).as(p + c)): _*)
     val l = prefixed(left, "l_").withWatermark(s"l_$tsCol", watermark)
     val r = prefixed(right, "r_").withWatermark(s"r_$tsCol", watermark)
     l.join(r,
