@@ -52,4 +52,42 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("mixture repeat plans the cutoff attach as a broadcast join, " +
+    "no cartesian, map-side-combined count") {
+    val d = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val plan = graft.llm.Splitting.mixtureRepeat(d,
+        Map("a" -> 0.3, "b" -> 0.7))
+      .queryExecution.executedPlan.toString
+    // config-sized cutoffs attach via broadcast - the data never
+    // reshuffles for the join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    // the stratum count aggregate combines map-side
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("bpe encode broadcasts the vocabulary; count path ships no arrays") {
+    val d = Seq((1L, "aa ab"), (2L, "ab ab b")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("a", "b"))
+    val encPlan = graft.llm.TextAnalysis.bpeEncode(d, merges)
+      .queryExecution.executedPlan.toString
+    // the induced vocabulary (chars + merge products) is config-sized
+    // and must attach by broadcast, not a vocab-keyed shuffle
+    assert(encPlan.contains("BroadcastHashJoin"), encPlan)
+    assert(!encPlan.contains("CartesianProduct") &&
+      !encPlan.contains("BroadcastNestedLoop"), encPlan)
+    val cntPlan = graft.llm.TextAnalysis.bpeTokenCounts(d, merges)
+      .queryExecution.executedPlan.toString
+    // the count-only path must not assemble per-doc id arrays: no
+    // collect_list aggregate anywhere, sums combine map-side
+    assert(!cntPlan.contains("collect_list"), cntPlan)
+    assert(cntPlan.contains("partial_sum"), cntPlan)
+    assert(!cntPlan.contains("CartesianProduct") &&
+      !cntPlan.contains("BroadcastNestedLoop"), cntPlan)
+  }
 }
