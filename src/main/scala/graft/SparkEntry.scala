@@ -309,6 +309,50 @@ object SparkEntry {
            CAST(floor(tok_start / $seqLen.0) AS BIGINT),
            CAST(floor((tok_end - 1) / $seqLen.0) AS BIGINT))) AS t(ch)"""
 
+  /** Shared CTE chain (through per-doc `cp` with its copy count) for
+    * the upsampling-mixture oracles - q_sample_mixture_up reads `cp`
+    * directly, q_sample_mixture_real explodes it into one row per
+    * copy. Mirrors Splitting.mixtureRepeat: rate = round(least(ratio /
+    * min_positive(ratio), 64), 6), copies = floor(rate) + the
+    * hash-fractional extra (FALSE-coalesced so null text keeps its
+    * base copies), out-of-recipe strata 0. */
+  private def mixtureUpCtesSql: String =
+    """d AS (SELECT doc_id, text,
+             CASE WHEN doc_id % 10 < 7 THEN 'big'
+                  WHEN doc_id % 10 < 9 THEN 'mid'
+                  ELSE 'small' END AS stratum
+           FROM documents),
+         c AS (SELECT stratum, count(*) AS n FROM d
+           WHERE stratum IS NOT NULL GROUP BY stratum),
+         r0 AS (SELECT stratum,
+             (CASE WHEN stratum = 'big' THEN 0.3
+                   WHEN stratum = 'small' THEN 0.7
+                   ELSE 0.0 END) / CAST(n AS DOUBLE) AS ratio
+           FROM c),
+         r AS (SELECT stratum,
+             CASE WHEN ratio = 0
+                    OR (SELECT min(ratio) FROM r0 WHERE ratio > 0) IS NULL
+                  THEN 0.0
+                  ELSE round(least(
+                    ratio / (SELECT min(ratio) FROM r0 WHERE ratio > 0),
+                    64.0), 6) END AS rate
+           FROM r0),
+         cut AS (SELECT stratum,
+             CAST(floor(rate) AS INT) AS base,
+             CASE WHEN round((rate - floor(rate)) * 4294967296.0)
+                    >= 4294967296.0
+                  THEN 'g'
+                  ELSE lower(lpad(hex(CAST(
+                    round((rate - floor(rate)) * 4294967296.0)
+                    AS BIGINT)), 8, '0')) END AS fcut
+           FROM r),
+         cp AS (SELECT d.doc_id, d.stratum,
+                coalesce(cut.base, 0)
+                  + CAST(coalesce(substr(md5('mixrep-v1' || d.text), 1, 8)
+                      < coalesce(cut.fcut, '00000000'), FALSE) AS INT)
+                  AS copies
+           FROM d LEFT JOIN cut ON cut.stratum = d.stratum)"""
+
   private def minhashMd5CtesSql: String =
     """w AS (SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
@@ -1195,6 +1239,19 @@ object SparkEntry {
         weights = Map("big" -> 0.3, "small" -> 0.7),
         strataCol = "stratum")
         .select(col("doc_id"), col("stratum"), col("copies"))),
+
+    // the upsampling mixture REALIZED: one physical row per copy,
+    // bounded explode behind the load-bearing copies>0 filter
+    "q_sample_mixture_real" -> ((s, dir) =>
+      graft.llm.Splitting.realizeCopies(
+        graft.llm.Splitting.mixtureRepeat(
+          t(s, dir, "documents").withColumn("stratum",
+            when(pmod(col("doc_id"), lit(10)) < 7, "big")
+              .when(pmod(col("doc_id"), lit(10)) < 9, "mid")
+              .otherwise("small")),
+          weights = Map("big" -> 0.3, "small" -> 0.7),
+          strataCol = "stratum"))
+        .select(col("doc_id"), col("stratum"), col("copy_idx"))),
 
     // deterministic training-order shuffle: content-hash shard + rank
     // within shard - a reproducible permutation with no global sort
@@ -2108,41 +2165,16 @@ object SparkEntry {
     // hash-fractional extra under the shared 32-bit cutoff chain;
     // out-of-recipe strata get 0 copies
     "q_sample_mixture_up" ->
-      """WITH d AS (SELECT doc_id, text,
-             CASE WHEN doc_id % 10 < 7 THEN 'big'
-                  WHEN doc_id % 10 < 9 THEN 'mid'
-                  ELSE 'small' END AS stratum
-           FROM documents),
-         c AS (SELECT stratum, count(*) AS n FROM d
-           WHERE stratum IS NOT NULL GROUP BY stratum),
-         r0 AS (SELECT stratum,
-             (CASE WHEN stratum = 'big' THEN 0.3
-                   WHEN stratum = 'small' THEN 0.7
-                   ELSE 0.0 END) / CAST(n AS DOUBLE) AS ratio
-           FROM c),
-         r AS (SELECT stratum,
-             CASE WHEN ratio = 0
-                    OR (SELECT min(ratio) FROM r0 WHERE ratio > 0) IS NULL
-                  THEN 0.0
-                  ELSE round(least(
-                    ratio / (SELECT min(ratio) FROM r0 WHERE ratio > 0),
-                    64.0), 6) END AS rate
-           FROM r0),
-         cut AS (SELECT stratum,
-             CAST(floor(rate) AS INT) AS base,
-             CASE WHEN round((rate - floor(rate)) * 4294967296.0)
-                    >= 4294967296.0
-                  THEN 'g'
-                  ELSE lower(lpad(hex(CAST(
-                    round((rate - floor(rate)) * 4294967296.0)
-                    AS BIGINT)), 8, '0')) END AS fcut
-           FROM r)
-         SELECT d.doc_id, d.stratum,
-                coalesce(cut.base, 0)
-                  + CAST(coalesce(substr(md5('mixrep-v1' || d.text), 1, 8)
-                      < coalesce(cut.fcut, '00000000'), FALSE) AS INT)
-                  AS copies
-         FROM d LEFT JOIN cut ON cut.stratum = d.stratum""",
+      s"""WITH $mixtureUpCtesSql
+         SELECT doc_id, stratum, copies FROM cp""",
+
+    // the realization: one row per (doc, 1..copies); generate_series is
+    // inclusive like Spark's sequence, and copies=0 rows emit nothing
+    "q_sample_mixture_real" ->
+      s"""WITH $mixtureUpCtesSql
+         SELECT doc_id, stratum, CAST(ci AS INT) AS copy_idx
+         FROM cp, UNNEST(generate_series(1, copies)) AS t(ci)
+         WHERE copies > 0""",
 
     // training-order shuffle recomputed: same salted hash, first hex
     // char as the shard, rank of (full hash, id) within the shard

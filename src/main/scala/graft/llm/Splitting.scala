@@ -261,6 +261,18 @@ object Splitting {
       .drop("__stratum", "__base", "__fcut")
   }
 
+  /** Materialize [[mixtureRepeat]]'s copy counts into physical rows:
+    * one output row per (row, 1..copies), indexed by `idxCol`. The
+    * copies>0 filter is load-bearing (Spark's sequence(1, 0) infers a
+    * NEGATIVE step and would emit [1, 0] - two rows - for every
+    * excluded document); this helper exists so callers cannot hand-roll
+    * that trap. Expansion is bounded by the mixtureRepeat maxRate
+    * clamp; a pure flatMap stage, no shuffle. */
+  def realizeCopies(df: DataFrame, copiesCol: String = "copies",
+                    idxCol: String = "copy_idx"): DataFrame =
+    df.filter(col(copiesCol) > 0)
+      .withColumn(idxCol, explode(sequence(lit(1), col(copiesCol))))
+
   /** Deterministic global "shuffle" for training order: every row gets
     * a (shard, pos) coordinate that is a pure function of its content -
     * shard = first `shardHexChars` of md5(salt || content) (16^c

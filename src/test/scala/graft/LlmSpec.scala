@@ -1383,6 +1383,15 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.llm.Splitting.mixtureRepeat(d, Map("big" -> -0.1))
     }
+    // realization: exactly `copies` rows per doc, 1-indexed; copies=0
+    // rows emit NOTHING (the raw explode(sequence(1, 0)) would emit 2)
+    val realized = graft.llm.Splitting.realizeCopies(out)
+    assert(realized.count() == 40L + stot)
+    assert(realized.filter($"source" === "mid").count() == 0L)
+    val perDoc = realized.filter($"source" === "small")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"), max($"copy_idx").as("mx"))
+      .filter($"n" =!= $"mx" || $"n" < 9 || $"n" > 10).count()
+    assert(perDoc == 0L)
   }
 
   test("shuffle order: a deterministic permutation, salt reshuffles") {
