@@ -15,25 +15,83 @@ import org.apache.spark.sql.functions._
   * in the bin it started in); real packers then truncate or wrap the
   * straddler, which is a per-bin local decision downstream.
   *
-  * Scale shape: one window cumulative sum per stratum - a single
-  * shuffle on the stratum key, then a per-partition running sum. The
-  * stratum HAS to bound partition size (a running offset is inherently
-  * sequential within a stratum); for a mono-source corpus shard
-  * upstream (e.g. by file) and pack per shard - bins never need to be
-  * globally dense, only locally contiguous. Integer-only arithmetic,
-  * so assignment is bit-stable across engines and re-runs.
+  * Scale shape: the running offset is a TWO-LEVEL prefix sum, not a
+  * single per-stratum window. A naive
+  * `sum(tokens) OVER (PARTITION BY stratum ORDER BY ord)` materializes
+  * each stratum in one WindowExec task - a hot stratum ("web" = most of
+  * a 100 TB corpus) serializes through a single reducer. Instead:
+  * range-partition on (stratum, ord) into `numShards` contiguous
+  * slices, cumsum within each (stratum, shard) slice in parallel,
+  * aggregate the tiny per-(stratum, shard) token totals (~numShards
+  * rows), prefix-sum THOSE on the driver-sized frame, and broadcast the
+  * exclusive shard offsets back. Because the shards are contiguous
+  * ranges of the (stratum, ord) order, within-shard-cumsum + shard
+  * offset equals the global ordered cumsum exactly - the result is
+  * invariant to where the range boundaries fall, so AQE coalescing and
+  * sampling-determined splits cannot change it. Integer-only
+  * arithmetic, bit-stable across engines and re-runs.
   */
 object Packing {
+
+  /** Adds `outCol` = sum of `tokenCol` over rows of the same stratum
+    * that precede this row in `orderCol` order (exclusive running
+    * offset), via the two-level shard prefix sum described above.
+    * `numShards <= 0` defaults to spark.sql.shuffle.partitions. */
+  private def withCumBefore(df: DataFrame, tokenCol: String,
+                            strataCol: String, orderCol: String,
+                            numShards: Int, outCol: String): DataFrame = {
+    val shards =
+      if (numShards > 0) numShards
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // Contiguous-range sharding: spark_partition_id() after a range
+    // repartition on (stratum, ord) is monotone in that order, so each
+    // (stratum, shard) cell is a contiguous slice of the stratum's
+    // stream. Equal keys land in one partition (RangePartitioner is a
+    // function of the key), so ties never split across shards. Both
+    // references to `ranged` share one canonical exchange subtree
+    // (ReuseExchange), and the sampler is seeded deterministically, so
+    // the two branches always agree on shard assignment.
+    val ranged = df
+      .repartitionByRange(shards, col(strataCol), col(orderCol))
+      .withColumn("__pack_shard", spark_partition_id())
+    val wIn = Window
+      .partitionBy(col(strataCol), col("__pack_shard"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = sum(col(tokenCol)).over(wIn) - col(tokenCol)
+    // Per-(stratum, shard) token totals: at most `shards` + |strata|
+    // rows - driver-sized regardless of corpus size.
+    val totals = ranged
+      .groupBy(col(strataCol).as("__pack_strata"),
+        col("__pack_shard").as("__pack_shard_t"))
+      .agg(sum(col(tokenCol)).as("__pack_tot"))
+    val wOff = Window
+      .partitionBy(col("__pack_strata"))
+      .orderBy(col("__pack_shard_t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__pack_off",
+        coalesce(sum(col("__pack_tot")).over(wOff), lit(0L)))
+      .drop("__pack_tot")
+    ranged
+      .join(broadcast(offsets),
+        col(strataCol) <=> col("__pack_strata") &&
+          col("__pack_shard") === col("__pack_shard_t"),
+        "left")
+      .withColumn(outCol, within + col("__pack_off"))
+      .drop("__pack_strata", "__pack_shard_t", "__pack_off",
+        "__pack_shard")
+  }
 
   def assignBins(df: DataFrame, budgetTokens: Long,
                  tokenCol: String = "n_tokens",
                  strataCol: String = "source",
-                 orderCol: String = "doc_id"): DataFrame = {
+                 orderCol: String = "doc_id",
+                 numShards: Int = 0): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumBefore = sum(col(tokenCol)).over(w) - col(tokenCol)
-    df.withColumn("pack_bin", floor(cumBefore / budgetTokens))
+    withCumBefore(df, tokenCol, strataCol, orderCol, numShards, "__pack_cum")
+      .withColumn("pack_bin", floor(col("__pack_cum") / budgetTokens))
+      .drop("__pack_cum")
   }
 
   /** Concat-and-chunk packing: within each stratum, documents are laid
@@ -48,8 +106,9 @@ object Packing {
     * enough for a downstream writer to materialize sequences and
     * attention-mask segment boundaries.
     *
-    * Scale shape: the same single cumulative-sum window as assignBins
-    * (one shuffle on the stratum key) plus a sequence() explode of at
+    * Scale shape: the same two-level shard prefix sum as [[assignBins]]
+    * (parallel within-shard windows + broadcast shard offsets - no
+    * single-task-per-stratum window) plus a sequence() explode of at
     * most ceil(tokens/seqLen)+1 rows per doc - output is O(total
     * tokens / seqLen + docs), never quadratic. Zero-token docs occupy
     * no span and emit nothing. Integer-only arithmetic, bit-stable
@@ -57,13 +116,12 @@ object Packing {
   def assignChunks(df: DataFrame, seqLen: Long,
                    tokenCol: String = "n_tokens",
                    strataCol: String = "source",
-                   orderCol: String = "doc_id"): DataFrame = {
+                   orderCol: String = "doc_id",
+                   numShards: Int = 0): DataFrame = {
     require(seqLen > 0, s"seqLen=$seqLen must be positive")
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val start = (sum(col(tokenCol)).over(w) - col(tokenCol)).cast("long")
-    df.filter(col(tokenCol) > 0)
-      .withColumn("tok_start", start)
+    withCumBefore(df.filter(col(tokenCol) > 0), tokenCol, strataCol,
+        orderCol, numShards, "__pack_cum")
+      .withColumn("tok_start", col("__pack_cum").cast("long"))
       .withColumn("tok_end", col("tok_start") + col(tokenCol))
       .withColumn("chunk_id", explode(sequence(
         floor(col("tok_start") / seqLen).cast("long"),
@@ -72,6 +130,6 @@ object Packing {
         greatest(col("tok_start") - col("chunk_id") * seqLen, lit(0L)))
       .withColumn("end_off",
         least(col("tok_end") - col("chunk_id") * seqLen, lit(seqLen)))
-      .drop("tok_start", "tok_end")
+      .drop("tok_start", "tok_end", "__pack_cum")
   }
 }

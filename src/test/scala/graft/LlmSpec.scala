@@ -1029,6 +1029,27 @@ class LlmSpec extends SparkSpec {
     assert(byDoc(3L) == 700 && byDoc(6L) == 256 && byDoc(8L) == 255)
   }
 
+  test("packing: shard count never changes assignments (two-level " +
+    "prefix sum is boundary-invariant)") {
+    val rnd = new scala.util.Random(11)
+    val d = (1L to 300L).map(i =>
+      (i, s"s${i % 4}", (rnd.nextInt(400) + 1).toLong))
+      .toDF("doc_id", "source", "n_tokens")
+    def binsAt(s: Int) = graft.llm.Packing
+      .assignBins(d, budgetTokens = 512, numShards = s)
+      .select("doc_id", "pack_bin").as[(Long, Long)].collect().toMap
+    def chunksAt(s: Int) = graft.llm.Packing
+      .assignChunks(d, seqLen = 256, numShards = s)
+      .select("doc_id", "chunk_id", "begin_off", "end_off")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // 1 shard = the sequential ground truth; more shards than strata
+    // rows exercises empty and partial range slices
+    val b1 = binsAt(1)
+    assert(binsAt(7) == b1 && binsAt(64) == b1)
+    val c1 = chunksAt(1)
+    assert(chunksAt(7) == c1 && chunksAt(64) == c1)
+  }
+
   test("BPE pair counts: frequency-weighted adjacent char pairs") {
     // vocabulary: "aba" x3, "ab" x1, "x" x1 (too short -> no pairs)
     // pairs: ab (3 from aba + 1 from ab = 4), ba (3)

@@ -90,4 +90,40 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!cntPlan.contains("CartesianProduct") &&
       !cntPlan.contains("BroadcastNestedLoop"), cntPlan)
   }
+
+  test("packing windows are never keyed by the stratum column alone " +
+    "over row-sized data (two-level shard prefix sum)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val d = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "web" else "code", 60L))
+      .toDF("doc_id", "source", "n_tokens")
+    for (df <- Seq(graft.llm.Packing.assignBins(d, budgetTokens = 200),
+                   graft.llm.Packing.assignChunks(d, seqLen = 256))) {
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w
+      }
+      assert(wins.nonEmpty)
+      // the corpus-sized cumsum must partition by (stratum, shard) -
+      // a single-column partition spec there would serialize a hot
+      // stratum through one WindowExec task at 100 TB
+      assert(wins.exists(_.partitionSpec.size >= 2),
+        df.queryExecution.optimizedPlan.toString)
+      // any single-key window is only allowed over the aggregated
+      // per-(stratum, shard) totals frame (bounded by shard count),
+      // never directly over the document stream
+      for (w <- wins if w.partitionSpec.size < 2)
+        assert(w.collectFirst { case a: Aggregate => a }.isDefined,
+          w.toString)
+    }
+  }
+
+  test("packing broadcast-joins the shard offsets; no cartesian") {
+    val d = (1L to 200L).map(i => (i, s"s${i % 3}", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val plan = graft.llm.Packing.assignBins(d, budgetTokens = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
 }
