@@ -284,6 +284,85 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents) d0
          LEFT JOIN agg a ON a.doc_id = d0.doc_id"""
 
+  /** Literal >64-rule merge table for q_t_bpe_encode_big: exercises the
+    * native BpeSegment expression path (tables past 64 rules skip the
+    * nested-replace projection). 83 deterministic rules: the 9x9 grid
+    * over the most frequent English letters plus two compound rules, so
+    * plenty fire on the documents corpus. */
+  private val bigBpeMerges: Seq[(String, String)] = {
+    val cs = "etaoinshr"
+    (for (l <- cs; r <- cs) yield (l.toString, r.toString)).toSeq ++
+      Seq(("th", "e"), ("an", "d"))
+  }
+
+  /** Encode oracle for a LITERAL merge table: replays the table as
+    * chained DuckDB replace() calls over the chr(1)-wrapped symbol
+    * string (the exact sequential-pass semantics BpeSegment implements)
+    * then rebuilds the induced vocabulary and per-doc csv exactly like
+    * [[bpeEncodeCtes]]. DuckDB nests a few hundred replaces without the
+    * planner limits that motivated the native Spark expression. */
+  private def bpeEncodeLiteralSql(merges: Seq[(String, String)]): String = {
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val segExpr = merges.foldLeft(
+      "regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g')") {
+      case (acc, (l, r)) =>
+        s"""replace($acc,
+             chr(1) || ${lit(l)} || chr(1) || chr(1) || ${lit(r)} || chr(1),
+             chr(1) || ${lit(l + r)} || chr(1))"""
+    }
+    val muRows = merges.zipWithIndex
+      .map { case ((l, r), i) => s"(${i + 1}, ${lit(l)}, ${lit(r)})" }
+      .mkString(",\n             ")
+    s"""WITH t AS (SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
+             AS w
+           FROM documents),
+         w AS (SELECT DISTINCT w FROM t WHERE NOT contains(w, chr(1))),
+         toks AS (SELECT w, string_split(trim($segExpr, chr(1)),
+             chr(1) || chr(1)) AS toks
+           FROM w),
+         chars AS (SELECT DISTINCT substr(w, i, 1) AS tok FROM w,
+             LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+         mu AS (SELECT * FROM (VALUES
+             $muRows) AS mu0(rnd, l, r)),
+         v0 AS (SELECT tok, 0 AS grp, tok AS ord FROM chars
+           UNION ALL
+           SELECT l || r AS tok, 1 AS grp,
+                  lpad(CAST(rnd AS VARCHAR), 6, '0') AS ord
+           FROM mu),
+         v1 AS (SELECT tok,
+             CAST(row_number() OVER (ORDER BY grp, ord) - 1 AS INT) AS id
+           FROM v0),
+         vocab AS (SELECT tok, id FROM (
+             SELECT tok, id,
+                    row_number() OVER (PARTITION BY tok ORDER BY id) AS rn
+             FROM v1)
+           WHERE rn = 1),
+         enc AS (SELECT t0.w,
+             array_to_string(list(CAST(v.id AS VARCHAR) ORDER BY t0.i), ',')
+               AS ids_csv,
+             CAST(count(*) AS INT) AS n
+           FROM (SELECT w, i, toks[i] AS tok FROM toks,
+               LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)) t0
+           JOIN vocab v ON v.tok = t0.tok
+           GROUP BY t0.w),
+         d AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+         dw AS (SELECT doc_id, i, ws[i] AS w FROM d,
+             LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)
+           WHERE NOT contains(ws[i], chr(1))),
+         agg AS (SELECT dw.doc_id,
+             CAST(sum(e.n) AS INT) AS n_tokens,
+             string_agg(e.ids_csv, ',' ORDER BY dw.i) AS token_csv
+           FROM dw JOIN enc e ON e.w = dw.w
+           GROUP BY dw.doc_id)
+         SELECT d0.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                coalesce(a.token_csv, '') AS token_csv
+         FROM (SELECT doc_id FROM documents) d0
+         LEFT JOIN agg a ON a.doc_id = d0.doc_id"""
+  }
+
   /** Train -> encode -> pack oracle: the per-doc BPE token counts from
     * [[bpeEncodeCtes]] feed the same per-source running-offset chunk
     * layout q_pack_chunks pins (zero-token docs occupy no span). */
@@ -1388,6 +1467,16 @@ object SparkEntry {
           array_join(transform(col("token_ids"), i => i.cast("string")), ",")
             .as("token_csv"))
     }),
+
+    // tokenizer application under an EXTERNAL-SIZED table: 83 literal
+    // rules route through the native BpeSegment expression (the >64
+    // scale path a shipped ~30k-rule tokenizer artifact needs); DuckDB
+    // replays the same replace chain literally
+    "q_t_bpe_encode_big" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(t(s, dir, "documents"), bigBpeMerges)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(transform(col("token_ids"), i => i.cast("string")), ",")
+            .as("token_csv"))),
 
     // the tokenizer chain END-TO-END: train (memoized) -> encode ->
     // concat-and-chunk pack on the REAL BPE token counts - the
@@ -2567,6 +2656,7 @@ object SparkEntry {
     // BPE encode replayed end-to-end: merge chain -> induced vocabulary
     // -> per-word ids -> per-doc csv reassembly in word order
     "q_t_bpe_encode" -> bpeEncodeSql(6),
+    "q_t_bpe_encode_big" -> bpeEncodeLiteralSql(bigBpeMerges),
 
     // tokenizer chain end-to-end: the encode chain's n_tokens feeding
     // the q_pack_chunks per-source running-offset chunk layout

@@ -163,7 +163,9 @@ object TextAnalysis {
     * Scale shape: the corpus collapses to the DISTINCT-word frame
     * before any per-character work (the [[bpeTrain]] pattern) - the
     * merge-application chain (<= 64 codegen'd `replace` calls in one
-    * projection) and the per-word id lookup run over |vocabulary| rows,
+    * projection; larger tables via the native
+    * [[graft.functions.BpeSegment]] expression with identical
+    * semantics) and the per-word id lookup run over |vocabulary| rows,
     * not |tokens|. The vocabulary (chars + one row per merge) is
     * config-sized and broadcasts; its id assignment runs a
     * single-partition window over that config-sized frame only. The
@@ -171,14 +173,19 @@ object TextAnalysis {
     * against the encoded word frame (word-hash shuffle), and the
     * per-doc reassembly aggregation - the same two-shuffle shape as
     * any tokenize pass. */
-  /** Bound matches [[bpeTrain]]'s rounds limit: the merge chain is ONE
-    * nested-replace projection, and a table past a few hundred rules
-    * would outgrow whole-stage codegen's method limit (a chunked-
-    * projection variant is the path for external 30k-rule tables). */
+  /** Tables up to [[bpeTrain]]'s 64-round limit apply as ONE
+    * nested-replace projection (pinned plan shape); anything larger -
+    * e.g. an external ~30k-rule tokenizer table - routes through the
+    * native [[graft.functions.BpeSegment]] expression, whose per-word
+    * sequential-pass loop is bit-identical to the replace chain and
+    * independent of table size. The ceiling only guards against a
+    * nonsensical table exploding the vocabulary-id frame. */
   private def requireMergeTable(merges: Seq[(String, String)]): Unit = {
-    require(merges.size <= 64, s"merge table size ${merges.size} > 64")
-    require(merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty },
-      "empty symbol in merge table")
+    require(merges.size <= (1 << 20),
+      s"merge table size ${merges.size} > ${1 << 20}")
+    require(merges.forall { case (l, r) =>
+      l.nonEmpty && r.nonEmpty && !l.contains("\u0001") && !r.contains("\u0001")
+    }, "empty or separator-containing symbol in merge table")
   }
 
   /** Shared encode core: the DISTINCT-word frame with each word's
@@ -190,13 +197,26 @@ object TextAnalysis {
     val words = df.select(explode(normalizedWords(col(textCol))).as("w"))
       .filter(!col("w").contains(sep))
       .distinct()
-    val seg0 = regexp_replace(col("w"), "(.)", s"$sep$$1$sep")
-    val segN = merges.foldLeft(seg0) { case (acc, (l, r)) =>
-      org.apache.spark.sql.functions.replace(
-        acc, lit(s"$sep$l$sep$sep$r$sep"), lit(s"$sep$l$r$sep"))
+    if (merges.size <= 64) {
+      // training-sized table: one nested-replace projection (the exact
+      // string rewrite bpeTrain's rounds apply; pinned plan shape)
+      val seg0 = regexp_replace(col("w"), "(.)", s"$sep$$1$sep")
+      val segN = merges.foldLeft(seg0) { case (acc, (l, r)) =>
+        org.apache.spark.sql.functions.replace(
+          acc, lit(s"$sep$l$sep$sep$r$sep"), lit(s"$sep$l$r$sep"))
+      }
+      words.select(col("w"),
+        split(regexp_replace(segN, s"^$sep|$sep$$", ""), s"$sep$sep").as("toks"))
+    } else {
+      // external-tokenizer-sized table (e.g. ~30k rules): the native
+      // BpeSegment expression applies the same sequential-pass
+      // semantics in one codegen'd call per distinct word, with cost
+      // independent of table size (LlmSpec pins path equivalence)
+      import org.apache.spark.sql.GraftSqlBridge
+      words.select(col("w"),
+        GraftSqlBridge.column(graft.functions.BpeSegment(
+          GraftSqlBridge.expression(col("w")), merges)).as("toks"))
     }
-    words.select(col("w"),
-      split(regexp_replace(segN, s"^$sep|$sep$$", ""), s"$sep$sep").as("toks"))
   }
 
   def bpeEncode(df: DataFrame, merges: Seq[(String, String)],
