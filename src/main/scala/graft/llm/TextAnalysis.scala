@@ -219,16 +219,23 @@ object TextAnalysis {
     }
   }
 
-  def bpeEncode(df: DataFrame, merges: Seq[(String, String)],
-                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** The induced vocabulary `(tok, id)` for a corpus + merge table:
+    * corpus characters first (grp 0, ordered by char) then merge
+    * products (grp 1, ordered by round); duplicate token strings keep
+    * the first id, so ids are a function of the vocabulary alone. This
+    * is the shippable half of the tokenizer artifact - persist it with
+    * [[BpeArtifact.save]] and encode OTHER corpora against it via
+    * [[bpeEncodeWithVocab]] for ids that are stable across corpora
+    * (plain [[bpeEncode]] re-induces the vocab from the encoded
+    * corpus's own characters). Both frames are vocabulary/config-sized,
+    * so the unpartitioned windows are driver-bounded by construction. */
+  def bpeVocab(df: DataFrame, merges: Seq[(String, String)],
+               textCol: String = "text"): DataFrame = {
     requireMergeTable(merges)
     val sep = "\u0001"
-    val wordToks = encodedWordFrame(df, merges, textCol)
-    val words = wordToks.select(col("w"))
-    // vocabulary: corpus chars (grp 0, ordered by char) then merge
-    // products (grp 1, ordered by round); duplicate token strings keep
-    // the first id. Both frames are vocabulary/config-sized, so the
-    // unpartitioned windows are driver-bounded by construction.
+    val words = df.select(explode(normalizedWords(col(textCol))).as("w"))
+      .filter(!col("w").contains(sep))
+      .distinct()
     val chars = words.select(explode(transform(
         sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1)))).as("tok"))
@@ -243,16 +250,47 @@ object TextAnalysis {
       .orderBy(col("grp"), col("ord"))
     val wTok = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tok")).orderBy(col("id"))
-    val vocab = chars.union(mergedToks)
+    chars.union(mergedToks)
       .withColumn("id", (row_number().over(wId) - 1).cast("int"))
       .withColumn("__rn", row_number().over(wTok))
       .filter(col("__rn") === 1)
       .select(col("tok"), col("id"))
-    // per distinct word: ordered token-id array (every segmentation
-    // token is a corpus char or a merge product, so the join is total)
+  }
+
+  def bpeEncode(df: DataFrame, merges: Seq[(String, String)],
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    encodeCore(df, merges, bpeVocab(df, merges, textCol), idCol, textCol,
+      unkId = -1)
+
+  /** Encode under an EXPLICIT vocabulary frame `(tok, id)` - the
+    * trained-artifact path: `bpeVocab` (or [[BpeArtifact.load]]) fixes
+    * the ids at train time, so encoding new corpora under a shipped
+    * merge table yields stable ids regardless of which characters the
+    * new corpus happens to contain. Segmentation tokens absent from the
+    * vocabulary (characters the training corpus never saw) emit
+    * `unkId` - they still occupy one position, mirroring a real
+    * tokenizer's UNK. */
+  def bpeEncodeWithVocab(df: DataFrame, merges: Seq[(String, String)],
+                         vocab: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         unkId: Int = -1): DataFrame =
+    encodeCore(df, merges, vocab.select(col("tok"), col("id")), idCol,
+      textCol, unkId)
+
+  /** Shared encode body: segmentation (chain or native path), per-word
+    * id lookup against the broadcast vocabulary (left join - a missing
+    * token becomes `unkId`; total for the induced vocab), per-doc
+    * reassembly. The same two-shuffle shape as any tokenize pass. */
+  private def encodeCore(df: DataFrame, merges: Seq[(String, String)],
+                         vocab: DataFrame, idCol: String, textCol: String,
+                         unkId: Int): DataFrame = {
+    requireMergeTable(merges)
+    val sep = "\u0001"
+    val wordToks = encodedWordFrame(df, merges, textCol)
     val encoded = wordToks
       .select(col("w"), posexplode(col("toks")).as(Seq("i", "tok")))
-      .join(broadcast(vocab), Seq("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("id", coalesce(col("id"), lit(unkId)))
       .groupBy(col("w"))
       .agg(array_sort(collect_list(struct(col("i"), col("id")))).as("__ps"))
       .select(col("w"), transform(col("__ps"), p => p("id")).as("__ids"))

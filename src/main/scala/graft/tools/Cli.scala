@@ -20,6 +20,12 @@ import graft.sources.Readers
   * /root/testdata/sf0.001), `--out <dir>` output state dir (default
   * /tmp/graft_cli_out), `--maxAgeDays <n>` freshness gate.
   *
+  * Tokenizer-artifact flows (standalone; corpus = sfDir documents):
+  * `--bpeSave <dir>` trains `--bpeRounds` (default 6) BPE rounds and
+  * persists merge table + induced vocab; `--bpeLoad <dir>` encodes the
+  * corpus under a previously saved artifact (stable ids across
+  * sessions and corpora) into `<out>/bpe_encoded`.
+  *
   * Source-file flags (the reference's download targets, read via the
   * real TSV readers instead of the TPC-H-derived fixture frames):
   * `--hcop <tsv>` + `--ncbi <tsv>` feed the species flow through
@@ -64,6 +70,9 @@ object Cli {
     var ncbiPath: Option[String] = None
     var alliancePath: Option[String] = None
     var sanityFloor = 5000L // D4 default, OrthologRelationParser.java:47-49
+    var bpeSaveDir: Option[String] = None
+    var bpeLoadDir: Option[String] = None
+    var bpeRounds = 6
 
     var i = 0
     def value(flag: String): Option[String] = {
@@ -83,6 +92,9 @@ object Cli {
         case "--ncbi" => ncbiPath = value("--ncbi"); if (ncbiPath.isEmpty) return -1
         case "--alliance" => alliancePath = value("--alliance"); if (alliancePath.isEmpty) return -1
         case "--sanityFloor" => value("--sanityFloor") match { case Some(v) => sanityFloor = v.toLong; case None => return -1 }
+        case "--bpeSave" => bpeSaveDir = value("--bpeSave"); if (bpeSaveDir.isEmpty) return -1
+        case "--bpeLoad" => bpeLoadDir = value("--bpeLoad"); if (bpeLoadDir.isEmpty) return -1
+        case "--bpeRounds" => value("--bpeRounds") match { case Some(v) => bpeRounds = v.toInt; case None => return -1 }
         case other => System.err.println(s"ERROR: unknown argument: $other"); return -1
       }
       i += 1
@@ -105,6 +117,41 @@ object Cli {
     if (hcopPath.isDefined && (agrOrthologs || fixXref)) {
       System.err.println("ERROR: --hcop/--ncbi are only read by the --species flows")
       return -1
+    }
+
+    // Tokenizer-artifact flows: standalone (the BPE corpus is the
+    // documents table, disjoint from the ortholog state), so any
+    // ortholog-flow flag alongside them is a usage error, as is
+    // save+load in one invocation (the round trip is two runs - that
+    // IS the cross-session property the artifact exists for).
+    if (bpeSaveDir.isDefined || bpeLoadDir.isDefined) {
+      if (bpeSaveDir.isDefined && bpeLoadDir.isDefined) {
+        System.err.println("ERROR: --bpeSave and --bpeLoad are separate runs")
+        return -1
+      }
+      if (speciesArg.isDefined || agrOrthologs || fixXref ||
+          hcopPath.isDefined || alliancePath.isDefined) {
+        System.err.println("ERROR: --bpeSave/--bpeLoad run standalone")
+        return -1
+      }
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      bpeSaveDir match {
+        case Some(dir) =>
+          val (nRules, nVocab) =
+            graft.llm.BpeArtifact.trainAndSave(docs, bpeRounds, dir)
+          println(s"BPE_MERGES=$nRules BPE_VOCAB=$nVocab")
+        case None =>
+          val dir = bpeLoadDir.get
+          val rules = graft.llm.BpeArtifact.loadMergeRules(spark, dir)
+          val vocab = graft.llm.BpeArtifact.loadVocab(spark, dir)
+          val enc = graft.llm.TextAnalysis
+            .bpeEncodeWithVocab(docs, rules, vocab)
+          write(enc, s"$out/bpe_encoded")
+          val tot = enc.agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("n_tokens"))).head.getLong(0)
+          println(s"BPE_DOCS=${enc.count()} BPE_TOKENS=$tot")
+      }
+      return 0
     }
 
     val runTs = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")

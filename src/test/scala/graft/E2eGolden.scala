@@ -61,10 +61,19 @@ object E2eGolden {
       "--agrOrthologs", "--sfDir", sf, "--out", out,
       "--alliance", s"$fixtureDir/alliance_orthology.tsv"), spark)
     require(agr == 0, s"agr flow exit code $agr")
+    // tokenizer-artifact round trip: train+save in one run, load+encode
+    // in another - the cross-session artifact contract (X-session ids)
+    val bpeSave = graft.tools.Cli.run(Array(
+      "--bpeSave", s"$out/bpe_artifact", "--sfDir", sf), spark)
+    require(bpeSave == 0, s"bpe save exit code $bpeSave")
+    val bpeLoad = graft.tools.Cli.run(Array(
+      "--bpeLoad", s"$out/bpe_artifact", "--sfDir", sf, "--out", out), spark)
+    require(bpeLoad == 0, s"bpe load exit code $bpeLoad")
     Map(
       "rat_orthologs" -> s"$out/rat/orthologs",
       "rat_associations" -> s"$out/rat/associations",
-      "agr_orthologs" -> s"$out/agr_orthologs")
+      "agr_orthologs" -> s"$out/agr_orthologs",
+      "bpe_encoded" -> s"$out/bpe_encoded")
   }
 }
 

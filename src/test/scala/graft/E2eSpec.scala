@@ -19,7 +19,8 @@ class E2eSpec extends SparkSpec {
     E2eGolden.runFlows(spark, out)
   }
 
-  for (name <- Seq("rat_orthologs", "rat_associations", "agr_orthologs")) {
+  for (name <- Seq("rat_orthologs", "rat_associations", "agr_orthologs",
+                   "bpe_encoded")) {
     test(s"golden e2e: $name matches the checked-in dump") {
       val got = E2eGolden.canon(spark.read.parquet(outDirs(name)))
       val want = E2eGolden.readGolden(name)
@@ -41,6 +42,44 @@ class E2eSpec extends SparkSpec {
         "--hcop", s"${E2eGolden.fixtureDir}/hcop.tsv",
         "--ncbi", s"${E2eGolden.fixtureDir}/ncbi_gene_orthologs.tsv"), spark)
     }
+  }
+
+  test("loaded-artifact encode equals in-session train->encode, and " +
+    "ids stay stable on a different corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val art = outDirs("bpe_encoded").stripSuffix("/bpe_encoded") + "/bpe_artifact"
+    def canonEnc(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("n_tokens"), col("token_ids"))
+        .as[(Long, Int, Seq[Int])].collect().toSeq.sortBy(_._1)
+    val rules = graft.llm.BpeArtifact.loadMergeRules(spark, art)
+    val vocab = graft.llm.BpeArtifact.loadVocab(spark, art)
+    // round trip == plain train->encode on the training corpus
+    assert(canonEnc(spark.read.parquet(outDirs("bpe_encoded"))) ==
+      canonEnc(graft.llm.TextAnalysis.bpeEncode(docs, rules)))
+    // ADVICE-r7: under the SHIPPED vocab, a different corpus (a slice
+    // of documents) encodes shared docs with identical ids - plain
+    // bpeEncode would re-induce ids from the slice's own characters
+    val slice = docs.filter(col("doc_id") % 7 === 0)
+    val full = canonEnc(graft.llm.TextAnalysis
+      .bpeEncodeWithVocab(docs, rules, vocab))
+      .map { case (id, n, t) => id -> ((n, t)) }.toMap
+    val sub = canonEnc(graft.llm.TextAnalysis
+      .bpeEncodeWithVocab(slice, rules, vocab))
+    for ((id, n, toks) <- sub) assert((n, toks) == full(id))
+  }
+
+  test("bpe artifact flags run standalone") {
+    // save+load in one invocation defeats the cross-session contract
+    assert(graft.tools.Cli.run(Array(
+      "--bpeSave", "/tmp/x", "--bpeLoad", "/tmp/x"), spark) == -1)
+    // and ortholog-flow flags alongside them are usage errors
+    assert(graft.tools.Cli.run(Array(
+      "--bpeSave", "/tmp/x", "--species", "rat"), spark) == -1)
+    assert(graft.tools.Cli.run(Array(
+      "--bpeLoad", "/tmp/x", "--agrOrthologs"), spark) == -1)
   }
 
   test("--hcop without --ncbi is a usage error") {
