@@ -476,6 +476,133 @@ object SparkEntry {
            WHERE CAST(cm.n_common AS DOUBLE)
                    / (na.nsh + nb.nsh - cm.n_common) >= 0.5)"""
 
+  /** Parameterized md5-minhash oracle CTEs ending in a `pairs`
+    * relation (id_a, id_b, jaccard): word `shingleN`-grams, `k` md5
+    * permutations, `bands` bands of k/bands rows, the shared
+    * maxBucketSize=1000 cut, an optional integer signature-agreement
+    * floor (`estMinAgree` of k positions equal - the two-stage ngram
+    * variant's estimate filter), and exact-Jaccard verification at
+    * `threshold`. [[minhashMd5CtesSql]] remains the fixed (16, 8, 3,
+    * 0.5) instance shared by the q_d_minhash_md5 / q_d_dedup_e2e
+    * chain; this generator backs the re-keyed pair queries. */
+  private def minhashMd5ParamCtes(k: Int, bands: Int, shingleN: Int,
+                                  threshold: Double,
+                                  estMinAgree: Int): String = {
+    val rows = k / bands
+    val shingle =
+      if (shingleN < 2) "unnest(list_distinct(ws)) AS shingle"
+      else s"""unnest(CASE WHEN len(ws) < $shingleN
+               THEN [array_to_string(ws, ' ')]
+               ELSE list_distinct(list_transform(
+                 generate_series(1, len(ws) - ${shingleN - 1}),
+                 i -> array_to_string(ws[i : i + ${shingleN - 1}], ' ')))
+               END) AS shingle"""
+    val estStage =
+      if (estMinAgree <= 0) "cand AS (SELECT id_a, id_b FROM cand0)"
+      else s"""cand AS (SELECT c.id_a, c.id_b
+           FROM cand0 c
+           JOIN sigs sa ON sa.doc_id = c.id_a
+           JOIN sigs sb ON sb.doc_id = c.id_b
+           WHERE len(list_filter(range(1, ${k + 1}),
+             i -> sa.sig[i] = sb.sig[i])) >= $estMinAgree)"""
+    s"""w AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               t -> t <> '') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, $shingle
+           FROM w),
+         shs AS (SELECT doc_id, list(shingle) AS sh FROM g GROUP BY doc_id),
+         sigs AS (SELECT doc_id,
+             list_transform(range(1, ${k + 1}), i ->
+               list_min(list_transform(sh,
+                 s -> substr(md5(i || '|' || s), 1, 16)))) AS sig
+           FROM shs),
+         bnd AS (SELECT doc_id, b,
+             array_to_string(sig[b*$rows+1 : b*$rows+$rows], '#') AS bandval
+           FROM sigs, LATERAL (SELECT unnest(range(0, $bands)) AS b)),
+         bndk AS (SELECT doc_id, b, bandval FROM (
+             SELECT doc_id, b, bandval,
+                    count(*) OVER (PARTITION BY b, bandval) AS bsz
+             FROM bnd)
+           WHERE bsz <= 1000),
+         cand0 AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM bndk a JOIN bndk c
+             ON a.b = c.b AND a.bandval = c.bandval
+             AND a.doc_id < c.doc_id),
+         $estStage,
+         sz AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY doc_id),
+         common AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             count(*) AS n_common
+           FROM g x JOIN g y USING (shingle)
+           WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT p.id_a, p.id_b,
+                CAST(cm.n_common AS DOUBLE)
+                  / (na.nsh + nb.nsh - cm.n_common) AS jaccard
+           FROM cand p
+           JOIN common cm ON cm.id_a = p.id_a AND cm.id_b = p.id_b
+           JOIN sz na ON na.doc_id = p.id_a
+           JOIN sz nb ON nb.doc_id = p.id_b
+           WHERE CAST(cm.n_common AS DOUBLE)
+                   / (na.nsh + nb.nsh - cm.n_common) >= $threshold)"""
+  }
+
+  /** md5-bit SimHash pair oracle for an arbitrary radius: the same
+    * signature construction as the q_d_simhash_md5 oracle, with
+    * maxHamming+1 blocking chunks whose widths distribute the 64 chars
+    * exactly as Dedup.simhashMd5Pairs does. */
+  private def simhashMd5PairsSql(maxHamming: Int): String = {
+    val chunks = maxHamming + 1
+    val widths = Array.fill(chunks)(64 / chunks)
+    (0 until 64 % chunks).foreach(widths(_) += 1)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunkSel = (0 until chunks).map(c =>
+      s"SELECT doc_id, $c AS chunk, " +
+        s"substr(sig, ${offsets(c) + 1}, ${widths(c)}) AS chunkVal FROM sig")
+      .mkString("\n           UNION ALL ")
+    s"""WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(
+                 lower(trim(coalesce(text, ''))), '[^a-z0-9_]+'),
+               t -> t <> '') AS ws
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+         bits AS (SELECT doc_id, CAST(j AS INT) AS j,
+             ((strpos('0123456789abcdef',
+                 substr(md5(t), CAST(j // 4 AS INT) + 1, 1)) - 1)
+               >> (3 - CAST(j % 4 AS INT))) & 1 AS bit
+           FROM tok CROSS JOIN range(0, 64) r(j)),
+         sums AS (SELECT doc_id, j, sum(bit) AS s
+           FROM bits GROUP BY doc_id, j),
+         sig0 AS (SELECT doc_id,
+             string_agg(CASE WHEN 2 * s > n THEN '1' ELSE '0' END,
+               '' ORDER BY j) AS sig
+           FROM sums JOIN (SELECT doc_id, len(ws) AS n FROM w) ln
+             USING (doc_id)
+           GROUP BY doc_id),
+         sig AS (SELECT w.doc_id,
+             coalesce(sig0.sig, repeat('0', 64)) AS sig
+           FROM w LEFT JOIN sig0 ON w.doc_id = sig0.doc_id),
+         chunked AS ($chunkSel),
+         bounded AS (SELECT doc_id, chunk, chunkVal FROM (
+             SELECT doc_id, chunk, chunkVal,
+                    count(*) OVER (PARTITION BY chunk, chunkVal) AS bsz
+             FROM chunked)
+           WHERE bsz <= 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bounded a JOIN bounded b
+             ON a.chunk = b.chunk AND a.chunkVal = b.chunkVal
+             AND a.doc_id < b.doc_id)
+         SELECT c.id_a, c.id_b,
+                CAST(len(list_filter(range(1, 65),
+                  i -> substr(sa.sig, CAST(i AS INT), 1)
+                    <> substr(sb.sig, CAST(i AS INT), 1))) AS INT) AS hamming
+         FROM cand c
+         JOIN sig sa ON sa.doc_id = c.id_a
+         JOIN sig sb ON sb.doc_id = c.id_b
+         WHERE len(list_filter(range(1, 65),
+           i -> substr(sa.sig, CAST(i AS INT), 1)
+             <> substr(sb.sig, CAST(i AS INT), 1))) <= $maxHamming"""
+  }
+
   /** Shared CTE chain for the --species flagship oracles, ending in a
     * `picks` relation carrying the FULL pick row (group, src, dest,
     * source, merged evidence string, tier, method). Re-derives the
@@ -1555,22 +1682,32 @@ object SparkEntry {
         TextAnalysis.wordCount(col("text")).as("n_ws_tokens"),
         TextAnalysis.tokenCountBpeIsh(col("text")).as("n_bpe_tokens"))),
 
-    // rows-only checks (not SQL-expressible in DuckDB): LSH pipelines
-    "q_d_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.5)
-        .select(col("id_a"), col("id_b"))),
+    // The three registry pair queries are keyed on md5 draws so DuckDB
+    // adjudicates them end-to-end (zero no_oracle rows); each uses a
+    // DIFFERENT parameterization/topology than the q_d_minhash_md5 /
+    // q_d_simhash_md5 twins. The xxhash64 fast paths (minhashLshPairs,
+    // simhashPairs, ngramJaccardPairs) remain the production defaults,
+    // pinned by brute-force ground truth in LlmSpec.
 
-    // maxHamming=3 is the standard 64-bit SimHash near-dup radius (4x16-bit
-    // chunk blocking); the chunk count is derived from the radius so any
-    // setting keeps the pigeonhole completeness guarantee
+    // md5 minhash at a STRICTER banding (4 bands x 4 rows vs the twin's
+    // 8x2 - band collision now needs 4 consecutive equal positions) over
+    // word BIGRAM shingles
+    "q_d_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashMd5Pairs(t(s, dir, "documents"), k = 16, bands = 4,
+        shingleN = 2, threshold = 0.6)),
+
+    // maxHamming=2: the 3-chunk (22/21/21) pigeonhole instance - the
+    // radius-derived chunking the fixed 4x16 twin cannot exercise
     "q_d_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+      Dedup.simhashMd5Pairs(t(s, dir, "documents"), maxHamming = 2)
         .select(col("id_a"), col("id_b"), col("hamming"))),
 
-    // full two-stage near-dup: MinHash-LSH candidates + exact shingle
+    // full two-stage near-dup: banded candidates -> integer signature-
+    // agreement estimate filter (>= 7 of 16 positions) -> exact shingle
     // Jaccard verification
     "q_d_ngram_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.6)
+      Dedup.ngramJaccardPairsMd5(t(s, dir, "documents"), shingleN = 3,
+        threshold = 0.6, estMinAgree = 7)
         .select(col("id_a"), col("id_b"), col("jaccard"))),
 
     // connected components over a pair graph (the keep-one-per-cluster
@@ -2349,6 +2486,16 @@ object SparkEntry {
     "q_d_minhash_md5" ->
       s"""WITH $minhashMd5CtesSql
          SELECT id_a, id_b, jaccard FROM pairs""",
+
+    // re-keyed pair trio (r8): md5 draws so DuckDB replays the full
+    // band/bucket/verify chains with the Spark side's parameters
+    "q_d_minhash_pairs" ->
+      s"""WITH ${minhashMd5ParamCtes(16, 4, 2, 0.6, 0)}
+         SELECT id_a, id_b, jaccard FROM pairs""",
+    "q_d_ngram_pairs" ->
+      s"""WITH ${minhashMd5ParamCtes(16, 8, 3, 0.6, 7)}
+         SELECT id_a, id_b, jaccard FROM pairs""",
+    "q_d_simhash_pairs" -> simhashMd5PairsSql(2),
 
     // md5-bit SimHash recomputed end-to-end: bit j of md5(token) gives
     // a +-1 vote, signature = per-bit sign over the token multiset as a

@@ -209,13 +209,24 @@ object Dedup {
     * (ties and tokenless docs give 0). The signature is carried as a
     * 64-char '0'/'1' string - hex chars map to bits without any 64-bit
     * integer parsing, which DuckDB's md5 surface cannot do portably -
-    * and the 4 blocking chunks are 16-char substrings (the pigeonhole
-    * guarantee for maxHamming=3, as in [[simhashPairs]]). Buckets above
-    * `maxBucketSize` are dropped, and the oracle mirrors the cut. */
+    * and the maxHamming+1 blocking chunks are substrings whose widths
+    * distribute the 64 chars evenly (the same pigeonhole guarantee as
+    * [[simhashPairs]]; maxHamming=3 gives the classic 4x16 scheme).
+    * Buckets above `maxBucketSize` are dropped, and the oracle mirrors
+    * the cut. */
   def simhashMd5Pairs(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", maxHamming: Int = 3,
                       maxBucketSize: Int = 1000): DataFrame = {
-    require(maxHamming == 3, "portable twin is fixed at the 4x16 scheme")
+    require(maxHamming >= 1 && maxHamming <= 7,
+      s"maxHamming=$maxHamming outside [1, 7] for the portable 64-char " +
+        "signature (chunks = maxHamming + 1, each >= 8 chars)")
+    // chunk widths over the 64-char bit string, distributed exactly as
+    // [[simhashPairs]] distributes bit widths (pigeonhole: maxHamming+1
+    // chunks guarantee a zero-diff chunk for any qualifying pair)
+    val chunks = maxHamming + 1
+    val widths = Array.fill(chunks)(64 / chunks)
+    (0 until 64 % chunks).foreach(widths(_) += 1)
+    val offsets = widths.scanLeft(0)(_ + _).init
     // fused native signature (one md5 per token, single pass) - the HOF
     // formulation (aggregate + zip_with + 64 conv/substr lambdas per
     // token) ran interpreted at ~15s for sf0.1, this is sub-second.
@@ -227,9 +238,10 @@ object Dedup {
           org.apache.spark.sql.GraftSqlBridge.expression(
             lower(trim(coalesce(col(textCol), lit(""))))))).as("sig"))
 
+    val chunkCols = (0 until chunks).map(c =>
+      col("sig").substr(offsets(c) + 1, widths(c)))
     val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        c => col("sig").substr(c * 16 + 1, lit(16)))))
+      posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
     val wB = Window.partitionBy(col("chunk"), col("chunkVal"))
     val bounded = chunked.withColumn("bSize", count(lit(1)).over(wB))
@@ -410,7 +422,24 @@ object Dedup {
                       shingleN: Int = 3, threshold: Double = 0.5,
                       maxBucketSize: Int = 1000): DataFrame =
     minhashMd5PairsImpl(df, idCol, textCol, k, bands, shingleN, threshold,
-      maxBucketSize)._1
+      maxBucketSize, estMinAgree = 0)._1
+
+  /** Portable TWO-STAGE n-gram-Jaccard near-dup ([[ngramJaccardPairs]]'s
+    * md5 twin): band-bucket candidates, a SIGNATURE-AGREEMENT estimate
+    * filter (at least `estMinAgree` of the k md5 minhash positions
+    * equal - integer-exact, so every engine agrees on the cut), then
+    * exact shingle-Jaccard verification at `threshold`. The estimate
+    * stage is the piece the plain md5 pairs path lacks: it discards
+    * low-similarity candidates BEFORE the shingle-set join, which at
+    * 100 TB is the difference between verifying banded-but-dissimilar
+    * boilerplate pairs and never shuffling their shingle sets at all. */
+  def ngramJaccardPairsMd5(df: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", k: Int = 16,
+                           bands: Int = 8, shingleN: Int = 3,
+                           threshold: Double = 0.8, estMinAgree: Int = 4,
+                           maxBucketSize: Int = 1000): DataFrame =
+    minhashMd5PairsImpl(df, idCol, textCol, k, bands, shingleN, threshold,
+      maxBucketSize, estMinAgree)._1
 
   /** [[minhashMd5Pairs]], materialized via localCheckpoint with the
     * internal shingle cache released before returning. The lazy variant
@@ -427,7 +456,7 @@ object Dedup {
                                   threshold: Double = 0.5,
                                   maxBucketSize: Int = 1000): DataFrame = {
     val (pairs, withSh) = minhashMd5PairsImpl(df, idCol, textCol, k, bands,
-      shingleN, threshold, maxBucketSize)
+      shingleN, threshold, maxBucketSize, estMinAgree = 0)
     try pairs.localCheckpoint() // eager: materializes before the finally
     finally withSh.unpersist(blocking = false)
   }
@@ -435,7 +464,8 @@ object Dedup {
   private def minhashMd5PairsImpl(df: DataFrame, idCol: String,
                                   textCol: String, k: Int, bands: Int,
                                   shingleN: Int, threshold: Double,
-                                  maxBucketSize: Int): (DataFrame, DataFrame) = {
+                                  maxBucketSize: Int,
+                                  estMinAgree: Int): (DataFrame, DataFrame) = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
     // persisted: three consumers (signature build + both verify joins)
@@ -459,10 +489,20 @@ object Dedup {
       .filter(col("bSize") <= maxBucketSize).drop("bSize")
     val left = bounded.select(col("band"), col("bandval"), col("id").as("id_a"))
     val right = bounded.select(col("band"), col("bandval"), col("id").as("id_b"))
-    val candidates = left.join(right, Seq("band", "bandval"))
+    val banded0 = left.join(right, Seq("band", "bandval"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // optional estimate stage: signature-position agreement count, an
+    // integer both engines compute identically; 0 = no filter
+    val candidates =
+      if (estMinAgree <= 0) banded0
+      else banded0
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .filter(size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (a, b) => a === b), x => x)) >= estMinAgree)
+        .select(col("id_a"), col("id_b"))
     candidates
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

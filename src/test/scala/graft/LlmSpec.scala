@@ -159,6 +159,53 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("md5 simhash at radius 2 (3-chunk pigeonhole) is complete vs " +
+    "brute force on its own signatures") {
+    val d = mutationDocs
+    import org.apache.spark.sql.functions.{coalesce, lit, lower, trim}
+    val sigs = d.select($"doc_id",
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.SimHashMd5Text(
+            org.apache.spark.sql.GraftSqlBridge.expression(
+              lower(trim(coalesce($"text", lit(""))))))).as("sig"))
+      .as[(Long, String)].collect()
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if ham(sa, sb) <= 2
+    } yield (ia, ib, ham(sa, sb))).toSet
+    val got = Dedup.simhashMd5Pairs(d, maxHamming = 2, maxBucketSize = 10000)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(brute.nonEmpty, "fixture must produce close pairs")
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
+  test("md5 ngram two-stage: exact precision at 0.6, est filter keeps " +
+    "high-similarity recall") {
+    val d = mutationDocs
+    val sh = d.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().map { case (i, s) => (i, s.toSet) }.toMap
+    def jac(a: Set[String], b: Set[String]) =
+      if ((a ++ b).isEmpty) 0.0 else (a & b).size.toDouble / (a ++ b).size
+    val out = Dedup.ngramJaccardPairsMd5(d, threshold = 0.6, estMinAgree = 7)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    for ((a, b, j) <- out) {
+      val truth = jac(sh(a), sh(b))
+      assert(math.abs(truth - j) < 1e-9 && truth >= 0.6)
+    }
+    // pairs at >= 0.9 exact Jaccard agree on nearly every signature
+    // position - neither the 8x2 banding nor the 7/16 estimate floor
+    // can drop them on this fixture
+    val high = (for {
+      (ia, sa) <- sh.toSeq; (ib, sb) <- sh.toSeq if ia < ib
+      if jac(sa, sb) >= 0.9
+    } yield (ia, ib)).toSet
+    val found = out.map(p => (p._1, p._2)).toSet
+    assert(high.nonEmpty && (high -- found).isEmpty)
+  }
+
   test("ngram Jaccard two-stage: exact precision, high-band recall") {
     val d = mutationDocs
     val sh = d.select($"doc_id", Dedup.shingles($"text").as("sh"))
