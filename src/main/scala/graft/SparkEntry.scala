@@ -1620,6 +1620,34 @@ object SparkEntry {
           col("begin_off"), col("end_off"))
     }),
 
+    // pack -> partitioned-export ROUND TRIP: assignChunks on real BPE
+    // counts written via Export.writePartitioned (salted repartition:
+    // bounded files AND parallel writers) then read back - the registry
+    // gate for the write path; DuckDB recomputes the chunk layout
+    // directly, so any row lost/duplicated/mangled by the export fails
+    // the compare. File-count bounds are pinned in SkewSpec.
+    "q_pack_export" -> ((s, dir) => {
+      val outDir = graft.pipeline.Memo.once(s, s"pack_export:$dir") {
+        val merges = bpeMergesShared(s, dir).map { case (_, l, r, _) => (l, r) }
+        val docs = t(s, dir, "documents")
+        val enc = TextAnalysis.bpeTokenCounts(docs, merges)
+        val chunks = graft.llm.Packing.assignChunks(
+            docs.select(col("doc_id"), col("source")).join(enc, Seq("doc_id")),
+            seqLen = 512)
+          .select(col("doc_id"), col("source"), col("chunk_id"),
+            col("begin_off"), col("end_off"))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_pack_export").toString
+        graft.llm.Export.writePartitioned(chunks, out,
+          partitionCols = Seq("source"), sortCol = "doc_id",
+          targetRowsPerFile = 200L)
+        out
+      }
+      s.read.parquet(outDir)
+        .select(col("doc_id"), col("source"), col("chunk_id"),
+          col("begin_off"), col("end_off"))
+    }),
+
     // best-5-docs-per-source curation by quality score (total order,
     // per-stratum window rank - no global sort)
     "q_t_curate" -> ((s, dir) =>
@@ -2808,6 +2836,10 @@ object SparkEntry {
     // tokenizer chain end-to-end: the encode chain's n_tokens feeding
     // the q_pack_chunks per-source running-offset chunk layout
     "q_pack_bpe" -> bpePackSql(6, 256),
+    // export round trip: the oracle recomputes the seqLen=512 chunk
+    // layout directly; equality proves the partitioned write+read is
+    // lossless
+    "q_pack_export" -> bpePackSql(6, 512),
 
     // per-source top-5 by the q_t_quality score formula; identical
     // per-row double arithmetic in both engines makes the ordering

@@ -107,4 +107,32 @@ class SkewSpec extends SparkSpec {
       s"one writer task got ${perFile.max} of 900 hot rows")
     assert(perFile.sum == 900L)
   }
+
+  test("pack -> export chain bounds files per stratum and loses nothing " +
+    "(the q_pack_export registry chain)") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i =>
+      (i, if (i % 4 == 0) "code" else "web", 60L + (i % 7)))
+      .toDF("doc_id", "source", "n_tokens")
+    val chunks = graft.llm.Packing.assignChunks(docs, seqLen = 256)
+      .select($"doc_id", $"source", $"chunk_id", $"begin_off", $"end_off")
+    val expect = chunks.collect().map(_.toSeq).toSet
+    val out = java.nio.file.Files.createTempDirectory("pack_export").toString
+    graft.llm.Export.writePartitioned(chunks, out,
+      partitionCols = Seq("source"), sortCol = "doc_id",
+      targetRowsPerFile = 100L)
+    for (src <- Seq("web", "code")) {
+      val rows = chunks.filter($"source" === src).count()
+      val files = new java.io.File(s"$out/source=$src")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      val buckets = math.max(1L, math.ceil(rows / 100.0).toLong)
+      assert(files.nonEmpty && files.length <= buckets,
+        s"$src: ${files.length} files for $rows rows (cap $buckets)")
+    }
+    // round trip is lossless (the property q_pack_export's oracle gates)
+    val got = spark.read.parquet(out)
+      .select($"doc_id", $"source", $"chunk_id", $"begin_off", $"end_off")
+      .collect().map(_.toSeq).toSet
+    assert(got == expect)
+  }
 }
