@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *   aqe        the same plan with AQE skew-join ON (Bench/prod conf)
   *   salted     operators.Skew.saltedJoin (manual 16-way salt)
   *
-  * Prints one line per variant: wall seconds + max rows observed in a
-  * single post-join partition (the per-task bound that decides whether
-  * one straggler reducer serializes the stage at 1000 executors).
+  * Prints one line per variant: wall seconds + the max shuffle-read
+  * bytes any single task of the TIMED run saw (from the final adaptive
+  * plan's map statistics and AQE read specs - the per-task bound that
+  * decides whether one straggler reducer serializes the stage at 1000
+  * executors).
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *   sbt "runMain graft.tools.SkewProbe"
@@ -79,20 +81,56 @@ object SkewProbe {
       .hint("merge")
       .persist()
     dfreqCached.count()
-    dfreqCached.write.mode("overwrite").parquet("/tmp/skewprobe_dfreq")
-    val dfreqDisk = spark.read.parquet("/tmp/skewprobe_dfreq").hint("merge")
+    val dfreqPath = java.nio.file.Files
+      .createTempDirectory("skewprobe_dfreq").toString
+    dfreqCached.write.mode("overwrite").parquet(dfreqPath)
+    val dfreqDisk = spark.read.parquet(dfreqPath).hint("merge")
+
+    // Per-task shuffle-read bytes of the TIMED run, from the final
+    // adaptive plan itself (mapStats + AQE read specs) - the old probe
+    // measured a second `joined.rdd` execution whose adaptive plan
+    // could differ from the timed one (the 500k aqe-ex anomaly in
+    // PLANS.md). A skew-split PartialReducerPartitionSpec carries its
+    // own dataSize, so the post-split per-task bound is exact.
+    def maxShuffleTaskBytes(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive._
+      import org.apache.spark.sql.execution.{CoalescedPartitionSpec,
+        PartialReducerPartitionSpec}
+      // query stages are LEAF nodes (collect stops at them), so descend
+      // into QueryStageExec.plan explicitly - the final adaptive tree is
+      // a ResultQueryStage wrapping the whole executed plan
+      def allNodes(p: SparkPlan): Seq[SparkPlan] =
+        p +: (p.children.flatMap(allNodes) ++ (p match {
+          case q: QueryStageExec => allNodes(q.plan)
+          case _ => Nil
+        }))
+      def stageBytes(st: ShuffleQueryStageExec): Seq[Long] =
+        st.mapStats.map(_.bytesByPartitionId.toSeq).getOrElse(Nil)
+      val perTask = allNodes(plan).flatMap {
+        case r: AQEShuffleReadExec =>
+          val perPart = r.child match {
+            case st: ShuffleQueryStageExec => stageBytes(st)
+            case _ => Nil
+          }
+          r.partitionSpecs.map {
+            case PartialReducerPartitionSpec(_, _, _, dataSize) => dataSize
+            case CoalescedPartitionSpec(s0, s1, dataSize) =>
+              dataSize.getOrElse(
+                if (perPart.isEmpty) 0L else (s0 until s1).map(perPart).sum)
+            case _ => 0L
+          }
+        // a stage read WITHOUT an AQE read node: one task per partition
+        case st: ShuffleQueryStageExec => stageBytes(st)
+        case _ => Nil
+      }
+      perTask.foldLeft(0L)(math.max)
+    }
 
     def run(label: String, skewJoin: Boolean)(mk: => DataFrame): Unit = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin)
       // isolate: AQE's coalesce stays on in both regimes (prod default)
       val joined = mk
-      val parts = joined.rdd
-        .mapPartitions(it => Iterator(it.size.toLong)).collect()
-      val maxPart = parts.foldLeft(0L)(math.max)
-      if (sys.env.contains("SKEWPROBE_DEBUG")) {
-        println(s"SKEWPROBE $label nParts=${parts.length}")
-        println(joined.queryExecution.executedPlan.toString.take(2500))
-      }
       val t0 = System.nanoTime()
       val agg = joined.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n"), sum(col("df")).as("sum_df"))
@@ -102,10 +140,17 @@ object SkewProbe {
       agg.queryExecution.toRdd.foreach(_ => ())
       val sec = (System.nanoTime() - t0) / 1e9
       // after execution the adaptive plan is final: count skew-split
-      // reader markers to prove whether OptimizeSkewedJoin fired
-      val finalPlan = agg.queryExecution.executedPlan.toString
+      // reader markers to prove whether OptimizeSkewedJoin fired, and
+      // read the per-task byte bound from THIS plan's shuffle stats
+      val physical = agg.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      val finalPlan = physical.toString
       val skewMarks = "skewed".r.findAllIn(finalPlan.toLowerCase).length
-      println(f"SKEWPROBE $label%-7s sec=$sec%7.2f maxJoinPartRows=$maxPart%d skewMarks=$skewMarks%d")
+      val maxTask = maxShuffleTaskBytes(physical)
+      println(f"SKEWPROBE $label%-7s sec=$sec%7.2f maxShuffleTaskBytes=$maxTask%d skewMarks=$skewMarks%d")
       if (sys.env.contains("SKEWPROBE_DEBUG"))
         println(finalPlan.take(1800))
     }
@@ -124,6 +169,10 @@ object SkewProbe {
     run("salt-ex", skewJoin = true) {
       graft.operators.Skew.saltedJoin(tokens, dfreqDisk, Seq("term"), salts = 16)
     }
+    tokens.unpersist()
+    dfreqCached.unpersist()
     spark.stop()
+    // probe hygiene: the dim-side parquet round trip is scratch state
+    scala.reflect.io.Path(dfreqPath).deleteRecursively()
   }
 }
