@@ -1555,9 +1555,15 @@ class LlmSpec extends SparkSpec {
     val counts = TextAnalysis.bpeTokenCounts(docs, merges)
       .as[(Long, Int)].collect().toMap
     assert(counts == Map(1L -> 5, 2L -> 3, 3L -> 0, 4L -> 2))
-    // merge-table bound matches the trainer's rounds limit
+    // past 64 rules the native BpeSegment path takes over with identical
+    // semantics: 65 copies of (a,b) = one effective merge (duplicate
+    // products keep the first vocab id), so ids match the 1-rule table
+    def enc(m: Seq[(String, String)]) = TextAnalysis.bpeEncode(docs, m)
+      .as[(Long, Int, Seq[Int])].collect().toSeq.sortBy(_._1)
+    assert(enc(Seq.fill(65)(("a", "b"))) == enc(Seq(("a", "b"))))
+    // only a nonsensical table size is rejected now
     intercept[IllegalArgumentException] {
-      TextAnalysis.bpeEncode(docs, Seq.fill(65)(("a", "b")))
+      TextAnalysis.bpeEncode(docs, Seq.fill((1 << 20) + 1)(("a", "b")))
     }
   }
 
