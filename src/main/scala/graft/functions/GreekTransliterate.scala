@@ -117,6 +117,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleArray(exprs.head, n)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("md5_minhash_sig"),
+      new ExpressionInfo(classOf[Md5MinHashSig].getName, "md5_minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs.lift(1).map(_.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"md5_minhash_sig k must be an integer literal, got $other")
+        }).getOrElse(16)
+        Md5MinHashSig(exprs.head, k)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_text_sig"),
       new ExpressionInfo(classOf[MinHashTextSig].getName, "minhash_text_sig"),
       (exprs: Seq[Expression]) => {

@@ -417,3 +417,88 @@ object SimHash64 {
     packed
   }
 }
+
+/** Portable md5-permutation MinHash signature over a shingle array:
+  * position i (1-based) is the minimum over shingles of the first 16
+  * hex chars of md5(i || '|' || shingle) - byte-identical to the HOF
+  * construction `transform(sequence(1, k), i -> array_min(transform(
+  * sh, s -> substring(md5(i || '|' || s), 1, 16))))` it replaces
+  * (equivalence pinned in LlmSpec), which ran interpreted and
+  * allocated a k-element string array per shingle. One pass here: the
+  * 8-byte digest prefix is compared as an unsigned long (fixed-width
+  * lowercase hex orders exactly like the unsigned number it encodes)
+  * and each position formats ONE final hex string. The k digests per
+  * shingle are inherent to the portable scheme - the DuckDB oracle
+  * replays the same md5 calls.
+  *
+  * An empty shingle array yields k nulls (array_min over an empty
+  * array is null), matching the HOF semantics - hence containsNull. */
+case class Md5MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5MinHashSig.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5MinHashSig.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_minhash_sig"
+}
+
+object Md5MinHashSig {
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def compute(sh: ArrayData, k: Int): ArrayData = {
+    val n = sh.numElements()
+    val out = new Array[Any](k)
+    if (n == 0) return new GenericArrayData(out) // k nulls, HOF parity
+    val mins = new Array[Long](k)
+    val digest = md.get()
+    var i = 0
+    while (i < k) {
+      val prefix = (i + 1).toString
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      var minV = 0L
+      var first = true
+      var j = 0
+      while (j < n) {
+        val sb = sh.getUTF8String(j).getBytes
+        digest.reset()
+        digest.update(prefix)
+        digest.update('|'.toByte)
+        val bytes = digest.digest(sb)
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (bytes(b) & 0xFFL); b += 1 }
+        if (first || java.lang.Long.compareUnsigned(v, minV) < 0) {
+          minV = v; first = false
+        }
+        j += 1
+      }
+      mins(i) = minV
+      i += 1
+    }
+    i = 0
+    while (i < k) {
+      val cs = new Array[Byte](16)
+      var b = 0
+      while (b < 16) {
+        cs(b) = HexChars(((mins(i) >>> ((15 - b) * 4)) & 0xF).toInt).toByte
+        b += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(cs)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

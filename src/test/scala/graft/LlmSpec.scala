@@ -159,6 +159,25 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("native md5 minhash signature matches the HOF construction " +
+    "byte for byte") {
+    import org.apache.spark.sql.functions._
+    val d = mutationDocs.limit(60)
+      .select($"doc_id", Dedup.shingles($"text").as("sh"))
+    for (k <- Seq(3, 16)) {
+      val hof = transform(sequence(lit(1), lit(k)), i =>
+        array_min(transform(col("sh"), sh =>
+          substring(md5(concat(i.cast("string"), lit("|"), sh).cast("binary")),
+            1, 16))))
+      val native = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.Md5MinHashSig(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("sh")), k))
+      val rows = d.select($"doc_id", hof.as("h"), native.as("n"))
+        .as[(Long, Seq[String], Seq[String])].collect()
+      for ((id, h, nv) <- rows) assert(h == nv, s"doc $id k=$k")
+    }
+  }
+
   test("md5 simhash at radius 2 (3-chunk pigeonhole) is complete vs " +
     "brute force on its own signatures") {
     val d = mutationDocs
