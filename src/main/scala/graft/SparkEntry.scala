@@ -363,6 +363,33 @@ object SparkEntry {
          LEFT JOIN agg a ON a.doc_id = d0.doc_id"""
   }
 
+  /** Repeated-span oracle CTEs through a `spans` relation: word
+    * n-grams in >= minDocFreq distinct docs, island-merged per doc
+    * with the same running-max window the Spark side uses. */
+  private def repeatedSpanCtes(n: Int, minDocFreq: Int): String =
+    s"""w AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(ws[i : i + ${n - 1}], ' ') AS gram
+           FROM w, LATERAL (SELECT unnest(range(1, len(ws) - ${n - 2})) AS i)
+           WHERE len(ws) >= $n),
+         rep AS (SELECT gram FROM g
+           GROUP BY gram HAVING count(DISTINCT doc_id) >= $minDocFreq),
+         h AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN rep USING (gram)),
+         mrk AS (SELECT doc_id, pos, gram,
+             CASE WHEN pos > coalesce(max(pos + $n) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS newg
+           FROM h),
+         isl AS (SELECT *, sum(newg) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS UNBOUNDED PRECEDING) AS grp FROM mrk),
+         spans AS (SELECT doc_id, min(pos) AS span_start,
+             max(pos) + $n AS span_end,
+             CAST(count(DISTINCT gram) AS BIGINT) AS n_grams
+           FROM isl GROUP BY doc_id, grp)"""
+
   /** Train -> encode -> pack oracle: the per-doc BPE token counts from
     * [[bpeEncodeCtes]] feed the same per-source running-offset chunk
     * layout q_pack_chunks pins (zero-token docs occupy no span). */
@@ -1648,6 +1675,15 @@ object SparkEntry {
           col("begin_off"), col("end_off"))
     }),
 
+    // substring-level dedup signal (Lee et al. ACL'22): word 5-grams
+    // repeated across >= 2 docs, merged into maximal per-doc spans
+    "q_t_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedNgramSpans(t(s, dir, "documents"), n = 5, minDocFreq = 2)),
+
+    // and the trim action: rebuild text from uncovered words
+    "q_t_span_trim" -> ((s, dir) =>
+      Dedup.trimRepeatedSpans(t(s, dir, "documents"), n = 5, minDocFreq = 2)),
+
     // best-5-docs-per-source curation by quality score (total order,
     // per-stratum window rank - no global sort)
     "q_t_curate" -> ((s, dir) =>
@@ -2836,6 +2872,26 @@ object SparkEntry {
     // tokenizer chain end-to-end: the encode chain's n_tokens feeding
     // the q_pack_chunks per-source running-offset chunk layout
     "q_pack_bpe" -> bpePackSql(6, 256),
+
+    "q_t_repeated_spans" ->
+      s"""WITH ${repeatedSpanCtes(5, 2)}
+         SELECT doc_id, span_start, span_end, n_grams FROM spans""",
+
+    "q_t_span_trim" ->
+      s"""WITH ${repeatedSpanCtes(5, 2)},
+         cov AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+           FROM spans, LATERAL (SELECT unnest(range(span_start, span_end)) AS p)),
+         dw AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
+           FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+         kept AS (SELECT d.doc_id,
+             string_agg(d.word, ' ' ORDER BY d.pos) AS text_trimmed
+           FROM dw d LEFT JOIN cov c ON c.doc_id = d.doc_id AND c.pos = d.pos
+           WHERE c.doc_id IS NULL GROUP BY d.doc_id)
+         SELECT w.doc_id, coalesce(k.text_trimmed, '') AS text_trimmed,
+                CAST(len(w.ws) - CASE WHEN coalesce(k.text_trimmed, '') = ''
+                  THEN 0 ELSE len(string_split(k.text_trimmed, ' ')) END
+                  AS INT) AS n_removed
+         FROM w LEFT JOIN kept k ON k.doc_id = w.doc_id""",
     // export round trip: the oracle recomputes the seqLen=512 chunk
     // layout directly; equality proves the partitioned write+read is
     // lossless

@@ -588,4 +588,96 @@ object Dedup {
     corpus.withColumn("norm_md5", normMd5(col(textCol)))
       .join(refHashes, Seq("norm_md5"), "left_anti")
   }
+
+  /** Cross-document repeated-span detection, the SUBSTRING-level dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22: exact substrings repeated across training
+    * documents are memorized disproportionately): every word `n`-gram
+    * occurring in at least `minDocFreq` DISTINCT documents marks its
+    * occurrences, and per document the marked [pos, pos+n) word
+    * intervals merge into maximal spans. Output: (id, span_start,
+    * span_end) in word offsets - span_end exclusive - plus the number
+    * of distinct repeated grams the span contains.
+    *
+    * Scale shape: the gram stream is O(total words) rows (one per
+    * position), aggregated with map-side combine into a per-gram
+    * distinct-doc count; only grams above `minDocFreq` survive to the
+    * hit join (an equi-join on the gram - repeated boilerplate is a
+    * vanishing fraction of the position stream, and the join ships
+    * hashes of short strings, never documents). The interval merge is
+    * a per-document window (bounded by document length, never by
+    * corpus size). No collect, no cross join; the suffix-array
+    * construction the paper uses is replaced by the n-gram-join
+    * equivalent for a fixed minimum span length. */
+  def repeatedNgramSpans(df: DataFrame, n: Int = 5, minDocFreq: Int = 2,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(n >= 2 && minDocFreq >= 2, s"need n >= 2 (got $n) and " +
+      s"minDocFreq >= 2 (got $minDocFreq)")
+    val grams = gramPositions(df, n, idCol, textCol)
+    val repeated = grams.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("gram_df"))
+      .filter(col("gram_df") >= minDocFreq)
+      .select(col("gram"))
+    val hits = grams.join(repeated, Seq("gram"))
+    // classic island merge: a hit starts a new span iff its interval
+    // does not touch the running max end of earlier hits in the doc
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("__new", (col("pos") >
+        coalesce(max(col("pos") + n).over(wPrev), lit(-1L))).cast("int"))
+      .withColumn("__grp", sum(col("__new")).over(wRun))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n).as("span_end"),
+        countDistinct(col("gram")).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Apply [[repeatedNgramSpans]]: rebuild each document's text from
+    * the words NOT covered by any repeated span (the trim action of
+    * substring-level dedup). Documents without spans pass through
+    * verbatim-normalized (the operator works in normalized word space,
+    * like every dedup surface here). Output: (id, text_trimmed,
+    * n_removed). The covered-position frame is O(sum of span lengths)
+    * and joins per (id, pos) - no document ever ships whole. */
+  def trimRepeatedSpans(df: DataFrame, n: Int = 5, minDocFreq: Int = 2,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val spans = repeatedNgramSpans(df, n, minDocFreq, idCol, textCol)
+    val covered = spans.select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
+      .distinct()
+    val words = df.select(col(idCol),
+      posexplode(TextAnalysis.normalizedWords(col(textCol))).as(Seq("pos", "w")))
+    val kept = words.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("__ps"))
+      .select(col(idCol),
+        array_join(transform(col("__ps"), p => p("w")), " ").as("text_trimmed"))
+    df.select(col(idCol),
+        size(TextAnalysis.normalizedWords(col(textCol))).as("__n_words"))
+      .join(kept, Seq(idCol), "left")
+      .withColumn("text_trimmed", coalesce(col("text_trimmed"), lit("")))
+      .withColumn("n_removed", col("__n_words") -
+        when(col("text_trimmed") === "", 0)
+          .otherwise(size(split(col("text_trimmed"), " ", -1))))
+      .select(col(idCol), col("text_trimmed"), col("n_removed"))
+  }
+
+  /** (id, pos, gram) positions of word `n`-grams; docs shorter than n
+    * words emit nothing (there is no full-length gram to repeat). */
+  private def gramPositions(df: DataFrame, n: Int, idCol: String,
+                            textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.normalizedWords(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0L), size(col("__ws")) - n),
+        i => struct(i.as("pos"),
+          array_join(slice(col("__ws"), (i + 1).cast("int"), lit(n)), " ")
+            .as("gram")))).as("__pg"))
+      .select(col(idCol), col("__pg.pos").as("pos"), col("__pg.gram").as("gram"))
 }

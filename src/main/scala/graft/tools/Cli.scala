@@ -148,7 +148,7 @@ object Cli {
             .bpeEncodeWithVocab(docs, rules, vocab)
           write(enc, s"$out/bpe_encoded")
           val tot = enc.agg(org.apache.spark.sql.functions.sum(
-            org.apache.spark.sql.functions.col("n_tokens"))).head.getLong(0)
+            org.apache.spark.sql.functions.col("n_tokens"))).head().getLong(0)
           println(s"BPE_DOCS=${enc.count()} BPE_TOKENS=$tot")
       }
       return 0

@@ -62,7 +62,11 @@ object PlanAudit {
       "q_ann_recall",     // knnJoin + broadcast brute-force baseline
       "q_sample_mixture", // count agg + broadcast cutoff join
       "q_shuffle_order",  // one shard shuffle, per-shard rank
-      "q_t_length_hist")  // single hash aggregate
+      "q_t_length_hist",  // single hash aggregate
+      "q_pack_export",    // pack chain + partitioned write round trip
+      "q_t_bpe_encode_big", // native BpeSegment path (>64 rules)
+      "q_d_minhash_pairs",// md5 4x4 banding + est-free verify
+      "q_t_repeated_spans") // gram positions + island-merge window
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)

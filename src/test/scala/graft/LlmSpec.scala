@@ -159,6 +159,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("repeated n-gram spans: cross-doc repeats found, merged, trimmed") {
+    // "one two three four five" repeats in docs 1/2 (with different
+    // surroundings); "alpha beta gamma delta eps" repeats in docs 1/3
+    // ADJACENT to the first repeat in doc 1 -> one merged span there
+    val docs = Seq(
+      (1L, "x one two three four five alpha beta gamma delta eps y"),
+      (2L, "p q one two three four five r s t u v"),
+      (3L, "alpha beta gamma delta eps m n o hello world here now"),
+      (4L, "nothing shared with anyone else at all whatsoever today"),
+      (5L, "tiny doc")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedNgramSpans(docs, n = 5, minDocFreq = 2)
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: words 1-5 and 6-10 repeated; intervals [1,6) and [6,11)
+    // touch -> merged [1,11); doc 2: [2,7); doc 3: [0,5)
+    assert(spans == Set((1L, 1L, 11L, 2L), (2L, 2L, 7L, 1L), (3L, 0L, 5L, 1L)))
+
+    val trimmed = Dedup.trimRepeatedSpans(docs, n = 5, minDocFreq = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(trimmed(1L) == (("x y", 10L)))
+    assert(trimmed(2L) == (("p q r s t u v", 5L)))
+    assert(trimmed(3L) == (("m n o hello world here now", 5L)))
+    assert(trimmed(4L) ==
+      (("nothing shared with anyone else at all whatsoever today", 0L)))
+    assert(trimmed(5L) == (("tiny doc", 0L)))
+  }
+
   test("native md5 minhash signature matches the HOF construction " +
     "byte for byte") {
     import org.apache.spark.sql.functions._
