@@ -164,6 +164,62 @@ object SparkEntry {
     * applying the merge with plain replace() on the chr(1)-wrapped
     * symbol string - the exact string operation the Spark side runs,
     * so the left-to-right non-overlapping merge order agrees. */
+  /** Logistic-regression quality-classifier oracle: replays
+    * [[graft.llm.LmScore.logregQualityScores]]'s full-batch training
+    * loop as unrolled CTE stages (w0/b0 zero-init, then per step:
+    * margins z -> sigmoids -> micro-quantized per-bucket gradient sums
+    * -> integer weight update), then scores every doc under the final
+    * weights. All cross-row sums are over integer micro-units, so the
+    * engines agree exactly; positive class = source 'src0'. */
+  private def logregSql(steps: Int, lr: String = "1.0"): String = {
+    def zStage(r: Int): String =
+      s"""z$r AS (SELECT l.doc_id, l.y, l.len,
+             CAST(sum(c.c * w.wm) AS DOUBLE) / 1e6 / l.len +
+               (SELECT bm FROM b${r - 1}) / 1e6 AS z
+           FROM cnt c JOIN w${r - 1} w USING (bucket)
+           JOIN lens l ON l.doc_id = c.doc_id
+           GROUP BY l.doc_id, l.y, l.len)"""
+    val stages = (1 to steps).map { r =>
+      s"""${zStage(r)},
+         s$r AS (SELECT doc_id, y, len, 1.0 / (1.0 + exp(-z)) AS sg
+           FROM z$r),
+         g$r AS (SELECT c.bucket,
+             CAST(sum(CAST(round((s.sg - s.y) * c.c / s.len * 1e6)
+               AS BIGINT)) AS BIGINT) AS g
+           FROM cnt c JOIN s$r s USING (doc_id) GROUP BY c.bucket),
+         gb$r AS (SELECT CAST(sum(CAST(round((sg - y) * 1e6) AS BIGINT))
+               AS BIGINT) AS g
+           FROM s$r),
+         w$r AS (SELECT w.bucket,
+             CAST(w.wm - CAST(round($lr * (CAST(g.g AS DOUBLE) /
+               (SELECT n FROM nd))) AS BIGINT) AS BIGINT) AS wm
+           FROM w${r - 1} w JOIN g$r g USING (bucket)),
+         b$r AS (SELECT CAST(b.bm - CAST(round($lr * (CAST(gb.g AS DOUBLE) /
+               (SELECT n FROM nd))) AS BIGINT) AS BIGINT) AS bm
+           FROM b${r - 1} b CROSS JOIN gb$r gb)"""
+    }.mkString(",\n         ")
+    s"""WITH tok AS (SELECT doc_id,
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+             unnest(list_filter(string_split_regex(lower(trim(text)),
+               '\\s+'), x -> x <> '')) AS w
+           FROM documents),
+         lens AS (SELECT doc_id, any_value(y) AS y, count(*) AS len
+           FROM tok GROUP BY doc_id),
+         cnt AS (SELECT doc_id, substr(md5(w), 1, 2) AS bucket,
+             count(*) AS c
+           FROM tok GROUP BY doc_id, bucket),
+         nd AS (SELECT count(*) AS n FROM lens),
+         w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS wm FROM cnt),
+         b0 AS (SELECT CAST(0 AS BIGINT) AS bm),
+         $stages,
+         ${zStage(steps + 1)}
+         SELECT doc_id, CAST(len AS INT) AS n_tokens,
+                round(z, 6) AS score,
+                round(1.0 / (1.0 + exp(-z)), 4) AS prob,
+                z > 0 AS keep
+         FROM z${steps + 1}"""
+  }
+
   private def bpeTrainSql(rounds: Int): String = {
     val stages = (1 to rounds).map { r =>
       s"""p$r AS (
@@ -1589,6 +1645,32 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("sum_df"),
           col("mean_df"))),
 
+    // CCNet-style model-based quality: train an add-one bigram LM on
+    // the corpus, score every doc by avg negative log-likelihood /
+    // perplexity (exact integer micro-nat sums; see LmScore scaladoc)
+    "q_t_lm_ppl" -> ((s, dir) =>
+      graft.llm.LmScore.bigramLmScores(t(s, dir, "documents"))),
+
+    // DSIR importance weighting: hashed-unigram log-likelihood ratio of
+    // a target domain (source='src0') vs the raw corpus, per doc
+    "q_t_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.LmScore.dsirScores(docs, docs.filter(col("source") === "src0"))
+    }),
+
+    // per-source unigram KL divergence from the corpus mixture - the
+    // distribution-drift dashboard a data-mixing decision reads
+    "q_t_source_kl" -> ((s, dir) =>
+      graft.llm.LmScore.sourceKlReport(t(s, dir, "documents"))),
+
+    // GPT-3/LLaMA-style quality classifier: logistic regression on
+    // hashed bag-of-words (positive class = src0), 2 exact-integer
+    // gradient steps, then score/keep per doc; DuckDB replays the
+    // whole training loop as unrolled CTE stages
+    "q_t_logreg" -> ((s, dir) =>
+      graft.llm.LmScore.logregQualityScores(t(s, dir, "documents"),
+        col("source") === "src0", steps = 2)),
+
     // per-source language mixture from the langid classifier
     "q_t_lang_report" -> ((s, dir) =>
       TextAnalysis.sourceLangReport(t(s, dir, "documents"))),
@@ -2804,6 +2886,99 @@ object SparkEntry {
                 coalesce(sc.sum_df / CAST(sc.n_tokens AS DOUBLE), 0.0)
                   AS mean_df
          FROM documents d LEFT JOIN sc USING (doc_id)""",
+
+    // add-one bigram LM trained on the corpus, replayed: unigram /
+    // bigram count tables, per-token log-probs quantized to integer
+    // micro-nats BEFORE the per-doc sum (exact integer aggregation -
+    // the engines agree bit-for-bit; see LmScore scaladoc)
+    "q_t_lm_ppl" ->
+      """WITH toks AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+             AS ws
+           FROM documents),
+         t AS (SELECT doc_id, ws FROM toks WHERE len(ws) > 0),
+         uc AS (SELECT w, count(*) AS cw FROM (
+             SELECT unnest(ws) AS w FROM t) GROUP BY w),
+         st AS (SELECT count(*) AS v, CAST(sum(cw) AS DOUBLE) AS n FROM uc),
+         bgf AS (SELECT doc_id, b.p AS prev, b.w AS w FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+               i -> struct_pack(p := ws[i], w := ws[i + 1]))) AS b
+             FROM t WHERE len(ws) >= 2)),
+         bc AS (SELECT prev, w, count(*) AS cb FROM bgf GROUP BY prev, w),
+         first AS (SELECT t.doc_id,
+             CAST(round(ln((uc.cw + 1.0) / (st.n + st.v)) * 1e6) AS BIGINT)
+               AS m
+           FROM t JOIN uc ON t.ws[1] = uc.w CROSS JOIN st),
+         cond AS (SELECT f.doc_id,
+             CAST(round(ln((bc.cb + 1.0) / (up.cw + st.v)) * 1e6) AS BIGINT)
+               AS m
+           FROM bgf f JOIN bc ON f.prev = bc.prev AND f.w = bc.w
+           JOIN uc up ON f.prev = up.w CROSS JOIN st),
+         s AS (SELECT doc_id, CAST(-sum(m) AS BIGINT) AS micro_nll FROM (
+             SELECT * FROM first UNION ALL SELECT * FROM cond)
+           GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_tokens, s.micro_nll,
+                round(s.micro_nll / 1e6 / len(t.ws), 6) AS avg_nll,
+                round(exp(s.micro_nll / 1e6 / len(t.ws)), 4) AS ppl
+         FROM t JOIN s USING (doc_id)""",
+
+    // DSIR hashed-unigram importance weights: target = source 'src0',
+    // 256 md5-prefix buckets, per-token llr quantized to micro-nats
+    "q_t_dsir" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+             AS w
+           FROM documents),
+         raw AS (SELECT doc_id, substr(md5(w), 1, 2) AS bucket FROM tok),
+         rc AS (SELECT bucket, count(*) AS cr FROM raw GROUP BY bucket),
+         tc AS (SELECT substr(md5(w), 1, 2) AS bucket, count(*) AS ct
+           FROM tok WHERE source = 'src0' GROUP BY bucket),
+         nr AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr FROM rc),
+         nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt FROM tc),
+         model AS (SELECT rc.bucket,
+             CAST(round((ln((coalesce(tc.ct, 0) + 1.0) / (nt.nt + 256.0)) -
+                         ln((rc.cr + 1.0) / (nr.nr + 256.0))) * 1e6)
+               AS BIGINT) AS m
+           FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN nr CROSS JOIN nt),
+         sc AS (SELECT raw.doc_id, count(*) AS n_tokens,
+                       CAST(sum(m.m) AS BIGINT) AS micro_llr
+           FROM raw JOIN model m USING (bucket) GROUP BY raw.doc_id)
+         SELECT doc_id, n_tokens, micro_llr,
+                round(micro_llr / 1e6 / n_tokens, 6) AS avg_llr,
+                micro_llr > 0 AS keep
+         FROM sc""",
+
+    // per-source KL(P_s || Q) over add-one unigram models on the shared
+    // corpus vocabulary; each term quantized to pico-nats pre-sum
+    "q_t_source_kl" ->
+      """WITH tok AS (SELECT source AS src, unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+             AS w
+           FROM documents),
+         sw AS (SELECT src, w, count(*) AS cs FROM tok GROUP BY src, w),
+         vocab AS (SELECT w, CAST(sum(cs) AS BIGINT) AS cq
+           FROM sw GROUP BY w),
+         st AS (SELECT count(*) AS v, CAST(sum(cq) AS DOUBLE) AS n
+           FROM vocab),
+         tot AS (SELECT src, CAST(sum(cs) AS BIGINT) AS n_tokens
+           FROM sw GROUP BY src),
+         dense AS (SELECT t.src, t.n_tokens, v.w, v.cq,
+                          coalesce(sw.cs, 0) AS cs
+           FROM vocab v CROSS JOIN tot t
+           LEFT JOIN sw ON sw.src = t.src AND sw.w = v.w),
+         terms AS (SELECT src, n_tokens,
+             CAST(round(((cs + 1.0) / (n_tokens + st.v)) *
+               ln(((cs + 1.0) / (n_tokens + st.v)) /
+                  ((cq + 1.0) / (st.n + st.v))) * 1e12) AS BIGINT) AS t
+           FROM dense CROSS JOIN st)
+         SELECT src AS source, n_tokens,
+                CAST(sum(t) AS BIGINT) AS pico_kl,
+                round(CAST(sum(t) AS BIGINT) / 1e12, 6) AS kl
+         FROM terms GROUP BY src, n_tokens""",
+
+    // the quality classifier's 2-step training loop + scoring, replayed
+    // as unrolled CTE stages (see logregSql)
+    "q_t_logreg" -> logregSql(2),
 
     // the q_t_langid classifier aggregated to the (source, lang) mixture
     "q_t_lang_report" ->
