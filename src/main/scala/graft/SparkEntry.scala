@@ -1671,6 +1671,35 @@ object SparkEntry {
       graft.llm.LmScore.logregQualityScores(t(s, dir, "documents"),
         col("source") === "src0", steps = 2)),
 
+    // HyperLogLog distinct-token registers per source, collapsed to one
+    // exact-integer row per stratum (m=1024, md5 buckets; the mergeable
+    // sketch that replaces exact count(DISTINCT) at corpus scale)
+    "q_sk_hll" -> ((s, dir) =>
+      graft.llm.Sketches.hllReport(
+        t(s, dir, "documents").select(col("source"),
+          explode(TextAnalysis.normalizedWords(col("text"))).as("w")),
+        "source", col("w"), p = 10)),
+
+    // Count-Min sketch acceptance check: estimated vs true counts for
+    // the exact top-20 terms (4x512 md5-seeded grid; est >= true, gap =
+    // collision overestimate)
+    "q_sk_cms" -> ((s, dir) =>
+      graft.llm.Sketches.cmsHeavyHitterCheck(
+        t(s, dir, "documents").select(
+          explode(TextAnalysis.normalizedWords(col("text"))).as("w")),
+        col("w"), k = 20, depth = 4, width = 512)),
+
+    // per-source top-10 distinctive terms by tf-idf (micro-nat idf,
+    // exact integer scores, two-level sharded top-k)
+    "q_t_tfidf" -> ((s, dir) =>
+      graft.llm.Sketches.tfidfTopTerms(t(s, dir, "documents"), k = 10)),
+
+    // top-20 bigram collocations by PMI over the bigram-event space
+    // (micro-nat quantized, TakeOrdered top-k - no global window)
+    "q_t_pmi" -> ((s, dir) =>
+      graft.llm.Sketches.pmiCollocations(t(s, dir, "documents"),
+        minCount = 5L, k = 20)),
+
     // per-source language mixture from the langid classifier
     "q_t_lang_report" -> ((s, dir) =>
       TextAnalysis.sourceLangReport(t(s, dir, "documents"))),
@@ -2979,6 +3008,111 @@ object SparkEntry {
     // the quality classifier's 2-step training loop + scoring, replayed
     // as unrolled CTE stages (see logregSql)
     "q_t_logreg" -> logregSql(2),
+
+    // HLL registers replayed: md5-hex -> 60-bit int, bucket = top 10
+    // bits, rho = 1 + leading zeros of the low 50, registers max'd then
+    // collapsed to the exact-integer (nonzero, harmonic) pair per source
+    "q_sk_hll" ->
+      """WITH w AS (SELECT source, unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+             AS w
+           FROM documents),
+         h AS (SELECT source,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
+         r AS (SELECT source, h >> 50 AS bucket,
+             CASE WHEN (h & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                  ELSE 51 - length(bin(h & ((1::BIGINT << 50) - 1)))
+             END AS rho
+           FROM h),
+         reg AS (SELECT source, bucket, max(rho) AS m_j
+           FROM r GROUP BY 1, 2),
+         rep AS (SELECT source, count(*) AS nonzero_registers,
+             sum(1::BIGINT << (51 - m_j)) AS present_sum
+           FROM reg GROUP BY 1)
+         SELECT source, 1024 AS m, nonzero_registers,
+                CAST(present_sum + (1024 - nonzero_registers)
+                  * (1::BIGINT << 51) AS BIGINT) AS harmonic_scaled
+         FROM rep""",
+
+    // Count-Min replay: 4 md5-seeded hash rows x 512 cells, point-query
+    // min over the addressed cells for the exact top-20 terms
+    "q_sk_cms" ->
+      """WITH w AS (SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+             AS v
+           FROM documents),
+         occ AS (SELECT v, unnest(range(0, 4)) AS d FROM w),
+         cell AS (SELECT d,
+             ('0x' || substr(md5(d || '|' || v), 1, 15))::BIGINT % 512
+               AS c
+           FROM occ),
+         sk AS (SELECT d, c, count(*) AS cnt FROM cell GROUP BY 1, 2),
+         top AS (SELECT v, count(*) AS true_cnt FROM w GROUP BY v
+           ORDER BY true_cnt DESC, v LIMIT 20),
+         pr AS (SELECT t.v, t.true_cnt, dd.d,
+             ('0x' || substr(md5(dd.d || '|' || t.v), 1, 15))::BIGINT
+               % 512 AS c
+           FROM top t, (SELECT unnest(range(0, 4)) AS d) dd),
+         est AS (SELECT v, true_cnt, min(cnt) AS cms_est
+           FROM pr JOIN sk USING (d, c) GROUP BY 1, 2)
+         SELECT v, true_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+                CAST(cms_est - true_cnt AS BIGINT) AS overestimate
+         FROM est""",
+
+    // tf-idf replay: micro-nat idf over ln(N/df), integer scores,
+    // per-source row_number top-10 (the Spark side's two-level shard
+    // top-k is exact, so the plain window reproduces it)
+    "q_t_tfidf" ->
+      """WITH toks AS (SELECT source, doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+             AS ws
+           FROM documents),
+         t AS (SELECT * FROM toks WHERE len(ws) > 0),
+         occ AS (SELECT source, doc_id, unnest(ws) AS w FROM t),
+         n AS (SELECT count(*) AS n FROM t),
+         dfreq AS (SELECT w, count(*) AS df_docs FROM (
+             SELECT DISTINCT doc_id, w FROM occ) GROUP BY w),
+         idf AS (SELECT w, df_docs,
+             CAST(round(ln(CAST(n.n AS DOUBLE) / CAST(df_docs AS DOUBLE))
+               * 1e6) AS BIGINT) AS idf_micro
+           FROM dfreq, n),
+         tf AS (SELECT source, w, count(*) AS tf FROM occ GROUP BY 1, 2),
+         sc AS (SELECT tf.source, tf.w, tf.tf, idf.df_docs,
+             tf.tf * idf.idf_micro AS score_micro
+           FROM tf JOIN idf USING (w)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY score_micro DESC, w) AS rnk FROM sc)
+         SELECT source, w, tf, df_docs,
+                CAST(score_micro AS BIGINT) AS score_micro,
+                CAST(rnk AS INT) AS rnk
+         FROM r WHERE rnk <= 10""",
+
+    // PMI replay: bigram-event marginals, micro-nat ln, top-20 under
+    // (pmi desc, prev, w)
+    "q_t_pmi" ->
+      """WITH t AS (SELECT list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+             AS ws
+           FROM documents),
+         t2 AS (SELECT ws FROM t WHERE len(ws) >= 2),
+         bg AS (SELECT b.p AS prev, b.w AS w FROM (
+             SELECT unnest(list_transform(range(1, len(ws)),
+               i -> struct_pack(p := ws[i], w := ws[i + 1]))) AS b
+             FROM t2)),
+         cab AS (SELECT prev, w, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+         ca AS (SELECT prev, count(*) AS c_a FROM bg GROUP BY 1),
+         cb AS (SELECT w, count(*) AS c_b FROM bg GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM bg),
+         cand AS (SELECT cab.prev, cab.w, cab.c_ab,
+             CAST(round(ln(CAST(c_ab AS DOUBLE) * CAST(n.n AS DOUBLE)
+               / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) * 1e6)
+               AS BIGINT) AS pmi_micro
+           FROM cab JOIN ca USING (prev) JOIN cb USING (w) CROSS JOIN n
+           WHERE c_ab >= 5),
+         r AS (SELECT *, row_number() OVER (
+             ORDER BY pmi_micro DESC, prev, w) AS rnk FROM cand)
+         SELECT prev, w, c_ab, pmi_micro, CAST(rnk AS INT) AS rnk
+         FROM r WHERE rnk <= 20""",
 
     // the q_t_langid classifier aggregated to the (source, lang) mixture
     "q_t_lang_report" ->
