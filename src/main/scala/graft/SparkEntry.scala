@@ -1700,6 +1700,17 @@ object SparkEntry {
       graft.llm.Sketches.pmiCollocations(t(s, dir, "documents"),
         minCount = 5L, k = 20)),
 
+    // token-window chunking with overlap (64/8): the embedding /
+    // retrieval prep slicing; map-only explode, no shuffle
+    "q_t_chunks" -> ((s, dir) =>
+      graft.llm.Chunking.chunkDocuments(t(s, dir, "documents"),
+        chunkSize = 64, overlap = 8)),
+
+    // curation funnel: per-(source, first-failing-stage) doc and token
+    // accounting over the quality filter - "where did my corpus go"
+    "q_t_funnel" -> ((s, dir) =>
+      TextAnalysis.curationFunnel(t(s, dir, "documents"))),
+
     // per-source language mixture from the langid classifier
     "q_t_lang_report" -> ((s, dir) =>
       TextAnalysis.sourceLangReport(t(s, dir, "documents"))),
@@ -3113,6 +3124,85 @@ object SparkEntry {
              ORDER BY pmi_micro DESC, prev, w) AS rnk FROM cand)
          SELECT prev, w, c_ab, pmi_micro, CAST(rnk AS INT) AS rnk
          FROM r WHERE rnk <= 20""",
+
+    // 64/8 token-window chunking: range() strides, 1-based inclusive
+    // list slices; a trailing window adding no new tokens is not emitted
+    "q_t_chunks" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+             AS ws
+           FROM documents),
+         t2 AS (SELECT doc_id, ws FROM t WHERE len(ws) > 0),
+         st AS (SELECT doc_id, ws,
+             unnest(range(0, greatest(len(ws) - 8, 1), 56)) AS cs
+           FROM t2),
+         c AS (SELECT doc_id, CAST(cs // 56 AS INT) AS chunk_id,
+             CAST(cs AS INT) AS chunk_start,
+             ws[cs + 1 : cs + 64] AS cw
+           FROM st)
+         SELECT doc_id, chunk_id, chunk_start,
+                CAST(len(cw) AS INT) AS n_chunk_tokens,
+                array_to_string(cw, ' ') AS chunk_text
+         FROM c""",
+
+    // the q_t_filter verdict chain aggregated to the per-(source,
+    // outcome) funnel with within-stratum shares
+    "q_t_funnel" ->
+      """WITH f AS (
+           SELECT doc_id, source,
+             length(text) AS nc,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT)
+               AS nw,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               w -> list_contains(['the','a','an','and','or','of','to','in',
+                 'is','it','that','for','on','with','as','was','at','by'], w)))
+               AS INT) AS nstop,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+               AS npunct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS ndigit,
+             list_filter(list_transform(string_split_regex(text, '\r?\n'),
+               l -> trim(l)), l -> l <> '') AS lines,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               w -> w <> '') AS words
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, nw,
+             CASE WHEN nw > 0 THEN (nc - nw + 1) / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS awl,
+             CASE WHEN nw > 0 THEN nstop / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS stopr,
+             CASE WHEN nc > 0 THEN npunct / CAST(nc AS DOUBLE)
+                  ELSE 0.0 END AS punctr,
+             CASE WHEN nc > 0 THEN ndigit / CAST(nc AS DOUBLE)
+                  ELSE 0.0 END AS digitr,
+             CASE WHEN len(lines) > 0 THEN
+               (len(lines) - len(list_distinct(lines)))
+                 / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS duplr,
+             CASE WHEN len(words) > 0 THEN
+               (len(words) - len(list_distinct(words)))
+                 / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS dupwr
+           FROM f),
+         v AS (
+           SELECT source, nw,
+             coalesce(CASE WHEN nw < 10 THEN 'too_few_words'
+                  WHEN nw > 100000 THEN 'too_many_words'
+                  WHEN awl < 2.0 THEN 'short_words'
+                  WHEN awl > 12.0 THEN 'long_words'
+                  WHEN stopr < 0.01 THEN 'low_stopword'
+                  WHEN punctr > 0.2 THEN 'high_punct'
+                  WHEN digitr > 0.2 THEN 'high_digit'
+                  WHEN duplr > 0.5 THEN 'repetitive_lines'
+                  WHEN dupwr > 0.85 THEN 'repetitive_words'
+                  END, 'kept') AS outcome
+           FROM r),
+         g AS (SELECT source, outcome, count(*) AS n_docs,
+             CAST(sum(nw) AS BIGINT) AS n_tokens
+           FROM v GROUP BY 1, 2),
+         tot AS (SELECT source, count(*) AS n_total FROM v GROUP BY 1)
+         SELECT g.source, g.outcome, g.n_docs, g.n_tokens,
+                round(g.n_docs / CAST(tot.n_total AS DOUBLE), 6) AS share
+         FROM g JOIN tot USING (source)""",
 
     // the q_t_langid classifier aggregated to the (source, lang) mixture
     "q_t_lang_report" ->

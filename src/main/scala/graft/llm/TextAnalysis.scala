@@ -577,6 +577,32 @@ object TextAnalysis {
       .withColumn("keep", col("drop_reason").isNull.cast("int"))
   }
 
+  /** Curation funnel report: per (stratum, outcome) document and token
+    * accounting over [[withQualityFilter]]'s first-failing-stage
+    * verdicts - the "where did my corpus go" dashboard every filtering
+    * run publishes. Outcome is the drop_reason, or 'kept'; `n_docs` /
+    * `n_tokens` say how much each stage costs, `share` is the
+    * within-stratum document fraction (exact integer ratio rounded to
+    * 6). One map stage (the filter's pure column expressions) + one
+    * map-side-combined aggregation to a |strata| x |stages| frame -
+    * nothing data-sized shuffles beyond the count collapse. */
+  def curationFunnel(df: DataFrame, strataCol: String = "source",
+                     textCol: String = "text",
+                     t: QualityThresholds = QualityThresholds()): DataFrame = {
+    val verdicts = withQualityFilter(df, textCol, t)
+      .select(col(strataCol),
+        coalesce(col("drop_reason"), lit("kept")).as("outcome"),
+        col("n_words").cast("long").as("nw"))
+    val counts = verdicts.groupBy(col(strataCol), col("outcome"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
+    val totals = verdicts.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_total"))
+    counts.join(broadcast(totals), Seq(strataCol))
+      .select(col(strataCol), col("outcome"), col("n_docs"),
+        col("n_tokens"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("share"))
+  }
+
   /** Document fingerprint: 64-bit polynomial rolling hash over the
     * normalized text (lowercased, whitespace collapsed) - a Rabin-style
     * content fingerprint computed with `aggregate` over the character
