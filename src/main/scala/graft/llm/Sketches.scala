@@ -61,16 +61,23 @@ object Sketches {
     * rho (1 + leading-zero count of the remaining `60-p` bits).
     * At most `2^p` rows per stratum; merge two register frames with
     * `groupBy(stratum, bucket).agg(max(m_j))`. */
-  def hllRegisters(df: DataFrame, strataCol: String, value: Column,
-                   p: Int = 10): DataFrame = {
+  /** The (bucket, rho) column pair for one value under precision `p` -
+    * exposed so streaming twins (windowed sketches) share the exact
+    * register definition with the batch path. */
+  def hllBucketRho(value: Column, p: Int): (Column, Column) = {
     require(p >= 4 && p <= 16, s"p in [4,16]: $p")
     val rem = 60 - p // bits left after the bucket index
     val h = h60(value)
     val remBits = h.bitwiseAND(lit((1L << rem) - 1L))
-    df.select(col(strataCol),
-        shiftright(h, rem).as("bucket"),
-        when(remBits === 0L, lit(rem + 1))
-          .otherwise(lit(rem + 1) - length(bin(remBits))).as("rho"))
+    (shiftright(h, rem),
+      when(remBits === 0L, lit(rem + 1))
+        .otherwise(lit(rem + 1) - length(bin(remBits))))
+  }
+
+  def hllRegisters(df: DataFrame, strataCol: String, value: Column,
+                   p: Int = 10): DataFrame = {
+    val (bucket, rho) = hllBucketRho(value, p)
+    df.select(col(strataCol), bucket.as("bucket"), rho.as("rho"))
       .groupBy(col(strataCol), col("bucket"))
       .agg(max(col("rho")).as("m_j"))
   }

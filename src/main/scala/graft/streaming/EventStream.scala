@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -32,6 +32,29 @@ object EventStream {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value")).as("sum_value"))
+
+  /** Windowed streaming HyperLogLog: per-(event-time window, register
+    * bucket) max-rho registers over a value stream - the incremental
+    * twin of [[graft.llm.Sketches.hllRegisters]], sharing its exact
+    * md5 register definition via [[graft.llm.Sketches.hllBucketRho]].
+    * `max` is the canonical streaming-safe aggregate: each micro-batch
+    * folds into at most `2^p` register rows of state per window, so
+    * the state store holds a bounded sketch, not the distinct values -
+    * a streaming `approx distinct users per window` costs O(m) state
+    * where `dropDuplicates` state would grow with cardinality. Collapse
+    * to an estimate downstream with the batch report/estimate helpers. */
+  def windowedHllRegisters(events: DataFrame, value: Column,
+                           window: String = "1 hour",
+                           watermark: String = "2 hours",
+                           p: Int = 10): DataFrame = {
+    val (bucket, rho) = graft.llm.Sketches.hllBucketRho(value, p)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+  }
 
   /** The scale path for [[windowedTypeCounts]]: append-mode to a file
     * sink. Complete-mode + memory sink (used by the harness query for a

@@ -209,4 +209,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch ==
       Set((1L, 1, 1), (2L, 0, 0)))
   }
+
+  test("windowed streaming HLL registers equal the batch sketch per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // users 7,8,7,9 in the 10:00 window; 8,7 in 10:10 - duplicates must
+    // fold into the same register state, and incremental max over two
+    // micro-batch adds must equal the one-shot batch registers
+    val events = Seq(
+      Event(1, ts(1), 7, "click", 1.0), Event(2, ts(2), 8, "view", 1.0),
+      Event(3, ts(3), 7, "click", 1.0), Event(4, ts(4), 9, "view", 1.0),
+      Event(5, ts(12), 8, "view", 1.0), Event(6, ts(13), 7, "click", 1.0))
+
+    val input = MemoryStream[Event]
+    input.addData(events.take(3): _*)
+    input.addData(events.drop(3): _*)
+    val q = EventStream.windowedHllRegisters(input.toDF(),
+        col("user_id").cast("string"), "10 minutes", "20 minutes")
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      """SELECT CAST(window.start AS STRING) AS w, bucket, max(m_j) AS m_j
+         FROM hll_stream GROUP BY 1, 2""") // update mode re-emits rows; max folds revisions
+      .as[(String, Long, Int)].collect().toSet
+
+    val batch = graft.llm.Sketches.hllRegisters(
+        events.toDF()
+          .select(date_trunc("minute", col("ts")).as("t0"), col("user_id"))
+          .withColumn("w", date_format(
+            expr("timestamp_seconds(floor(unix_timestamp(t0) / 600) * 600)"),
+            "yyyy-MM-dd HH:mm:ss")),
+        "w", col("user_id").cast("string"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
