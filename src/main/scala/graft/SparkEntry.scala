@@ -1700,6 +1700,13 @@ object SparkEntry {
       graft.llm.Sketches.pmiCollocations(t(s, dir, "documents"),
         minCount = 5L, k = 20)),
 
+    // bottom-k sketch containment pairs: the asymmetric near-dup signal
+    // (short doc embedded in long doc) symmetric Jaccard misses;
+    // estimate-only from k-sized sketches, never a shingle-set join
+    "q_d_containment" -> ((s, dir) =>
+      graft.llm.Dedup.bottomKContainmentPairs(t(s, dir, "documents"),
+        k = 12, shingleN = 3, blockHashes = 3, minContainment = 0.5)),
+
     // token-window chunking with overlap (64/8): the embedding /
     // retrieval prep slicing; map-only explode, no shuffle
     "q_t_chunks" -> ((s, dir) =>
@@ -3124,6 +3131,62 @@ object SparkEntry {
              ORDER BY pmi_micro DESC, prev, w) AS rnk FROM cand)
          SELECT prev, w, c_ab, pmi_micro, CAST(rnk AS INT) AS rnk
          FROM r WHERE rnk <= 20""",
+
+    // bottom-k containment replay: same shingle fragment as the minhash
+    // oracles, one md5 hash, sorted-prefix sketches, union-bottom-k
+    // estimators, blocking on the 3 smallest hashes with the bucket cap
+    "q_d_containment" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '')
+             AS ws
+           FROM documents),
+         g AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 3
+             THEN [array_to_string(ws, ' ')]
+             ELSE list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> array_to_string(ws[i : i + 2], ' ')))
+             END) AS shingle
+           FROM w),
+         hs AS (SELECT doc_id, list_sort(list_transform(list(shingle),
+             s -> substr(md5(s), 1, 16))) AS allh
+           FROM g GROUP BY doc_id),
+         sk AS (SELECT doc_id, allh[1:12] AS bk FROM hs),
+         blk AS (SELECT doc_id, unnest(bk[1:3]) AS h FROM sk),
+         bb AS (SELECT doc_id, h FROM (
+             SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS c
+             FROM blk) WHERE c <= 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bb a JOIN bb b ON a.h = b.h AND a.doc_id < b.doc_id),
+         p AS (SELECT c.id_a, c.id_b, sa.bk AS bka, sb.bk AS bkb
+           FROM cand c JOIN sk sa ON sa.doc_id = c.id_a
+           JOIN sk sb ON sb.doc_id = c.id_b),
+         m AS (SELECT id_a, id_b, bka, bkb,
+             list_sort(list_distinct(list_concat(bka, bkb)))[1:12] AS mu
+           FROM p),
+         x AS (SELECT id_a, id_b,
+             len(mu) AS union_k,
+             len(list_filter(mu, h -> list_contains(bka, h)
+               AND list_contains(bkb, h))) AS inter_k,
+             len(list_filter(mu, h -> list_contains(bka, h))) AS in_a,
+             len(list_filter(mu, h -> list_contains(bkb, h))) AS in_b
+           FROM m)
+         SELECT id_a, id_b,
+           CAST(union_k AS INT) AS union_k,
+           CAST(inter_k AS INT) AS inter_k,
+           CAST(in_a AS INT) AS in_a, CAST(in_b AS INT) AS in_b,
+           round(inter_k / CAST(union_k AS DOUBLE), 6) AS est_jaccard,
+           CASE WHEN in_a > 0
+             THEN round(inter_k / CAST(in_a AS DOUBLE), 6)
+             ELSE 0.0 END AS cont_a_in_b,
+           CASE WHEN in_b > 0
+             THEN round(inter_k / CAST(in_b AS DOUBLE), 6)
+             ELSE 0.0 END AS cont_b_in_a
+         FROM x
+         WHERE greatest(
+           CASE WHEN in_a > 0 THEN inter_k / CAST(in_a AS DOUBLE)
+                ELSE 0.0 END,
+           CASE WHEN in_b > 0 THEN inter_k / CAST(in_b AS DOUBLE)
+                ELSE 0.0 END) >= 0.5""",
 
     // 64/8 token-window chunking: range() strides, 1-based inclusive
     // list slices; a trailing window adding no new tokens is not emitted

@@ -514,6 +514,78 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard")) -> withSh
   }
 
+  /** Bottom-k sketch pairs with ASYMMETRIC containment estimates - the
+    * near-dup signal symmetric Jaccard misses: a short document embedded
+    * verbatim in a long one has Jaccard ~ |A|/|B| (tiny) but containment
+    * C(A,B) = |A n B|/|A| ~ 1. Bottom-k sketches (Cohen & Kaplan 2007)
+    * estimate both from k-sized state per document.
+    *
+    * Sketch: the k smallest 16-hex-char md5 hashes of the document's
+    * distinct word `shingleN`-grams (fixed-width hex orders like the
+    * unsigned numbers it encodes, the [[minhashMd5Pairs]] convention -
+    * one hash function, so any engine replays it). For a candidate pair,
+    * let M = bottom-k of the UNION of the two sketches (computable from
+    * sketches alone - the coordinated-sampling property). Then with
+    * a_in = |M n bk(A)|, b_in = |M n bk(B)|, inter = |M n bk(A) n bk(B)|:
+    * est_jaccard = inter/|M|, containment(A in B) = inter/a_in,
+    * containment(B in A) = inter/b_in.
+    *
+    * Candidates: inverted-index equi-join on each document's
+    * `blockHashes` smallest hashes (a contained document's smallest
+    * hashes are, with probability ~C each, also hashes of the
+    * container), with the shared `maxBucketSize` hot-bucket cap - the
+    * banded-LSH posture, never all-pairs. Pairs whose best containment
+    * estimate is below `minContainment` are dropped.
+    *
+    * Scale: k+1 integers of sketch state per document; the pair stage
+    * touches only sketches (never shingle sets - unlike the
+    * exact-verify minhash paths, this one is estimate-only by design,
+    * the tradeoff that makes cross-corpus containment screens cheap). */
+  def bottomKContainmentPairs(df: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text", k: Int = 12,
+                              shingleN: Int = 3, blockHashes: Int = 3,
+                              minContainment: Double = 0.5,
+                              maxBucketSize: Int = 1000): DataFrame = {
+    require(k >= 2 && blockHashes >= 1 && blockHashes <= k,
+      s"need 2 <= k, 1 <= blockHashes <= k: $k / $blockHashes")
+    val sk = df.select(col(idCol).as("id"),
+        slice(array_sort(transform(shingles(col(textCol), shingleN),
+          s => substring(md5(s), 1, 16))), 1, k).as("bk"))
+    val blk = sk.select(col("id"),
+      explode(slice(col("bk"), 1, blockHashes)).as("h"))
+    val wH = Window.partitionBy(col("h"))
+    val bounded = blk.withColumn("bSize", count(lit(1)).over(wH))
+      .filter(col("bSize") <= maxBucketSize).drop("bSize")
+    val cand = bounded.select(col("h"), col("id").as("id_a"))
+      .join(bounded.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+    val paired = cand
+      .join(sk.select(col("id").as("id_a"), col("bk").as("bka")), Seq("id_a"))
+      .join(sk.select(col("id").as("id_b"), col("bk").as("bkb")), Seq("id_b"))
+      .withColumn("mu",
+        slice(array_sort(array_distinct(concat(col("bka"), col("bkb")))), 1, k))
+      .withColumn("union_k", size(col("mu")))
+      .withColumn("inter_k", size(filter(col("mu"),
+        h => array_contains(col("bka"), h) && array_contains(col("bkb"), h))))
+      .withColumn("in_a", size(filter(col("mu"),
+        h => array_contains(col("bka"), h))))
+      .withColumn("in_b", size(filter(col("mu"),
+        h => array_contains(col("bkb"), h))))
+    val contA = when(col("in_a") > 0,
+      col("inter_k").cast("double") / col("in_a")).otherwise(0.0)
+    val contB = when(col("in_b") > 0,
+      col("inter_k").cast("double") / col("in_b")).otherwise(0.0)
+    paired
+      .filter(greatest(contA, contB) >= minContainment)
+      .select(col("id_a"), col("id_b"), col("union_k"), col("inter_k"),
+        col("in_a"), col("in_b"),
+        round(col("inter_k").cast("double") / col("union_k"), 6)
+          .as("est_jaccard"),
+        round(contA, 6).as("cont_a_in_b"),
+        round(contB, 6).as("cont_b_in_a"))
+  }
+
   /** Sub-document boilerplate removal (CCNet-style chunk dedup): split
     * each document into fixed `chunkWords`-word chunks, hash each chunk,
     * and delete every chunk whose hash occurs in at least `minDocs`

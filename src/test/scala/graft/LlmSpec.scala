@@ -1633,4 +1633,37 @@ class LlmSpec extends SparkSpec {
       ("b", 3, 1L, 7L, 7, 7),
       ("b", 0, 1L, 0L, 0, 0)))
   }
+
+  test("bottom-k containment: embedded short doc scores ~1 one-way, low jaccard") {
+    val container = (1 to 120).map(i => s"w$i").mkString(" ")
+    val embedded = (41 to 60).map(i => s"w$i").mkString(" ") // verbatim slice
+    val unrelated = (1 to 60).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, container), (2L, embedded), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.bottomKContainmentPairs(df, k = 12, shingleN = 3,
+        blockHashes = 3, minContainment = 0.5)
+      .select("id_a", "id_b", "est_jaccard", "cont_a_in_b", "cont_b_in_a")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    // only (1,2) survives; every shingle of doc 2 is a shingle of doc 1,
+    // so containment(2 in 1) = 1.0 exactly while jaccard stays small
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    val p = pairs.head
+    assert(p._5 == 1.0, s"cont_b_in_a=${p._5}") // B=doc2 inside A=doc1
+    assert(p._3 < 0.5, s"est_jaccard=${p._3}")
+  }
+
+  test("bottom-k containment: sketch estimate tracks exact containment") {
+    // doc 2 shares exactly half its shingles with doc 1
+    val shared = (1 to 40).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " " + (1 to 40).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + (1 to 40).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val p = Dedup.bottomKContainmentPairs(df, k = 16, shingleN = 3,
+        blockHashes = 6, minContainment = 0.2)
+      .select("cont_a_in_b", "cont_b_in_a").as[(Double, Double)].collect()
+    assert(p.length == 1)
+    // exact containment each way = 38/80 = 0.475; k=16 estimate is coarse
+    assert(math.abs(p.head._1 - 0.475) < 0.3 && math.abs(p.head._2 - 0.475) < 0.3)
+  }
 }
