@@ -126,4 +126,58 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("hll/cms sketches plan as single map-side-combined aggregations, " +
+    "no window, no join on the register build") {
+    val d = (1L to 300L).map(i => (s"s${i % 3}", s"w${i % 97}"))
+      .toDF("source", "w")
+    val hll = graft.llm.Sketches.hllReport(d, "source", col("w"))
+      .queryExecution.executedPlan.toString
+    assert(hll.contains("partial_max") || hll.contains("partial_count"), hll)
+    assert(!hll.contains("Window") && !hll.contains("CartesianProduct"), hll)
+    val cms = graft.llm.Sketches.cmsSketch(d, col("w"))
+      .queryExecution.executedPlan.toString
+    assert(cms.contains("partial_count"), cms)
+    assert(!cms.contains("Window") && !cms.contains("Join"), cms)
+  }
+
+  test("tfidf top-k windows always carry the shard key next to the stratum") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val d = (1L to 120L).map(i => (i, s"s${i % 3}", s"alpha w$i w${i % 7}"))
+      .toDF("doc_id", "source", "text")
+    val plan = graft.llm.Sketches.tfidfTopTerms(d, k = 5).queryExecution
+    val wins = plan.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    // the vocabulary-sized scored frame may only be windowed per
+    // (stratum, shard); the single-key final window sees <= 64*k rows
+    // because the shard pass upstream already cut to per-shard top-k
+    val sharded = wins.filter(_.partitionSpec.size >= 2)
+    assert(sharded.nonEmpty, plan.optimizedPlan.toString)
+    assert(!plan.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("chunking is map-only: no shuffle, no join, no window") {
+    val d = (1L to 50L).map(i => (i, (1 to 30).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = graft.llm.Chunking.chunkDocuments(d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
+  test("containment pair stage ships sketches only - no shingle arrays " +
+    "past the sketch build, candidates via equi-join") {
+    val d = (1L to 60L).map(i =>
+      (i, (1 to 25).map(j => s"w${(i + j) % 40}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = graft.llm.Dedup.bottomKContainmentPairs(d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    // the only shuffles are the hash-key window + the two sketch joins;
+    // the raw shingle_array expression must not appear downstream of
+    // the sketch projection (bottom-k slice happens in the same stage)
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+  }
 }
