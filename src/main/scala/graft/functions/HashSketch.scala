@@ -502,3 +502,73 @@ object Md5MinHashSig {
     new GenericArrayData(out)
   }
 }
+
+/** Bottom-k md5 sketch over a shingle array: the k smallest values of
+  * substring(md5(shingle), 1, 16), ascending - byte-identical to the
+  * HOF construction `slice(array_sort(transform(sh, s ->
+  * substring(md5(s), 1, 16))), 1, k)` it replaces (fixed-width
+  * lowercase hex orders exactly like the unsigned 64-bit number it
+  * encodes, so sorting digest prefixes as sign-flipped longs IS the
+  * hex sort). One digest per shingle and one final hex formatting per
+  * kept hash, vs the HOF path's per-shingle string materialization and
+  * full-array string sort. Fewer than k shingles yield all of them;
+  * an empty array yields an empty array. */
+case class BottomKMd5(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    BottomKMd5.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BottomKMd5.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bottom_k_md5"
+}
+
+object BottomKMd5 {
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def compute(sh: ArrayData, k: Int): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](0))
+    val digest = md.get()
+    // sign-flipped prefixes: signed sort order == unsigned hex order
+    val vs = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      digest.reset()
+      val bytes = digest.digest(sh.getUTF8String(j).getBytes)
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (bytes(b) & 0xFFL); b += 1 }
+      vs(j) = v ^ Long.MinValue
+      j += 1
+    }
+    java.util.Arrays.sort(vs)
+    val m = math.min(k, n)
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val v = vs(i) ^ Long.MinValue
+      val cs = new Array[Byte](16)
+      var b = 0
+      while (b < 16) {
+        cs(b) = HexChars(((v >>> ((15 - b) * 4)) & 0xF).toInt).toByte
+        b += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(cs)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -548,9 +548,20 @@ object Dedup {
                               maxBucketSize: Int = 1000): DataFrame = {
     require(k >= 2 && blockHashes >= 1 && blockHashes <= k,
       s"need 2 <= k, 1 <= blockHashes <= k: $k / $blockHashes")
+    // native one-pass sketch (functions.BottomKMd5): one digest per
+    // shingle, longs sorted sign-flipped, k hex strings formatted -
+    // byte-identical to the HOF slice(array_sort(transform(md5)))
+    // construction (pinned in LlmSpec; the DuckDB oracle replays it).
+    // Persisted: THREE consumers (blocking explode + both pair-side
+    // joins) would each re-run the scan+shingle+digest pass otherwise -
+    // the [[minhashMd5PairsImpl]] lifecycle; the cached frame is
+    // sketch-sized (k hashes per doc), not corpus-sized
     val sk = df.select(col(idCol).as("id"),
-        slice(array_sort(transform(shingles(col(textCol), shingleN),
-          s => substring(md5(s), 1, 16))), 1, k).as("bk"))
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.BottomKMd5(
+            org.apache.spark.sql.GraftSqlBridge.expression(
+              shingles(col(textCol), shingleN)), k)).as("bk"))
+      .persist()
     val blk = sk.select(col("id"),
       explode(slice(col("bk"), 1, blockHashes)).as("h"))
     val wH = Window.partitionBy(col("h"))

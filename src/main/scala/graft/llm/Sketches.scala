@@ -134,13 +134,25 @@ object Sketches {
                 width: Int = 512): DataFrame = {
     require(depth >= 1 && depth <= 8 && width >= 16,
       s"depth in [1,8], width >= 16: $depth x $width")
-    df.select(value.as("v"))
-      .select(col("v"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
-      .select(col("d"),
+    // collapse to the (value, count) vocabulary frame FIRST (map-side
+    // combined), so the depth explode and md5 digests run once per
+    // DISTINCT value, not once per occurrence - at corpus scale the
+    // vocabulary is orders of magnitude smaller than the token stream
+    cmsFromVocab(
+      df.select(value.as("v")).groupBy(col("v")).agg(count(lit(1)).as("vc")),
+      depth, width)
+  }
+
+  private def cmsFromVocab(vocab: DataFrame, depth: Int,
+                           width: Int): DataFrame =
+    vocab
+      .select(col("vc"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"),
+        col("v"))
+      .select(col("d"), col("vc"),
         pmod(h60(concat(col("d").cast("string"), lit("|"), col("v"))),
           lit(width.toLong)).as("c"))
-      .groupBy(col("d"), col("c")).agg(count(lit(1)).as("cnt"))
-  }
+      .groupBy(col("d"), col("c")).agg(sum(col("vc")).as("cnt"))
 
   /** Point-query acceptance check: for the exact top-k values by true
     * count (tie-break: value ascending), report the CMS estimate
@@ -150,9 +162,12 @@ object Sketches {
     * depth*width-row sketch - nothing data-sized moves. */
   def cmsHeavyHitterCheck(df: DataFrame, value: Column, k: Int = 20,
                           depth: Int = 4, width: Int = 512): DataFrame = {
-    val sketch = cmsSketch(df, value, depth, width)
-    val top = df.select(value.as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("true_cnt"))
+    // one vocabulary aggregation feeds both the sketch build and the
+    // exact top-k truth (AQE reuses the exchange)
+    val vocab = df.select(value.as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("vc"))
+    val sketch = cmsFromVocab(vocab, depth, width)
+    val top = vocab.withColumnRenamed("vc", "true_cnt")
       .orderBy(col("true_cnt").desc, col("v")).limit(k)
     val probes = top
       .select(col("v"), col("true_cnt"),

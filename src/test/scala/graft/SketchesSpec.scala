@@ -104,6 +104,29 @@ class SketchesSpec extends SparkSpec {
       && ref.exceptAll(got.select(ref.columns.map(col).toSeq: _*)).isEmpty)
   }
 
+  test("native BottomKMd5 equals the HOF sort/slice construction") {
+    val docs = (1 to 40).map { i =>
+      (i.toLong, (1 to 20).map(j => s"w${(i * 3 + j) % 50}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = graft.llm.Dedup.shingles(col("text"), 3)
+    val native = docs.select(col("doc_id"),
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.BottomKMd5(
+          org.apache.spark.sql.GraftSqlBridge.expression(sh), 12)).as("bk"))
+    val hof = docs.select(col("doc_id"),
+      slice(array_sort(transform(sh,
+        s => substring(md5(s), 1, 16))), 1, 12).as("bk"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    // short doc: fewer shingles than k -> all of them, still sorted
+    val one = Seq((1L, "a b")).toDF("doc_id", "text")
+    val bk = one.select(org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.BottomKMd5(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            graft.llm.Dedup.shingles(col("text"), 3)), 12)))
+      .as[Seq[String]].head()
+    assert(bk.length == 1 && bk.head.length == 16)
+  }
+
   test("pmiCollocations surfaces the glued bigram first") {
     // 'hong kong' always adjacent; filler words independent
     val rows = (1 to 30).map { i =>
