@@ -1707,6 +1707,18 @@ object SparkEntry {
       graft.llm.Dedup.bottomKContainmentPairs(t(s, dir, "documents"),
         k = 12, shingleN = 3, blockHashes = 3, minContainment = 0.5)),
 
+    // MOSS winnowing fingerprints: leftmost-min of each w-window of
+    // word-4-gram md5 hashes; in-array HOFs, no shuffle
+    "q_t_winnow" -> ((s, dir) =>
+      graft.llm.Dedup.winnowFingerprints(t(s, dir, "documents"),
+        k = 4, w = 4)),
+
+    // shared-winnow-fingerprint pairs via the postings join with a
+    // boilerplate df-cut - position-robust substring near-dup
+    "q_d_winnow_pairs" -> ((s, dir) =>
+      graft.llm.Dedup.winnowPairs(t(s, dir, "documents"),
+        k = 4, w = 4, minShared = 2, maxDf = 100)),
+
     // token-window chunking with overlap (64/8): the embedding /
     // retrieval prep slicing; map-only explode, no shuffle
     "q_t_chunks" -> ((s, dir) =>
@@ -3187,6 +3199,54 @@ object SparkEntry {
                 ELSE 0.0 END,
            CASE WHEN in_b > 0 THEN inter_k / CAST(in_b AS DOUBLE)
                 ELSE 0.0 END) >= 0.5""",
+
+    // winnowing replay: 60-bit md5-prefix gram hashes, leftmost-min
+    // window selection, distinct selected positions
+    "q_t_winnow" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+             AS ws
+           FROM documents),
+         g AS (SELECT doc_id, list_transform(
+             generate_series(1, len(ws) - 3), i ->
+               ('0x' || substr(md5(array_to_string(ws[i : i + 3], ' ')),
+                 1, 15))::BIGINT) AS gh
+           FROM w WHERE len(ws) >= 4),
+         s AS (SELECT doc_id, gh, list_distinct(list_transform(
+             generate_series(1, greatest(len(gh) - 3, 1)), j ->
+               j - 1 + list_position(gh[j : j + 3],
+                 list_min(gh[j : j + 3])))) AS ps
+           FROM g)
+         SELECT doc_id, CAST(p AS INT) AS pos, gh[p] AS fp
+         FROM (SELECT doc_id, gh, unnest(ps) AS p FROM s)""",
+
+    // the winnow fingerprint frame mined for pairs: distinct (doc, fp),
+    // df-cut <= 100, self-join, shared-count >= 2
+    "q_d_winnow_pairs" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+             AS ws
+           FROM documents),
+         g AS (SELECT doc_id, list_transform(
+             generate_series(1, len(ws) - 3), i ->
+               ('0x' || substr(md5(array_to_string(ws[i : i + 3], ' ')),
+                 1, 15))::BIGINT) AS gh
+           FROM w WHERE len(ws) >= 4),
+         s AS (SELECT doc_id, gh, list_distinct(list_transform(
+             generate_series(1, greatest(len(gh) - 3, 1)), j ->
+               j - 1 + list_position(gh[j : j + 3],
+                 list_min(gh[j : j + 3])))) AS ps
+           FROM g),
+         fp AS (SELECT DISTINCT doc_id AS id, gh[p] AS fp
+           FROM (SELECT doc_id, gh, unnest(ps) AS p FROM s)),
+         rare AS (SELECT fp FROM (
+             SELECT fp, count(*) AS fp_df FROM fp GROUP BY fp)
+           WHERE fp_df <= 100),
+         post AS (SELECT f.fp, f.id FROM fp f JOIN rare USING (fp))
+         SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+         FROM post a JOIN post b ON a.fp = b.fp AND a.id < b.id
+         GROUP BY 1, 2
+         HAVING count(*) >= 2""",
 
     // 64/8 token-window chunking: range() strides, 1-based inclusive
     // list slices; a trailing window adding no new tokens is not emitted

@@ -597,6 +597,70 @@ object Dedup {
         round(contB, 6).as("cont_b_in_a"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 -
+    * the MOSS scheme): hash every word `k`-gram, slide a window of `w`
+    * consecutive gram hashes, and select the LEFTMOST minimum of each
+    * window. The selection guarantees at least one fingerprint per
+    * window position (any shared substring of >= k+w-1 words is
+    * guaranteed a shared selected fingerprint) at expected density
+    * 2/(w+1) - the position-robust substring signal that per-gram
+    * indexing pays |grams| for and [[repeatedNgramSpans]]' frequency
+    * cut cannot give for one-off pair overlap.
+    *
+    * Hashes are md5-prefix 60-bit integers (the registry's cross-engine
+    * convention). Documents with fewer than k words yield nothing; with
+    * fewer than w grams, one window over all grams. Output: one row per
+    * selected (doc, pos, fp) - `pos` is the 1-based gram position,
+    * `fp` the gram hash.
+    *
+    * Scale: per-document in-array HOFs only (O(grams x w) comparisons
+    * inside one projection) - no shuffle, no window operator, nothing
+    * positional ever joins. Downstream pair mining shuffles only the
+    * selected fingerprints (~2/(w+1) of the grams). */
+  def winnowFingerprints(df: DataFrame, k: Int = 4, w: Int = 4,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(k >= 2 && w >= 2, s"need k >= 2, w >= 2: $k / $w")
+    df.select(col(idCol),
+        TextAnalysis.normalizedWords(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= k)
+      .withColumn("gh", expr(
+        s"""transform(sequence(1, size(ws) - ${k - 1}), i ->
+              CAST(conv(substring(md5(array_join(slice(ws, i, $k), ' ')),
+                1, 15), 16, 10) AS BIGINT))"""))
+      .withColumn("ps", array_distinct(expr(
+        s"""transform(sequence(1, greatest(size(gh) - ${w - 1}, 1)), j ->
+              j - 1 + array_position(slice(gh, j, $w),
+                array_min(slice(gh, j, $w))))""")))
+      .select(col(idCol), explode(col("ps")).as("pos"), col("gh"))
+      .select(col(idCol), col("pos").cast("int").as("pos"),
+        expr("element_at(gh, CAST(pos AS INT))").as("fp"))
+  }
+
+  /** Pair mining over [[winnowFingerprints]]: documents sharing at
+    * least `minShared` distinct selected fingerprints, via an
+    * inverted-index equi-join on the fingerprint value with a
+    * document-frequency cut (`maxDf`) on boilerplate fingerprints -
+    * the [[jaccardPairsExact]] postings posture, never all-pairs. */
+  def winnowPairs(df: DataFrame, k: Int = 4, w: Int = 4,
+                  minShared: Int = 2, maxDf: Int = 100,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val fps = winnowFingerprints(df, k, w, idCol, textCol)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("fp_df"))
+      .filter(col("fp_df") <= maxDf)
+      .select(col("fp"))
+    val postings = fps.join(rare, Seq("fp"))
+    postings.select(col("fp"), col("id").as("id_a"))
+      .join(postings.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Sub-document boilerplate removal (CCNet-style chunk dedup): split
     * each document into fixed `chunkWords`-word chunks, hash each chunk,
     * and delete every chunk whose hash occurs in at least `minDocs`

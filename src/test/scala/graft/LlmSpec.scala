@@ -1634,6 +1634,29 @@ class LlmSpec extends SparkSpec {
       ("b", 0, 1L, 0L, 0, 0)))
   }
 
+  test("winnowing: shared substring >= k+w-1 words guarantees a shared " +
+    "fingerprint; coverage density holds") {
+    // k=4, w=4: any shared run of >= 7 words must yield a shared
+    // selected fingerprint (the winnowing guarantee)
+    val run = (1 to 9).map(i => s"common$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta gamma $run delta"),
+      (2L, s"zeta eta $run theta iota kappa"),
+      (3L, "totally different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, k = 4, w = 4)
+    val pairs = Dedup.winnowPairs(df, k = 4, w = 4, minShared = 1, maxDf = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // every w-gram window is covered: consecutive selected positions
+    // per doc differ by at most w
+    val pos = fps.select("doc_id", "pos").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    for ((_, ps) <- pos; w <- ps.sliding(2) if w.length == 2)
+      assert(w(1) - w(0) <= 4, s"gap ${w(0)} -> ${w(1)} exceeds w")
+    assert(pos(1L).head <= 4) // first window covered too
+  }
+
   test("bottom-k containment: embedded short doc scores ~1 one-way, low jaccard") {
     val container = (1 to 120).map(i => s"w$i").mkString(" ")
     val embedded = (41 to 60).map(i => s"w$i").mkString(" ") // verbatim slice
