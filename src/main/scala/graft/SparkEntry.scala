@@ -1707,6 +1707,11 @@ object SparkEntry {
       graft.llm.Dedup.bottomKContainmentPairs(t(s, dir, "documents"),
         k = 12, shingleN = 3, blockHashes = 3, minContainment = 0.5)),
 
+    // cross-source duplicate-overlap matrix on the normalized content
+    // hash: which sources re-crawl each other + within-source dup count
+    "q_d_source_overlap" -> ((s, dir) =>
+      graft.llm.Dedup.sourceOverlapMatrix(t(s, dir, "documents"))),
+
     // MOSS winnowing fingerprints: leftmost-min of each w-window of
     // word-4-gram md5 hashes; in-array HOFs, no shuffle
     "q_t_winnow" -> ((s, dir) =>
@@ -3199,6 +3204,32 @@ object SparkEntry {
                 ELSE 0.0 END,
            CASE WHEN in_b > 0 THEN inter_k / CAST(in_b AS DOUBLE)
                 ELSE 0.0 END) >= 0.5""",
+
+    // overlap matrix replay: distinct (source, norm-hash) collapse,
+    // within-source diagonal + cross-source hash join
+    "q_d_source_overlap" ->
+      """WITH h AS (SELECT source AS src,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+           FROM documents),
+         dh AS (SELECT DISTINCT src, h FROM h),
+         sz AS (SELECT src, count(*) AS n_distinct FROM dh GROUP BY src),
+         within AS (SELECT d.src AS src_a, d.src AS src_b,
+             d.n_docs - sz.n_distinct AS n_overlap,
+             sz.n_distinct AS n_distinct_a, sz.n_distinct AS n_distinct_b
+           FROM (SELECT src, count(*) AS n_docs FROM h GROUP BY src) d
+           JOIN sz ON sz.src = d.src),
+         cross_src AS (SELECT a.src AS src_a, b.src AS src_b,
+             count(*) AS n_overlap
+           FROM dh a JOIN dh b ON a.h = b.h AND a.src < b.src
+           GROUP BY 1, 2)
+         SELECT src_a, src_b, n_overlap, n_distinct_a, n_distinct_b
+         FROM within
+         UNION ALL
+         SELECT c.src_a, c.src_b, c.n_overlap,
+                sa.n_distinct AS n_distinct_a, sb.n_distinct AS n_distinct_b
+         FROM cross_src c
+         JOIN sz sa ON sa.src = c.src_a
+         JOIN sz sb ON sb.src = c.src_b""",
 
     // winnowing replay: 60-bit md5-prefix gram hashes, leftmost-min
     // window selection, distinct selected positions

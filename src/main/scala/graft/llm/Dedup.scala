@@ -29,6 +29,45 @@ object Dedup {
   def normMd5(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " ").cast("binary"))
 
+  /** Cross-source duplicate-overlap matrix: for every ordered stratum
+    * pair (src_a < src_b), how many of src_a's DISTINCT normalized
+    * contents also appear in src_b, plus each side's distinct count -
+    * the mixture diagnostic that says which sources are re-crawls of
+    * each other before any dedup decision. Diagonal rows (src, src)
+    * report within-source duplication (docs minus distinct contents).
+    *
+    * Scale: one distinct collapse on ([[normMd5]], stratum) - hash
+    * only, text never shuffles - then a self-equi-join on the hash
+    * whose per-key fan-out is bounded by |strata|, and a count
+    * aggregation to a |strata|^2-row frame. */
+  def sourceOverlapMatrix(df: DataFrame, strataCol: String = "source",
+                          textCol: String = "text"): DataFrame = {
+    val hashes = df.select(col(strataCol).as("src"),
+        normMd5(col(textCol)).as("h"))
+    val distinctH = hashes.distinct()
+    val sizes = distinctH.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val within = hashes.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(sizes, Seq("src"))
+      .select(col("src").as("src_a"), col("src").as("src_b"),
+        (col("n_docs") - col("n_distinct")).as("n_overlap"),
+        col("n_distinct").as("n_distinct_a"),
+        col("n_distinct").as("n_distinct_b"))
+    val cross = distinctH.select(col("src").as("src_a"), col("h"))
+      .join(distinctH.select(col("src").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(broadcast(sizes.select(col("src").as("src_a"),
+        col("n_distinct").as("n_distinct_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"),
+        col("n_distinct").as("n_distinct_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_overlap"),
+        col("n_distinct_a"), col("n_distinct_b"))
+    within.unionByName(cross)
+  }
+
   /** Normalized (near-exact) dedup: identity on [[normMd5]]. */
   def normalized(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     df.withColumn("norm_md5", normMd5(col(textCol)))

@@ -1634,6 +1634,22 @@ class LlmSpec extends SparkSpec {
       ("b", 0, 1L, 0L, 0, 0)))
   }
 
+  test("source overlap matrix: cross-source shared contents + diagonal dups") {
+    val df = Seq(
+      (1L, "a", "same text"), (2L, "a", "same text"),   // within-a dup
+      (3L, "a", "only in a"),
+      (4L, "b", "Same   TEXT"),                          // norm-matches a
+      (5L, "b", "only in b"), (6L, "c", "only in c"))
+      .toDF("doc_id", "source", "text")
+    val m = Dedup.sourceOverlapMatrix(df)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(m == Set(
+      ("a", "a", 1L, 2L, 2L),   // 3 docs, 2 distinct -> 1 within-dup
+      ("b", "b", 0L, 2L, 2L),
+      ("c", "c", 0L, 1L, 1L),
+      ("a", "b", 1L, 2L, 2L)))  // normalized 'same text' shared; no c rows
+  }
+
   test("winnowing: shared substring >= k+w-1 words guarantees a shared " +
     "fingerprint; coverage density holds") {
     // k=4, w=4: any shared run of >= 7 words must yield a shared
