@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Native codegen'd sketch expressions for the dedup family. These are the
   * per-row hot loops of near-duplicate detection at scale: the equivalent
@@ -567,6 +567,111 @@ object BottomKMd5 {
         b += 1
       }
       out(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(cs)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Winnowing fingerprint selection over a token array: hash every word
+  * `k`-gram (md5, first 15 hex chars as a 60-bit integer - the
+  * portable `conv(substring(md5(gram), 1, 15), 16, 10)` convention),
+  * slide a window of `w` consecutive gram hashes, select the LEFTMOST
+  * minimum of each window, and emit the distinct selections as
+  * (pos, fp) structs with 1-based gram positions - byte-identical to
+  * the HOF construction in the q_t_winnow oracle (array_distinct over
+  * per-window array_position(slice, array_min(slice))).
+  *
+  * One digest per gram (the HOF path re-built the gram string, hex
+  * digest, and conv per window membership) and an O(grams) monotonic
+  * deque for the sliding minimum: pop-from-back on STRICTLY greater
+  * values keeps the earliest of equal minima at the front, which IS
+  * the leftmost-tie convention. Fewer than w grams degrade to one
+  * window over all grams; fewer than k tokens yield an empty array. */
+case class WinnowSelect(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowSelect.compute(input.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowSelect.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_select"
+}
+
+object WinnowSelect {
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(ws: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = ws.numElements()
+    if (n < k) return new GenericArrayData(new Array[Any](0))
+    val g = n - k + 1
+    val digest = md.get()
+    // gram hashes: md5 of the space-joined k words; first 15 hex chars
+    // = top 60 bits of the 8-byte big-endian prefix
+    val gh = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      digest.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) digest.update(' '.toByte)
+        digest.update(ws.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val bytes = digest.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (bytes(b) & 0xFFL); b += 1 }
+      gh(i) = v >>> 4 // 60-bit value, nonnegative: plain Long compare ok
+      i += 1
+    }
+    val windows = math.max(g - w + 1, 1)
+    val positions = new Array[Int](windows) // selected 0-based positions
+    var nSel = 0
+    // monotonic deque of indices; values strictly increasing front->back
+    val deque = new Array[Int](g)
+    var head = 0
+    var tail = 0 // [head, tail)
+    var idx = 0
+    val firstWindowEnd = math.min(w, g) // window 1 covers grams [0, w)
+    while (idx < firstWindowEnd) {
+      while (tail > head && gh(deque(tail - 1)) > gh(idx)) tail -= 1
+      deque(tail) = idx; tail += 1
+      idx += 1
+    }
+    positions(0) = deque(head); nSel = 1
+    var win = 1
+    while (win < windows) {
+      // window covers [win, win + w)
+      if (deque(head) < win) head += 1
+      val in = win + w - 1
+      while (tail > head && gh(deque(tail - 1)) > gh(in)) tail -= 1
+      deque(tail) = in; tail += 1
+      val sel = deque(head)
+      if (sel != positions(nSel - 1)) { positions(nSel) = sel; nSel += 1 }
+      win += 1
+    }
+    val out = new Array[Any](nSel)
+    i = 0
+    while (i < nSel) {
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      row.setInt(0, positions(i) + 1) // 1-based, oracle convention
+      row.setLong(1, gh(positions(i)))
+      out(i) = row
       i += 1
     }
     new GenericArrayData(out)

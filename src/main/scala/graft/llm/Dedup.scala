@@ -660,20 +660,21 @@ object Dedup {
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     require(k >= 2 && w >= 2, s"need k >= 2, w >= 2: $k / $w")
+    // native one-pass selection (functions.WinnowSelect): one digest per
+    // gram + an O(grams) monotonic-deque sliding minimum - the HOF
+    // formulation (per-window slice + array_min + array_position over a
+    // transform'd md5/conv gram array) re-hashed every gram per window
+    // membership and ran interpreted, minutes at sf0.1; equivalence is
+    // pinned in LlmSpec and the DuckDB oracle replays the HOF formula
     df.select(col(idCol),
         TextAnalysis.normalizedWords(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= k)
-      .withColumn("gh", expr(
-        s"""transform(sequence(1, size(ws) - ${k - 1}), i ->
-              CAST(conv(substring(md5(array_join(slice(ws, i, $k), ' ')),
-                1, 15), 16, 10) AS BIGINT))"""))
-      .withColumn("ps", array_distinct(expr(
-        s"""transform(sequence(1, greatest(size(gh) - ${w - 1}, 1)), j ->
-              j - 1 + array_position(slice(gh, j, $w),
-                array_min(slice(gh, j, $w))))""")))
-      .select(col(idCol), explode(col("ps")).as("pos"), col("gh"))
-      .select(col(idCol), col("pos").cast("int").as("pos"),
-        expr("element_at(gh, CAST(pos AS INT))").as("fp"))
+      .select(col(idCol), explode(
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.WinnowSelect(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("ws")),
+            k, w))).as("s"))
+      .select(col(idCol), col("s.pos").as("pos"), col("s.fp").as("fp"))
   }
 
   /** Pair mining over [[winnowFingerprints]]: documents sharing at

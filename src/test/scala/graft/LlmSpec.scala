@@ -1650,6 +1650,33 @@ class LlmSpec extends SparkSpec {
       ("a", "b", 1L, 2L, 2L)))  // normalized 'same text' shared; no c rows
   }
 
+  test("native WinnowSelect equals the HOF oracle formula") {
+    val docs = (1 to 25).map { i =>
+      (i.toLong, (1 to 30).map(j => s"w${(i * 5 + j * j) % 60}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val native = Dedup.winnowFingerprints(docs, k = 4, w = 4)
+    val hof = docs.select(col("doc_id"),
+        graft.llm.TextAnalysis.normalizedWords(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .withColumn("gh", expr(
+        """transform(sequence(1, size(ws) - 3), i ->
+             CAST(conv(substring(md5(array_join(slice(ws, i, 4), ' ')),
+               1, 15), 16, 10) AS BIGINT))"""))
+      .withColumn("ps", array_distinct(expr(
+        """transform(sequence(1, greatest(size(gh) - 3, 1)), j ->
+             j - 1 + array_position(slice(gh, j, 4),
+               array_min(slice(gh, j, 4))))""")))
+      .select(col("doc_id"), explode(col("ps")).as("pos"), col("gh"))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"),
+        expr("element_at(gh, CAST(pos AS INT))").as("fp"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    // short docs: < k words -> nothing; k..k+w-2 words -> one window
+    val short = Seq((1L, "a b c"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val r = Dedup.winnowFingerprints(short, k = 4, w = 4)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(!r.contains(1L) && r(2L) == 1L)
+  }
+
   test("winnowing: shared substring >= k+w-1 words guarantees a shared " +
     "fingerprint; coverage density holds") {
     // k=4, w=4: any shared run of >= 7 words must yield a shared
