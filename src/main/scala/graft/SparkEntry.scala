@@ -212,12 +212,19 @@ object SparkEntry {
          w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS wm FROM cnt),
          b0 AS (SELECT CAST(0 AS BIGINT) AS bm),
          $stages,
-         ${zStage(steps + 1)}
+         fin AS (SELECT l.doc_id, l.len,
+             CAST(sum(c.c * w.wm) AS BIGINT)
+               + (SELECT bm FROM b$steps) * l.len AS total_m
+           FROM cnt c JOIN w$steps w USING (bucket)
+           JOIN lens l ON l.doc_id = c.doc_id
+           GROUP BY l.doc_id, l.len)
          SELECT doc_id, CAST(len AS INT) AS n_tokens,
-                round(z, 6) AS score,
-                round(1.0 / (1.0 + exp(-z)), 4) AS prob,
-                z > 0 AS keep
-         FROM z${steps + 1}"""
+                (CASE WHEN total_m < 0 THEN -1 ELSE 1 END *
+                  ((abs(total_m) * 2 + len) // (len * 2))) / 1e6 AS score,
+                round(1.0 / (1.0 + exp(-(CAST(total_m AS DOUBLE)
+                  / 1e6 / len))), 4) AS prob,
+                total_m > 0 AS keep
+         FROM fin"""
   }
 
   private def bpeTrainSql(rounds: Int): String = {
@@ -2982,8 +2989,10 @@ object SparkEntry {
              SELECT * FROM first UNION ALL SELECT * FROM cond)
            GROUP BY doc_id)
          SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_tokens, s.micro_nll,
-                round(s.micro_nll / 1e6 / len(t.ws), 6) AS avg_nll,
-                round(exp(s.micro_nll / 1e6 / len(t.ws)), 4) AS ppl
+                ((s.micro_nll * 2 + len(t.ws)) // (len(t.ws) * 2)) / 1e6
+                  AS avg_nll,
+                round(exp(((s.micro_nll * 2 + len(t.ws))
+                  // (len(t.ws) * 2)) / 1e6), 4) AS ppl
          FROM t JOIN s USING (doc_id)""",
 
     // DSIR hashed-unigram importance weights: target = source 'src0',
@@ -3008,7 +3017,9 @@ object SparkEntry {
                        CAST(sum(m.m) AS BIGINT) AS micro_llr
            FROM raw JOIN model m USING (bucket) GROUP BY raw.doc_id)
          SELECT doc_id, n_tokens, micro_llr,
-                round(micro_llr / 1e6 / n_tokens, 6) AS avg_llr,
+                (CASE WHEN micro_llr < 0 THEN -1 ELSE 1 END *
+                  ((abs(micro_llr) * 2 + n_tokens) // (n_tokens * 2)))
+                  / 1e6 AS avg_llr,
                 micro_llr > 0 AS keep
          FROM sc""",
 
@@ -3037,7 +3048,9 @@ object SparkEntry {
            FROM dense CROSS JOIN st)
          SELECT src AS source, n_tokens,
                 CAST(sum(t) AS BIGINT) AS pico_kl,
-                round(CAST(sum(t) AS BIGINT) / 1e12, 6) AS kl
+                (CASE WHEN CAST(sum(t) AS BIGINT) < 0 THEN -1 ELSE 1 END *
+                  ((abs(CAST(sum(t) AS BIGINT)) * 2 + 1000000) // 2000000))
+                  / 1e6 AS kl
          FROM terms GROUP BY src, n_tokens""",
 
     // the quality classifier's 2-step training loop + scoring, replayed

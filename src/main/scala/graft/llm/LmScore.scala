@@ -108,10 +108,15 @@ object LmScore {
 
     toks.select(col(idCol), size(col("ws")).as("n_tokens"))
       .join(perDoc, Seq(idCol))
-      .withColumn("avg_nll",
-        round(col("micro_nll") / MicroNats / col("n_tokens"), 6))
-      .withColumn("ppl",
-        round(exp(col("micro_nll") / MicroNats / col("n_tokens")), 4))
+      // tie-safe presentation: round(micro/1e6/n, 6) hits EXACT .5 ties
+      // whenever 2*micro/n is odd (~1/n of rows), and Spark's
+      // BigDecimal HALF_UP on the inexact double disagrees with
+      // DuckDB's round there (caught by sf0.1 parity). The integer
+      // half-away division is engine-exact; the final /1e6 is the same
+      // double op on the same integer in both engines, never rounded.
+      .withColumn("avg_nll", expr(
+        "((micro_nll * 2 + n_tokens) DIV (n_tokens * 2)) / 1e6"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 4))
   }
 
   /** DSIR-style importance score: average per-token log-likelihood
@@ -162,8 +167,11 @@ object LmScore {
       .agg(count(lit(1)).as("n_tokens"), sum(col("m")).as("micro_llr"))
 
     scored
-      .withColumn("avg_llr",
-        round(col("micro_llr") / MicroNats / col("n_tokens"), 6))
+      // signed tie-safe micro average (see bigramLmScores): abs/sign so
+      // Spark's truncating DIV and DuckDB's flooring // agree
+      .withColumn("avg_llr", expr(
+        """(CASE WHEN micro_llr < 0 THEN -1 ELSE 1 END *
+             ((abs(micro_llr) * 2 + n_tokens) DIV (n_tokens * 2))) / 1e6"""))
       .withColumn("keep", col("micro_llr") > 0L)
   }
 
@@ -205,8 +213,12 @@ object LmScore {
 
     terms.groupBy(col("src"), col("n_tokens"))
       .agg(sum(col("t")).as("pico_kl"))
+      // tie-safe micro presentation (see bigramLmScores); KL >= 0 is
+      // pinned but the signed form keeps the pattern uniform
       .select(col("src").as(strataCol), col("n_tokens"), col("pico_kl"),
-        round(col("pico_kl") / 1e12, 6).as("kl"))
+        expr("""(CASE WHEN pico_kl < 0 THEN -1 ELSE 1 END *
+                  ((abs(pico_kl) * 2 + 1000000) DIV 2000000)) / 1e6""")
+          .as("kl"))
   }
 
   /** Round half away from zero - the tie rule Spark's `round`
@@ -310,13 +322,19 @@ object LmScore {
       .join(wF, Seq("bucket"))
       .groupBy(col(idCol)).agg(sum(col("c") * col("wm")).as("swm"))
       .join(lens, Seq(idCol))
+      // fold the bias into one exact integer total so score, prob and
+      // keep all derive from it: z = total/(1e6*n); the rounded score
+      // uses the tie-safe integer half-away division (see
+      // bigramLmScores), keep is a pure integer sign test
+      .withColumn("total_m", col("swm") + lit(bias) * col("n_tokens"))
       .withColumn("z",
-        col("swm").cast("double") / MicroNats / col("n_tokens") +
-          lit(bias) / MicroNats)
+        col("total_m").cast("double") / MicroNats / col("n_tokens"))
       .select(col(idCol), col("n_tokens"),
-        round(col("z"), 6).as("score"),
+        expr("""(CASE WHEN total_m < 0 THEN -1 ELSE 1 END *
+                  ((abs(total_m) * 2 + n_tokens) DIV (n_tokens * 2))) / 1e6""")
+          .as("score"),
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("prob"),
-        (col("z") > 0.0).as("keep"))
+        (col("total_m") > 0L).as("keep"))
   }
 
   /** Train-then-score in one call - the registered quality-classifier
