@@ -66,7 +66,19 @@ object PlanAudit {
       "q_pack_export",    // pack chain + partitioned write round trip
       "q_t_bpe_encode_big", // native BpeSegment path (>64 rules)
       "q_d_minhash_pairs",// md5 4x4 banding + est-free verify
-      "q_t_repeated_spans") // gram positions + island-merge window
+      "q_t_repeated_spans", // gram positions + island-merge window
+      "q_sk_hll",         // register sketch: one map-side-combined agg
+      "q_sk_cms",         // vocab collapse + depth explode + cell agg
+      "q_t_tfidf",        // two-level shard top-k windows
+      "q_t_pmi",          // bigram marginals + TakeOrdered
+      "q_t_lm_ppl",       // count-table joins + broadcast stats
+      "q_t_logreg",       // unrolled integer gradient stages
+      "q_t_chunks",       // map-only overlapping windows
+      "q_t_funnel",       // filter verdicts + funnel agg
+      "q_d_containment",  // bottom-k sketches + capped blocking join
+      "q_t_winnow",       // native winnow select, no shuffle
+      "q_d_winnow_pairs", // winnow postings + df-cut pair join
+      "q_d_source_overlap") // hash-distinct + stratum-bounded self-join
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
