@@ -1701,6 +1701,17 @@ object SparkEntry {
     "q_t_tfidf" -> ((s, dir) =>
       graft.llm.Sketches.tfidfTopTerms(t(s, dir, "documents"), k = 10)),
 
+    // hashing-vectorizer document features: 64-dim hashed tf-idf,
+    // milli-nat integer weights, CSV-joined for the compare
+    "q_t_hash_vectors" -> ((s, dir) =>
+      graft.llm.Sketches.hashedTfidfVectors(t(s, dir, "documents"))),
+
+    // probe-set text similarity over those features: exact integer
+    // sparse dot products, two-level shard top-5, self excluded
+    "q_t_text_knn" -> ((s, dir) =>
+      graft.llm.Sketches.textKnnByTfidf(t(s, dir, "documents"),
+        col("doc_id") < 20, k = 5)),
+
     // top-20 bigram collocations by PMI over the bigram-event space
     // (micro-nat quantized, TakeOrdered top-k - no global window)
     "q_t_pmi" -> ((s, dir) =>
@@ -3134,6 +3145,65 @@ object SparkEntry {
                 CAST(score_micro AS BIGINT) AS score_micro,
                 CAST(rnk AS INT) AS rnk
          FROM r WHERE rnk <= 10""",
+
+    // hashing-vectorizer replay: milli-nat idf, md5 bucket mod 64,
+    // sparse sums densified by a range cross join, ordered list join
+    "q_t_hash_vectors" ->
+      """WITH toks AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+             AS ws
+           FROM documents),
+         t AS (SELECT * FROM toks WHERE len(ws) > 0),
+         occ AS (SELECT doc_id AS id, unnest(ws) AS w FROM t),
+         n AS (SELECT count(*) AS n FROM t),
+         idf AS (SELECT w, CAST(round(ln(CAST(n.n AS DOUBLE)
+             / CAST(df_docs AS DOUBLE)) * 1e3) AS BIGINT) AS idf_milli
+           FROM (SELECT w, count(*) AS df_docs FROM (
+               SELECT DISTINCT id, w FROM occ) GROUP BY w), n),
+         cw AS (SELECT id, w, count(*) AS cnt FROM occ GROUP BY 1, 2),
+         sp AS (SELECT id,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS bucket,
+             CAST(sum(cnt * idf_milli) AS BIGINT) AS v
+           FROM cw JOIN idf USING (w) GROUP BY 1, 2
+           HAVING CAST(sum(cnt * idf_milli) AS BIGINT) <> 0),
+         dense AS (SELECT d.id, r.b, coalesce(sp.v, 0) AS v
+           FROM (SELECT DISTINCT id FROM sp) d
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r
+           LEFT JOIN sp ON sp.id = d.id AND sp.bucket = r.b)
+         SELECT id AS doc_id,
+                array_to_string(list(v ORDER BY b), ',') AS vec_csv
+         FROM dense GROUP BY id""",
+
+    // sparse integer dot-product knn over the hashed features
+    "q_t_text_knn" ->
+      """WITH toks AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+             AS ws
+           FROM documents),
+         t AS (SELECT * FROM toks WHERE len(ws) > 0),
+         occ AS (SELECT doc_id AS id, unnest(ws) AS w FROM t),
+         n AS (SELECT count(*) AS n FROM t),
+         idf AS (SELECT w, CAST(round(ln(CAST(n.n AS DOUBLE)
+             / CAST(df_docs AS DOUBLE)) * 1e3) AS BIGINT) AS idf_milli
+           FROM (SELECT w, count(*) AS df_docs FROM (
+               SELECT DISTINCT id, w FROM occ) GROUP BY w), n),
+         cw AS (SELECT id, w, count(*) AS cnt FROM occ GROUP BY 1, 2),
+         sp AS (SELECT id,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS bucket,
+             CAST(sum(cnt * idf_milli) AS BIGINT) AS v
+           FROM cw JOIN idf USING (w) GROUP BY 1, 2
+           HAVING CAST(sum(cnt * idf_milli) AS BIGINT) <> 0),
+         pr AS (SELECT id AS probe_id, bucket, v AS pv FROM sp
+           WHERE id < 20),
+         dots AS (SELECT pr.probe_id, s.id AS doc_id,
+             CAST(sum(pr.pv * s.v) AS BIGINT) AS dot
+           FROM pr JOIN sp s USING (bucket)
+           WHERE s.id <> pr.probe_id
+           GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+             ORDER BY dot DESC, doc_id) AS rnk FROM dots)
+         SELECT probe_id, doc_id, dot, CAST(rnk AS INT) AS rnk
+         FROM r WHERE rnk <= 5""",
 
     // PMI replay: bigram-event marginals, micro-nat ln, top-20 under
     // (pmi desc, prev, w)

@@ -232,6 +232,92 @@ object Sketches {
       .filter(col("rnk") <= k)
   }
 
+  // -------------------------------------------------- hashed tf-idf vecs
+
+  /** Sparse hashed tf-idf features per document: bucket = h60(word) mod
+    * `dim`, value = sum over the bucket's words of tf_in_doc *
+    * idf_milli with idf_milli = round(1e3 * ln(N/df)) - the hashing
+    * vectorizer (Weinberger et al. 2009) that turns text into
+    * fixed-dimension features without a vocabulary dictionary. MILLI
+    * (not micro) quantization keeps the downstream 64-dim integer dot
+    * products safely inside BIGINT (entries <= ~1e6, dots <= ~1e14).
+    * Output: (id, bucket, v) sparse rows - zeros never materialize.
+    *
+    * One explode + two map-side-combined counts + a broadcast idf
+    * attach; the sparse frame is what similarity search joins on. */
+  def hashedTfidfSparse(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim in [2,4096]: $dim")
+    val toks = df.select(col(idCol).as("id"),
+        TextAnalysis.normalizedWords(col(textCol)).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val occ = toks.select(col("id"), explode(col("ws")).as("w"))
+    val nDocs = toks.agg(count(lit(1)).as("n"))
+    val idf = occ.select(col("id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df_docs"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"),
+        round(log(col("n").cast("double") / col("df_docs").cast("double"))
+          * 1e3).cast("long").as("idf_milli"))
+    occ.groupBy(col("id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .join(idf, Seq("w"))
+      .select(col("id"), pmod(h60(col("w")), lit(dim.toLong)).as("bucket"),
+        (col("cnt") * col("idf_milli")).as("wv"))
+      .groupBy(col("id"), col("bucket")).agg(sum(col("wv")).as("v"))
+      .filter(col("v") =!= 0L)
+  }
+
+  /** Dense vector frame for export/inspection: (id, vec_csv) with the
+    * `dim` bucket values comma-joined in bucket order (CSV so the
+    * oracle compare is a plain string). */
+  def hashedTfidfVectors(df: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", dim: Int = 64): DataFrame =
+    hashedTfidfSparse(df, idCol, textCol, dim)
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v"))))
+        .as("m"))
+      .select(col("id").as(idCol),
+        array_join(expr(s"transform(sequence(0, ${dim - 1})," +
+          " b -> coalesce(element_at(m, CAST(b AS BIGINT)), 0))"), ",")
+          .as("vec_csv"))
+
+  /** Probe-set text similarity search over the hashed tf-idf features:
+    * for each probe document, the top-k corpus documents by EXACT
+    * integer dot product (descending, id ascending; self excluded).
+    * The dot is computed sparsely - probe and corpus bucket rows
+    * equi-join on the bucket key and combine map-side - so zeros cost
+    * nothing and nothing dense ever shuffles; the probe side is tiny
+    * and broadcast. Top-k uses the same two-level shard window as
+    * [[tfidfTopTerms]], so no task ever sees a probe's full corpus
+    * score list. */
+  def textKnnByTfidf(df: DataFrame, probe: Column, k: Int = 5,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = hashedTfidfSparse(df, idCol, textCol, dim)
+    val probes = sparse.join(
+      broadcast(df.filter(probe).select(col(idCol).as("id")).distinct()),
+      Seq("id"))
+    val dots = broadcast(probes
+        .select(col("id").as("probe_id"), col("bucket"), col("v").as("pv")))
+      .join(sparse.select(col("id").as("doc_id2"), col("bucket"), col("v")),
+        Seq("bucket"))
+      .filter(col("probe_id") =!= col("doc_id2"))
+      .groupBy(col("probe_id"), col("doc_id2"))
+      .agg(sum(col("pv") * col("v")).as("dot"))
+    val shardWin = Window
+      .partitionBy(col("probe_id"), pmod(col("doc_id2"), lit(64L)))
+      .orderBy(col("dot").desc, col("doc_id2"))
+    val survivors = dots.withColumn("srnk", row_number().over(shardWin))
+      .filter(col("srnk") <= k).drop("srnk")
+    val win = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dot").desc, col("doc_id2"))
+    survivors.withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("doc_id2").as(idCol), col("dot"),
+        col("rnk"))
+  }
+
   // ----------------------------------------------------------------- PMI
 
   /** Top-k bigram collocations by PMI over the bigram-event space:

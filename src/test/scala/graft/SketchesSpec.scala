@@ -127,6 +127,28 @@ class SketchesSpec extends SparkSpec {
     assert(bk.length == 1 && bk.head.length == 16)
   }
 
+  test("hashed tf-idf knn ranks the vocabulary-sharing doc first") {
+    val df = Seq(
+      (1L, "apple banana cherry durian elderberry fig"),
+      (2L, "apple banana cherry durian grape honeydew"),   // 4 shared rare
+      (3L, "the of and to is it common words only here"),
+      (4L, "zebra yak xerus wolf vole urchin"))
+      .toDF("doc_id", "text")
+    // dim 1024 so toy-corpus bucket collisions can't distort the ranks
+    // (at dim 64 a 6-word doc's rare terms can collide into a stranger)
+    val r = Sketches.textKnnByTfidf(df, col("doc_id") === 1, k = 3,
+        dim = 1024)
+      .select("doc_id", "rnk").as[(Long, Int)].collect().toMap
+    assert(r.get(2L).contains(1), s"got $r")
+    // dense vectors: same weights as the sparse frame, zeros filled
+    val dense = Sketches.hashedTfidfVectors(df)
+      .select("vec_csv").as[String].collect()
+    assert(dense.forall(_.split(",").length == 64))
+    val sparseSum = Sketches.hashedTfidfSparse(df)
+      .agg(sum("v")).as[Long].head()
+    assert(dense.map(_.split(",").map(_.toLong).sum).sum == sparseSum)
+  }
+
   test("pmiCollocations surfaces the glued bigram first") {
     // 'hong kong' always adjacent; filler words independent
     val rows = (1 to 30).map { i =>
