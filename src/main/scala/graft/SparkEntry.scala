@@ -1753,6 +1753,11 @@ object SparkEntry {
     "q_t_funnel" -> ((s, dir) =>
       TextAnalysis.curationFunnel(t(s, dir, "documents"))),
 
+    // loss-aware mixture reweighting: per-source excess NLL under the
+    // corpus bigram LM, exponentially tilted into ppm mixture weights
+    "q_t_loss_reweight" -> ((s, dir) =>
+      graft.llm.LmScore.lossReweightReport(t(s, dir, "documents"))),
+
     // per-source language mixture from the langid classifier
     "q_t_lang_report" -> ((s, dir) =>
       TextAnalysis.sourceLangReport(t(s, dir, "documents"))),
@@ -3005,6 +3010,52 @@ object SparkEntry {
                 round(exp(((s.micro_nll * 2 + len(t.ws))
                   // (len(t.ws) * 2)) / 1e6), 4) AS ppl
          FROM t JOIN s USING (doc_id)""",
+
+    // the lm_ppl chain aggregated per source, integer excess over the
+    // corpus average, exp tilt, ppm normalization
+    "q_t_loss_reweight" ->
+      """WITH toks AS (SELECT doc_id, source, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+             AS ws
+           FROM documents),
+         t AS (SELECT doc_id, source, ws FROM toks WHERE len(ws) > 0),
+         uc AS (SELECT w, count(*) AS cw FROM (
+             SELECT unnest(ws) AS w FROM t) GROUP BY w),
+         st AS (SELECT count(*) AS v, CAST(sum(cw) AS DOUBLE) AS n FROM uc),
+         bgf AS (SELECT doc_id, b.p AS prev, b.w AS w FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+               i -> struct_pack(p := ws[i], w := ws[i + 1]))) AS b
+             FROM t WHERE len(ws) >= 2)),
+         bc AS (SELECT prev, w, count(*) AS cb FROM bgf GROUP BY prev, w),
+         first AS (SELECT t.doc_id,
+             CAST(round(ln((uc.cw + 1.0) / (st.n + st.v)) * 1e6) AS BIGINT)
+               AS m
+           FROM t JOIN uc ON t.ws[1] = uc.w CROSS JOIN st),
+         cond AS (SELECT f.doc_id,
+             CAST(round(ln((bc.cb + 1.0) / (up.cw + st.v)) * 1e6) AS BIGINT)
+               AS m
+           FROM bgf f JOIN bc ON f.prev = bc.prev AND f.w = bc.w
+           JOIN uc up ON f.prev = up.w CROSS JOIN st),
+         s AS (SELECT doc_id, CAST(-sum(m) AS BIGINT) AS micro_nll FROM (
+             SELECT * FROM first UNION ALL SELECT * FROM cond)
+           GROUP BY doc_id),
+         bysrc AS (SELECT t.source,
+             CAST(sum(len(t.ws)) AS BIGINT) AS n_tokens,
+             CAST(sum(s.micro_nll) AS BIGINT) AS micro_nll
+           FROM t JOIN s USING (doc_id) GROUP BY t.source),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tnt,
+             CAST(sum(micro_nll) AS BIGINT) AS tmn FROM bysrc),
+         ex AS (SELECT source, n_tokens,
+             (micro_nll * 2 + n_tokens) // (n_tokens * 2)
+               AS avg_nll_micro,
+             (micro_nll * 2 + n_tokens) // (n_tokens * 2)
+               - (tot.tmn * 2 + tot.tnt) // (tot.tnt * 2) AS excess_micro
+           FROM bysrc, tot),
+         e AS (SELECT *, exp(1.0 * excess_micro / 1e6) AS e FROM ex),
+         es AS (SELECT sum(e) AS esum FROM e)
+         SELECT source, n_tokens, avg_nll_micro, excess_micro,
+                CAST(round(e / es.esum * 1e6) AS BIGINT) AS weight_ppm
+         FROM e, es""",
 
     // DSIR hashed-unigram importance weights: target = source 'src0',
     // 256 md5-prefix buckets, per-token llr quantized to micro-nats

@@ -221,6 +221,45 @@ object LmScore {
           .as("kl"))
   }
 
+  /** Loss-aware mixture reweighting (DoReMi-style signal, Xie et al.
+    * 2023): score every source by its token-weighted average NLL under
+    * the corpus bigram LM, take the integer excess over the corpus
+    * average, and tilt weights exponentially - weight_s proportional to
+    * exp(eta * excess_s in nats). Sources the shared model finds HARD
+    * (high excess loss) get upweighted, the DoReMi domain-reweighting
+    * direction; eta < 0 gives the quality-filtering direction instead.
+    *
+    * All aggregation is exact-integer (micro-nat sums; the per-source
+    * and corpus averages use the tie-safe integer half-away division -
+    * see the round-8 parity note); only the final exponential tilt and
+    * ppm normalization are doubles, computed from identical integers in
+    * any engine. Everything after the per-document scoring operates on
+    * a |strata|-row frame. */
+  def lossReweightReport(df: DataFrame, strataCol: String = "source",
+                         idCol: String = "doc_id", textCol: String = "text",
+                         eta: Double = 1.0): DataFrame = {
+    val perDoc = bigramLmScores(df, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("micro_nll"))
+    val bySrc = df.select(col(idCol), col(strataCol))
+      .join(perDoc, Seq(idCol))
+      .groupBy(col(strataCol))
+      .agg(sum(col("n_tokens")).as("n_tokens"),
+        sum(col("micro_nll")).as("micro_nll"))
+    val tot = bySrc.agg(sum(col("n_tokens")).as("tnt"),
+      sum(col("micro_nll")).as("tmn"))
+    val excess = bySrc.crossJoin(broadcast(tot))
+      .withColumn("avg_nll_micro",
+        expr("(micro_nll * 2 + n_tokens) DIV (n_tokens * 2)"))
+      .withColumn("excess_micro", col("avg_nll_micro")
+        - expr("(tmn * 2 + tnt) DIV (tnt * 2)"))
+      .withColumn("e", exp(lit(eta) * col("excess_micro") / 1e6))
+    val esum = excess.agg(sum(col("e")).as("esum"))
+    excess.crossJoin(broadcast(esum))
+      .select(col(strataCol), col("n_tokens"), col("avg_nll_micro"),
+        col("excess_micro"),
+        round(col("e") / col("esum") * 1e6).cast("long").as("weight_ppm"))
+  }
+
   /** Round half away from zero - the tie rule Spark's `round`
     * (BigDecimal HALF_UP) and DuckDB's `round` share; used for the
     * driver-side weight updates so all three agree. */

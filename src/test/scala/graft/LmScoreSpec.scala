@@ -31,6 +31,22 @@ class LmScoreSpec extends SparkSpec {
     assert(r(1L) < r(9L)) // the repeated sentence is the fluent one
   }
 
+  test("lossReweightReport: hard source upweighted, weights sum to ~1e6") {
+    // source 'easy' = one repeated fluent sentence (low NLL under the
+    // corpus LM); 'hard' = all-distinct rare words (high NLL)
+    val docs = ((1L to 8L).map(i => (i, "easy", "the cat sat on the mat")) ++
+      (9L to 12L).map(i => (i, "hard",
+        (1 to 6).map(j => s"rare${i}x$j").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val rows = LmScore.lossReweightReport(docs)
+      .select("source", "excess_micro", "weight_ppm")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(rows("hard")._1 > 0 && rows("easy")._1 < 0)
+    assert(rows("hard")._2 > rows("easy")._2)
+    val total = rows.values.map(_._2).sum
+    assert(math.abs(total - 1000000L) <= rows.size) // ppm rounding slack
+  }
+
   test("dsirScores: target-like docs keep, disjoint-vocab docs drop") {
     val corpus = Seq(
       (1L, "alpha beta gamma alpha beta"),
