@@ -3051,10 +3051,12 @@ object SparkEntry {
              (micro_nll * 2 + n_tokens) // (n_tokens * 2)
                - (tot.tmn * 2 + tot.tnt) // (tot.tnt * 2) AS excess_micro
            FROM bysrc, tot),
-         e AS (SELECT *, exp(1.0 * excess_micro / 1e6) AS e FROM ex),
-         es AS (SELECT sum(e) AS esum FROM e)
+         e AS (SELECT *, CAST(round(exp(1.0 * excess_micro / 1e6) * 1e6)
+                 AS BIGINT) AS e_micro FROM ex),
+         es AS (SELECT sum(e_micro) AS esum_micro FROM e)
          SELECT source, n_tokens, avg_nll_micro, excess_micro,
-                CAST(round(e / es.esum * 1e6) AS BIGINT) AS weight_ppm
+                CAST(round(e_micro / es.esum_micro * 1e6) AS BIGINT)
+                  AS weight_ppm
          FROM e, es""",
 
     // DSIR hashed-unigram importance weights: target = source 'src0',
@@ -3430,7 +3432,8 @@ object SparkEntry {
            FROM st)
          SELECT doc_id, chunk_id, chunk_start,
                 CAST(len(cw) AS INT) AS n_chunk_tokens,
-                array_to_string(cw, ' ') AS chunk_text
+                array_to_string(cw, ' ') AS chunk_text,
+                CAST(8 AS INT) AS chunk_overlap
          FROM c""",
 
     // the q_t_filter verdict chain aggregated to the per-(source,

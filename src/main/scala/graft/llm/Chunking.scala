@@ -42,18 +42,22 @@ object Chunking {
         expr(s"slice(ws, chunk_start + 1, $chunkSize)").as("cw"))
       .select(col(idCol), col("chunk_id"), col("chunk_start"),
         size(col("cw")).as("n_chunk_tokens"),
-        array_join(col("cw"), " ").as("chunk_text"))
+        array_join(col("cw"), " ").as("chunk_text"),
+        lit(overlap).as("chunk_overlap"))
   }
 
   /** Reassembly check frame: per-document token count recovered from
     * the chunks (each token counted once - overlap tokens belong to the
     * earlier chunk). Equality with the source token count proves the
-    * chunking lossless; exposed for tests and data-quality gates. */
-  def chunkCoverage(chunks: DataFrame, idCol: String = "doc_id",
-                    overlap: Int = 8): DataFrame =
+    * chunking lossless; exposed for tests and data-quality gates.
+    *
+    * The overlap is read from the `chunk_overlap` column the chunk
+    * frame carries, so the check can never silently disagree with the
+    * parameters the chunks were actually built with. */
+  def chunkCoverage(chunks: DataFrame, idCol: String = "doc_id"): DataFrame =
     chunks.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         (sum(col("n_chunk_tokens"))
-          - lit(overlap.toLong) * (count(lit(1)) - 1L))
+          - max(col("chunk_overlap")).cast("long") * (count(lit(1)) - 1L))
           .as("n_tokens_recovered"))
 }

@@ -252,12 +252,19 @@ object LmScore {
         expr("(micro_nll * 2 + n_tokens) DIV (n_tokens * 2)"))
       .withColumn("excess_micro", col("avg_nll_micro")
         - expr("(tmn * 2 + tnt) DIV (tnt * 2)"))
-      .withColumn("e", exp(lit(eta) * col("excess_micro") / 1e6))
-    val esum = excess.agg(sum(col("e")).as("esum"))
+      .withColumn("e_micro",
+        round(exp(lit(eta) * col("excess_micro") / 1e6) * 1e6).cast("long"))
+    // Tilts are quantized to integer micro-units BEFORE the normalizing
+    // sum, so esum is an exact BIGINT independent of partition /
+    // accumulation order (the round-8 determinism contract); the final
+    // ppm division is then a pure function of identical integers in any
+    // engine.
+    val esum = excess.agg(sum(col("e_micro")).as("esum_micro"))
     excess.crossJoin(broadcast(esum))
       .select(col(strataCol), col("n_tokens"), col("avg_nll_micro"),
         col("excess_micro"),
-        round(col("e") / col("esum") * 1e6).cast("long").as("weight_ppm"))
+        round(col("e_micro") / col("esum_micro") * 1e6)
+          .cast("long").as("weight_ppm"))
   }
 
   /** Round half away from zero - the tie rule Spark's `round`

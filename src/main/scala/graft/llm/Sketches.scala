@@ -306,7 +306,8 @@ object Sketches {
       .groupBy(col("probe_id"), col("doc_id2"))
       .agg(sum(col("pv") * col("v")).as("dot"))
     val shardWin = Window
-      .partitionBy(col("probe_id"), pmod(col("doc_id2"), lit(64L)))
+      .partitionBy(col("probe_id"),
+        pmod(h60(col("doc_id2").cast("string")), lit(64L)))
       .orderBy(col("dot").desc, col("doc_id2"))
     val survivors = dots.withColumn("srnk", row_number().over(shardWin))
       .filter(col("srnk") <= k).drop("srnk")

@@ -39,7 +39,7 @@ class ChunkingSpec extends SparkSpec {
     val truth = docs.select(col("doc_id"),
       size(TextAnalysis.normalizedWords(col("text"))).cast("long").as("n_tokens"))
     val cov = Chunking.chunkCoverage(
-      Chunking.chunkDocuments(docs, chunkSize = 8, overlap = 3), overlap = 3)
+      Chunking.chunkDocuments(docs, chunkSize = 8, overlap = 3))
       .select(col("doc_id"), col("n_tokens_recovered").as("n_tokens"))
     assert(cov.exceptAll(truth).isEmpty && truth.exceptAll(cov).isEmpty)
   }
