@@ -426,6 +426,83 @@ object SparkEntry {
          LEFT JOIN agg a ON a.doc_id = d0.doc_id"""
   }
 
+  /** Literal BYTE-level merge table for q_t_byte_bpe (Ġ = U+0120, the
+    * GPT-2 representative of the 0x20 space byte): 16 GPT-2-style
+    * rules including space-prefixed and multi-symbol products, so
+    * compound merges fire on the documents corpus. */
+  private val byteBpeMerges: Seq[(String, String)] = {
+    val G = "Ġ"
+    Seq((G, "t"), (G, "s"), (G, "a"), ("h", "e"), ("r", "e"), ("i", "n"),
+      ("a", "l"), ("a", "r"), (G + "t", "he"), ("o", "w"), (G + "s", "c"),
+      ("a", "n"), ("u", "e"), (G, "b"), ("l", "e"), (G + "s", "t"))
+  }
+
+  /** Render a byte-representative symbol as a DuckDB expression:
+    * quoted runs for printable ASCII, chr(codepoint) elsewhere. */
+  private def duckStr(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    def flush(): Unit = if (sb.nonEmpty) {
+      parts += "'" + sb.toString.replace("'", "''") + "'"; sb.clear()
+    }
+    s.foreach { ch =>
+      if (ch >= 33 && ch <= 126) sb.append(ch)
+      else { flush(); parts += s"chr(${ch.toInt})" }
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
+
+  /** Byte-level BPE encode oracle for a LITERAL merge table: GPT-2-class
+    * pre-tokenization (same lookaround-free RE2 pattern the engine
+    * uses), the byte remap for THIS corpus (printable ASCII + space
+    * only, so space -> chr(288) is the only non-identity byte), the
+    * replace-chain replay of the sequential-pass merges, and the fixed
+    * 256+|merges| vocabulary as literal VALUES rows (byte b = id b,
+    * merge i = id 256 + i, first id wins). */
+  private def byteBpeEncodeSql(merges: Seq[(String, String)]): String = {
+    val segExpr = merges.foldLeft(
+      "regexp_replace(b, '(.)', chr(1) || '\\1' || chr(1), 'g')") {
+      case (acc, (l, r)) =>
+        s"""replace($acc,
+             chr(1) || ${duckStr(l)} || chr(1) || chr(1) || ${duckStr(r)} || chr(1),
+             chr(1) || ${duckStr(l + r)} || chr(1))"""
+    }
+    val vocabRows = graft.llm.ByteBpe.vocabEntries(merges)
+      .map { case (tok, id) => s"(${duckStr(tok)}, $id)" }
+      .mkString(",\n             ")
+    s"""WITH d AS (SELECT doc_id,
+             regexp_extract_all(text, '${graft.llm.ByteBpe.preTokenPattern}')
+               AS ws
+           FROM documents),
+         dw AS (SELECT doc_id, i, ws[i] AS w FROM d,
+             LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+         w AS (SELECT DISTINCT w FROM dw),
+         bw AS (SELECT w, replace(w, ' ', chr(288)) AS b FROM w),
+         toks AS (SELECT w, string_split(trim($segExpr, chr(1)),
+             chr(1) || chr(1)) AS toks
+           FROM bw),
+         vocab AS (SELECT * FROM (VALUES
+             $vocabRows) AS v0(tok, id)),
+         enc AS (SELECT t0.w,
+             array_to_string(list(CAST(v.id AS VARCHAR) ORDER BY t0.i), ',')
+               AS ids_csv,
+             CAST(count(*) AS INT) AS n
+           FROM (SELECT w, i, toks[i] AS tok FROM toks,
+               LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)) t0
+           JOIN vocab v ON v.tok = t0.tok
+           GROUP BY t0.w),
+         agg AS (SELECT dw.doc_id,
+             CAST(sum(e.n) AS INT) AS n_tokens,
+             string_agg(e.ids_csv, ',' ORDER BY dw.i) AS token_csv
+           FROM dw JOIN enc e ON e.w = dw.w
+           GROUP BY dw.doc_id)
+         SELECT d0.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                coalesce(a.token_csv, '') AS token_csv
+         FROM (SELECT doc_id FROM documents) d0
+         LEFT JOIN agg a ON a.doc_id = d0.doc_id"""
+  }
+
   /** Repeated-span oracle CTEs through a `spans` relation: word
     * n-grams in >= minDocFreq distinct docs, island-merged per doc
     * with the same running-max window the Spark side uses. */
@@ -1797,6 +1874,17 @@ object SparkEntry {
     // replays the same replace chain literally
     "q_t_bpe_encode_big" -> ((s, dir) =>
       TextAnalysis.bpeEncode(t(s, dir, "documents"), bigBpeMerges)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(transform(col("token_ids"), i => i.cast("string")), ",")
+            .as("token_csv"))),
+
+    // BYTE-level BPE encode (GPT-2-class): regex pre-tokenization over
+    // the raw text, UTF-8-byte seed symbols with total byte fallback,
+    // ids fixed by the table alone (byte b = b, merge i = 256 + i) -
+    // the apply path for a real shipped byte-level tokenizer artifact;
+    // the native BpeSegment byte mode is the only per-word work
+    "q_t_byte_bpe" -> ((s, dir) =>
+      graft.llm.ByteBpe.encode(t(s, dir, "documents"), byteBpeMerges)
         .select(col("doc_id"), col("n_tokens"),
           array_join(transform(col("token_ids"), i => i.cast("string")), ",")
             .as("token_csv"))),
@@ -3558,6 +3646,7 @@ object SparkEntry {
     // -> per-word ids -> per-doc csv reassembly in word order
     "q_t_bpe_encode" -> bpeEncodeSql(6),
     "q_t_bpe_encode_big" -> bpeEncodeLiteralSql(bigBpeMerges),
+    "q_t_byte_bpe" -> byteBpeEncodeSql(byteBpeMerges),
 
     // tokenizer chain end-to-end: the encode chain's n_tokens feeding
     // the q_pack_chunks per-source running-offset chunk layout
