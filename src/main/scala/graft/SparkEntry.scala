@@ -530,6 +530,34 @@ object SparkEntry {
              CAST(count(DISTINCT gram) AS BIGINT) AS n_grams
            FROM isl GROUP BY doc_id, grp)"""
 
+  /** Maximal-span oracle CTEs (suffix-array semantics at n-gram
+    * resolution): same gram stream / doc-frequency cut as
+    * [[repeatedSpanCtes]], but spans are maximal runs of CONSECUTIVE
+    * repeated-gram positions (step exactly 1 - lag, not running max),
+    * so every length-n window inside a span repeats. */
+  private def maximalSpanCtes(n: Int, minDocFreq: Int): String =
+    s"""w AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(ws[i : i + ${n - 1}], ' ') AS gram
+           FROM w, LATERAL (SELECT unnest(range(1, len(ws) - ${n - 2})) AS i)
+           WHERE len(ws) >= $n),
+         rep AS (SELECT gram FROM g
+           GROUP BY gram HAVING count(DISTINCT doc_id) >= $minDocFreq),
+         h AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN rep USING (gram)),
+         mrk AS (SELECT doc_id, pos, gram,
+             CASE WHEN pos - coalesce(lag(pos) OVER (
+                 PARTITION BY doc_id ORDER BY pos), -2) = 1
+               THEN 0 ELSE 1 END AS newg
+           FROM h),
+         isl AS (SELECT *, sum(newg) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS UNBOUNDED PRECEDING) AS grp FROM mrk),
+         spans AS (SELECT doc_id, min(pos) AS span_start,
+             max(pos) + $n AS span_end,
+             CAST(count(DISTINCT gram) AS BIGINT) AS n_grams
+           FROM isl GROUP BY doc_id, grp)"""
+
   /** Train -> encode -> pack oracle: the per-doc BPE token counts from
     * [[bpeEncodeCtes]] feed the same per-source running-offset chunk
     * layout q_pack_chunks pins (zero-token docs occupy no span). */
@@ -1940,6 +1968,18 @@ object SparkEntry {
     // and the trim action: rebuild text from uncovered words
     "q_t_span_trim" -> ((s, dir) =>
       Dedup.trimRepeatedSpans(t(s, dir, "documents"), n = 5, minDocFreq = 2)),
+
+    // MAXIMAL repeated spans (suffix-array substring-dedup semantics at
+    // 6-gram resolution): step-1 chains of repeated grams, so every
+    // 6-token window inside a span repeats - "any repeated span >= 6"
+    "q_t_max_spans" -> ((s, dir) =>
+      Dedup.maximalRepeatedSpans(t(s, dir, "documents"),
+        minSpanLen = 6, minDocFreq = 2)),
+
+    // the substring-dedup trim action under maximal-span semantics
+    "q_t_max_span_trim" -> ((s, dir) =>
+      Dedup.trimMaximalSpans(t(s, dir, "documents"),
+        minSpanLen = 6, minDocFreq = 2)),
 
     // best-5-docs-per-source curation by quality score (total order,
     // per-stratum window rank - no global sort)
@@ -3655,6 +3695,26 @@ object SparkEntry {
     "q_t_repeated_spans" ->
       s"""WITH ${repeatedSpanCtes(5, 2)}
          SELECT doc_id, span_start, span_end, n_grams FROM spans""",
+
+    "q_t_max_spans" ->
+      s"""WITH ${maximalSpanCtes(6, 2)}
+         SELECT doc_id, span_start, span_end, n_grams FROM spans""",
+
+    "q_t_max_span_trim" ->
+      s"""WITH ${maximalSpanCtes(6, 2)},
+         cov AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+           FROM spans, LATERAL (SELECT unnest(range(span_start, span_end)) AS p)),
+         dw AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
+           FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+         kept AS (SELECT d.doc_id,
+             string_agg(d.word, ' ' ORDER BY d.pos) AS text_trimmed
+           FROM dw d LEFT JOIN cov c ON c.doc_id = d.doc_id AND c.pos = d.pos
+           WHERE c.doc_id IS NULL GROUP BY d.doc_id)
+         SELECT w.doc_id, coalesce(k.text_trimmed, '') AS text_trimmed,
+                CAST(len(w.ws) - CASE WHEN coalesce(k.text_trimmed, '') = ''
+                  THEN 0 ELSE len(string_split(k.text_trimmed, ' ')) END
+                  AS INT) AS n_removed
+         FROM w LEFT JOIN kept k ON k.doc_id = w.doc_id""",
 
     "q_t_span_trim" ->
       s"""WITH ${repeatedSpanCtes(5, 2)},

@@ -833,8 +833,90 @@ object Dedup {
     * and joins per (id, pos) - no document ever ships whole. */
   def trimRepeatedSpans(df: DataFrame, n: Int = 5, minDocFreq: Int = 2,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    val spans = repeatedNgramSpans(df, n, minDocFreq, idCol, textCol)
+                        textCol: String = "text"): DataFrame =
+    trimBySpans(df, repeatedNgramSpans(df, n, minDocFreq, idCol, textCol),
+      idCol, textCol)
+
+  /** MAXIMAL repeated spans - suffix-array substring-dedup semantics
+    * (Lee et al., ACL'22: deduplicate any repeat >= L tokens) at
+    * L-gram resolution. A position's L-gram is "repeated" when it
+    * occurs in >= `minDocFreq` distinct documents; a span is a MAXIMAL
+    * run of CONSECUTIVE repeated-gram positions p, p+1, ..., q, output
+    * as [p, q + L) - so every length-L window inside the span is
+    * repeated, and the span cannot be extended a token in either
+    * direction.
+    *
+    * L <-> n equivalence (the gram-chain construction): an exact
+    * substring of length m >= L repeated across documents has all
+    * m - L + 1 of its L-grams repeated and consecutive, so it is fully
+    * contained in one output span - no true repeat >= L is missed.
+    * The approximation is one-sided: a span only proves each of its
+    * L-windows repeats SOMEWHERE (possibly in different partner
+    * documents), so spans are a superset of exact maximal repeats -
+    * the standard n-gram relaxation of the paper's suffix array.
+    * Setting minSpanLen = L makes this "any repeated span >= L": a
+    * lone repeated gram yields a span of exactly L, and longer repeats
+    * extend token-by-token through the chain.
+    *
+    * Difference from [[repeatedNgramSpans]]: that operator merges hits
+    * whose intervals merely overlap or touch (gap <= n between
+    * positions), reporting boilerplate NEIGHBORHOODS; this one
+    * requires step-1 chains, reporting spans in which EVERY window
+    * repeats - the contract substring-level trimming needs.
+    *
+    * Scale shape: identical to [[repeatedNgramSpans]] - O(total words)
+    * gram stream, map-side-combined doc-frequency cut, equi-join on
+    * the surviving grams, and a per-document window (lag over the
+    * doc's hit positions only). */
+  def maximalRepeatedSpans(df: DataFrame, minSpanLen: Int = 6,
+                           minDocFreq: Int = 2, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val n = minSpanLen
+    require(n >= 2 && minDocFreq >= 2, s"need minSpanLen >= 2 (got $n) " +
+      s"and minDocFreq >= 2 (got $minDocFreq)")
+    val grams = gramPositions(df, n, idCol, textCol)
+    val repeated = grams.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("gram_df"))
+      .filter(col("gram_df") >= minDocFreq)
+      .select(col("gram"))
+    val hits = grams.join(repeated, Seq("gram"))
+    // chain extension: consecutive positions (step exactly 1) continue
+    // the span; any gap breaks it
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("__new",
+        (col("pos") - coalesce(lag(col("pos"), 1).over(wOrd), lit(-2L))
+          =!= 1L).cast("int"))
+      .withColumn("__grp", sum(col("__new")).over(wRun))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n).as("span_end"),
+        countDistinct(col("gram")).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Apply [[maximalRepeatedSpans]]: trim every token covered by a
+    * maximal repeated span >= minSpanLen - the substring-dedup action
+    * at suffix-array semantics. Same output contract as
+    * [[trimRepeatedSpans]]. */
+  def trimMaximalSpans(df: DataFrame, minSpanLen: Int = 6,
+                       minDocFreq: Int = 2, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    trimBySpans(df,
+      maximalRepeatedSpans(df, minSpanLen, minDocFreq, idCol, textCol),
+      idCol, textCol)
+
+  /** Shared trim action: rebuild each document's text from the words
+    * NOT covered by any span in `spans` (id, span_start, span_end).
+    * Documents without spans pass through verbatim-normalized (the
+    * operator works in normalized word space, like every dedup surface
+    * here). Output: (id, text_trimmed, n_removed). The
+    * covered-position frame is O(sum of span lengths) and joins per
+    * (id, pos) - no document ever ships whole. */
+  private def trimBySpans(df: DataFrame, spans: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
     val covered = spans.select(col(idCol),
         explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
       .distinct()

@@ -186,6 +186,39 @@ class LlmSpec extends SparkSpec {
     assert(trimmed(5L) == (("tiny doc", 0L)))
   }
 
+  test("maximal repeated spans: step-1 chains, not touch-merged islands") {
+    // same fixture as the island test: doc 1's two repeats sit at
+    // positions 1 and 6 - ADJACENT intervals but NOT a step-1 chain
+    // (the 5-windows straddling the boundary are unique), so maximal
+    // semantics reports TWO spans where repeatedNgramSpans merged one
+    val docs = Seq(
+      (1L, "x one two three four five alpha beta gamma delta eps y"),
+      (2L, "p q one two three four five r s t u v"),
+      (3L, "alpha beta gamma delta eps m n o hello world here now"),
+      (4L, "nothing shared with anyone else at all whatsoever today"),
+      (5L, "tiny doc")).toDF("doc_id", "text")
+    val spans = Dedup.maximalRepeatedSpans(docs, minSpanLen = 5, minDocFreq = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 1L, 6L, 1L), (1L, 6L, 11L, 1L),
+      (2L, 2L, 7L, 1L), (3L, 0L, 5L, 1L)))
+
+    // chain extension (the L <-> n equivalence): a 7-token exact repeat
+    // at minSpanLen 5 has 3 consecutive repeated grams -> ONE span of
+    // exactly the repeat's extent in each document
+    val chain = Seq(
+      (10L, "a b c d e f g x1 y1"),
+      (11L, "z1 a b c d e f g w1")).toDF("doc_id", "text")
+    val cs = Dedup.maximalRepeatedSpans(chain, minSpanLen = 5, minDocFreq = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(cs == Set((10L, 0L, 7L, 3L), (11L, 1L, 8L, 3L)))
+
+    // and the trim action under maximal semantics
+    val trimmed = Dedup.trimMaximalSpans(chain, minSpanLen = 5, minDocFreq = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(trimmed(10L) == (("x1 y1", 7L)))
+    assert(trimmed(11L) == (("z1 w1", 7L)))
+  }
+
   test("native md5 minhash signature matches the HOF construction " +
     "byte for byte") {
     import org.apache.spark.sql.functions._
