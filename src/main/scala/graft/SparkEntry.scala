@@ -2222,6 +2222,36 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // streaming EXACT dedup: every event duplicated in-stream (explode
+    // of a dropped dummy column -> two identical rows per event), then
+    // dropDuplicatesWithinWatermark on event_id keeps exactly one; the
+    // DuckDB twin recomputes the surviving set as a plain projection of
+    // the (unique-keyed) events table, so any row dropped twice, kept
+    // twice, or mangled by the streaming state fails the compare
+    "q_stream_dedup" -> ((s, dir) => {
+      val name = "stream_dedup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val src = s.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        // +1 day: epoch-0 event time would sit exactly on the initial
+        // watermark and be filtered as late before dedup state sees it
+        .withColumn("ts",
+          timestamp_seconds(pmod(col("event_id"), lit(86400L)) + 86400L))
+        .withColumn("__copy", explode(array(lit(0), lit(1))))
+        .drop("__copy")
+      val q = graft.streaming.EventStream.dedupeEvents(src)
+        .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
+          col("user_id"), col("event_type"), col("value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     "q_stream_windowed" -> ((s, dir) => {
       val name = "stream_counts_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
@@ -4795,6 +4825,13 @@ object SparkEntry {
                     FROM s GROUP BY user_id, sid)
          SELECT sess_start_s, sess_end_s, user_id, n_events FROM g
          WHERE sess_end_s <= (SELECT max(t) - 7200 FROM e)""",
+
+    // batch recomputation of the streaming exact dedup: the surviving
+    // set of a duplicate-every-row stream is the unique-keyed table
+    "q_stream_dedup" ->
+      """SELECT event_id, CAST(event_id % 86400 + 86400 AS BIGINT) AS ts_s,
+             user_id, event_type, value
+         FROM events""",
 
     // batch recomputation of the watermarked tumbling-window stream
     "q_stream_windowed" ->

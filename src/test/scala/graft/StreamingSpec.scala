@@ -71,6 +71,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM deduped").as[Long].head() == 2L)
   }
 
+  test("streaming dedupe equals batch dropDuplicates (same surviving set)") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = (1 to 30).flatMap { i =>
+      val e = Event(i.toLong, ts(i), i % 5, if (i % 2 == 0) "click" else "view",
+        i.toDouble)
+      Seq(e, e) // every event replayed once
+    }
+    val input = MemoryStream[Event]
+    input.addData(events: _*)
+    val query = EventStream.dedupeEvents(input.toDF(), "20 minutes")
+      .writeStream.format("memory").queryName("dedup_vs_batch")
+      .outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("dedup_vs_batch")
+      .select("event_id", "user_id", "event_type", "value")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    val batch = events.toDF().dropDuplicates("event_id")
+      .select("event_id", "user_id", "event_type", "value")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    // set equality AND no double-emits (each key exactly once)
+    assert(streamed.sorted == batch.sorted)
+    assert(streamed.map(_._1).distinct.size == streamed.size)
+  }
+
   test("session windows close at the gap and emit once on watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
