@@ -165,6 +165,85 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Window"), plan)
   }
 
+  test("every BroadcastNestedLoopJoin build side is a <=1-row scalar " +
+    "frame (the documented scalar-attach convention, enforced)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.{InputAdapter, LocalTableScanExec, ProjectExec, WholeStageCodegenExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val next = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: next.flatMap(flatten)
+    }
+    @annotation.tailrec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case q: QueryStageExec => unwrap(q.plan)
+      case e: BroadcastExchangeExec => unwrap(e.child)
+      case r: ReusedExchangeExec => unwrap(r.child)
+      case w: WholeStageCodegenExec => unwrap(w.child)
+      case i: InputAdapter => unwrap(i.child)
+      case pr: ProjectExec => unwrap(pr.child)
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case _ => p
+    }
+    // a scalar build is a global (no-grouping) aggregate - guaranteed
+    // <= 1 row at ANY data size - or a literal <=1-row local relation
+    def isScalar(p: SparkPlan): Boolean = unwrap(p) match {
+      case h: HashAggregateExec => h.groupingExpressions.isEmpty
+      case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
+      case s: SortAggregateExec => s.groupingExpressions.isEmpty
+      case l: LocalTableScanExec => l.rows.lengthCompare(1) <= 0
+      case _ => false
+    }
+    def assertScalarBnljOnly(name: String, df: DataFrame): Int = {
+      df.collect() // execute so AQE finalizes the inspected plan
+      val bnljs = flatten(df.queryExecution.executedPlan)
+        .collect { case b: BroadcastNestedLoopJoinExec => b }
+      bnljs.foreach { b =>
+        val build = b.buildSide match {
+          case BuildLeft => b.left
+          case BuildRight => b.right
+        }
+        assert(isScalar(build),
+          s"$name: BNLJ build side is not a <=1-row scalar frame - a " +
+            s"data-sized build here is a scale killer:\n$build")
+      }
+      bnljs.size
+    }
+
+    val docs = (1L to 60L).map(i => (i, s"s${i % 3}",
+      (1 to 12).map(j => s"w${(i * 7 + j) % 23}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    // the scalar-attach operator family (the BNLJ* rows of the round-8
+    // plan-audit table): every BNLJ these plans produce must be a
+    // broadcast GLOBAL aggregate. recallAtK's broadcast probe set and
+    // sourceKlReport's |strata|-row totals are the two documented
+    // bounded-frame exceptions and are excluded here by design.
+    val probes: Seq[(String, DataFrame)] = Seq(
+      "bigramLmScores" -> graft.llm.LmScore.bigramLmScores(docs),
+      "dsirScores" -> graft.llm.LmScore.dsirScores(
+        docs, docs.filter($"source" === "s0")),
+      "lossReweightReport" -> graft.llm.LmScore.lossReweightReport(docs),
+      "tfidfTopTerms" -> graft.llm.Sketches.tfidfTopTerms(docs, k = 3),
+      "hashedTfidfSparse" -> graft.llm.Sketches.hashedTfidfSparse(docs),
+      "pmiCollocations" -> graft.llm.Sketches.pmiCollocations(docs))
+    val nBnlj = probes.map { case (n, df) => assertScalarBnljOnly(n, df) }.sum
+    // the family genuinely exercises the convention - if refactors
+    // remove every BNLJ this test must be pointed at the new sites
+    assert(nBnlj >= 4, s"expected scalar-attach BNLJs in the probe " +
+      s"family, found $nBnlj - update the probe list")
+  }
+
   test("containment pair stage ships sketches only - no shingle arrays " +
     "past the sketch build, candidates via equi-join") {
     val d = (1L to 60L).map(i =>
