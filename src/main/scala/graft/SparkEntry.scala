@@ -2149,6 +2149,24 @@ object SparkEntry {
         everyMs = 60000)
         .select(col("asset_id"), col("frame_idx"), col("frame_ts_ms"))),
 
+    // multimodal NEAR-DUP: portable integer pHash over the (stubbed)
+    // decode features, SimHash-style pigeonhole chunk blocking at
+    // Hamming <= 2, xor-popcount verify - bucket pairs only, no cross
+    // join at any scale
+    "q_mm_phash_pairs" -> ((s, dir) =>
+      graft.llm.Multimodal.phashNearDupPairs(
+        graft.llm.Multimodal.syntheticAssets(t(s, dir, "documents"),
+          "doc_id", "text"),
+        maxHamming = 2)),
+
+    // two-modality dedup funnel: asset-level (exact pHash group) vs
+    // text-level (normMd5 group) survivorship per asset
+    "q_mm_asset_dedup" -> ((s, dir) =>
+      graft.llm.Multimodal.assetDedupVsText(
+        graft.llm.Multimodal.syntheticAssets(t(s, dir, "documents"),
+          "doc_id", "text"),
+        t(s, dir, "documents"))),
+
     // IVF coarse quantization (rows-only): cell histogram under
     // deterministic centroids
     "q_ann_ivf" -> ((s, dir) => {
@@ -4723,6 +4741,67 @@ object SparkEntry {
                 CAST(f * 60000 AS INT) AS frame_ts_ms
          FROM a, UNNEST(generate_series(0,
            greatest(CAST(floor(duration_ms / 60000.0) AS INT) - 1, 0))) AS t(f)""",
+
+    // portable pHash near-dup pairs: 16 md5-derived 48-bit features,
+    // bit = feature >= floor(mean) (integer shift), 3-chunk (6/5/5)
+    // pigeonhole blocking at Hamming <= 2, xor-popcount verify
+    "q_mm_phash_pairs" ->
+      """WITH f AS (SELECT doc_id, i,
+             ('0x' || substr(md5(text || '|' || CAST(i AS VARCHAR)), 1, 12))
+               ::BIGINT AS fv
+           FROM documents, LATERAL (SELECT unnest(range(0, 16)) AS i)),
+         p AS (SELECT doc_id,
+             CAST(sum(CASE WHEN fv >= thr THEN 1::BIGINT << i ELSE 0 END)
+               AS BIGINT) AS phash
+           FROM (SELECT doc_id, i, fv,
+               CAST(sum(fv) OVER (PARTITION BY doc_id) AS BIGINT) >> 4 AS thr
+             FROM f)
+           GROUP BY doc_id),
+         c AS (SELECT doc_id AS asset_id, phash, u.chunk,
+             CASE u.chunk WHEN 0 THEN phash & 63
+                          WHEN 1 THEN (phash >> 6) & 31
+                          ELSE (phash >> 11) & 31 END AS chunkval
+           FROM p, LATERAL (SELECT unnest(range(0, 3)) AS chunk) u),
+         b AS (SELECT * FROM (SELECT *,
+               count(*) OVER (PARTITION BY chunk, chunkval) AS bs FROM c)
+           WHERE bs <= 1000)
+         SELECT DISTINCT a.asset_id AS asset_id_a, bb.asset_id AS asset_id_b,
+                CAST(bit_count(xor(a.phash, bb.phash)) AS INT) AS hamming
+         FROM b a JOIN b bb ON a.chunk = bb.chunk
+           AND a.chunkval = bb.chunkval AND a.asset_id < bb.asset_id
+         WHERE bit_count(xor(a.phash, bb.phash)) <= 2""",
+
+    // two-modality survivorship: min-id per exact pHash group (asset
+    // pass) x min-id per normalized-text-md5 group (text pass)
+    "q_mm_asset_dedup" ->
+      """WITH f AS (SELECT doc_id, i,
+             ('0x' || substr(md5(text || '|' || CAST(i AS VARCHAR)), 1, 12))
+               ::BIGINT AS fv
+           FROM documents, LATERAL (SELECT unnest(range(0, 16)) AS i)),
+         p AS (SELECT doc_id,
+             CAST(sum(CASE WHEN fv >= thr THEN 1::BIGINT << i ELSE 0 END)
+               AS BIGINT) AS phash
+           FROM (SELECT doc_id, i, fv,
+               CAST(sum(fv) OVER (PARTITION BY doc_id) AS BIGINT) >> 4 AS thr
+             FROM f)
+           GROUP BY doc_id),
+         pk AS (SELECT min(doc_id) AS asset_id FROM p GROUP BY phash),
+         tk AS (SELECT min(doc_id) AS asset_id FROM (
+             SELECT doc_id, md5(regexp_replace(lower(trim(text)),
+               '\s+', ' ', 'g')) AS nh
+             FROM documents)
+           GROUP BY nh)
+         SELECT CAST(d.doc_id AS BIGINT) AS asset_id,
+                CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                CASE WHEN pk.asset_id IS NULL THEN 0 ELSE 1 END AS asset_kept,
+                CASE WHEN tk.asset_id IS NULL THEN 0 ELSE 1 END AS text_kept,
+                (CASE WHEN pk.asset_id IS NULL THEN 0 ELSE 1 END)
+                  * (CASE WHEN tk.asset_id IS NULL THEN 0 ELSE 1 END)
+                  AS kept_both
+         FROM documents d
+         LEFT JOIN pk ON pk.asset_id = d.doc_id
+         LEFT JOIN tk ON tk.asset_id = d.doc_id""",
 
     // gap-based sessionization recomputed via lag + running break count;
     // a session breaks only at gap > 900s - Spark session windows merge

@@ -108,4 +108,117 @@ object Multimodal {
   def metadataOnly(df: DataFrame): DataFrame =
     df.select(col("asset_id"), col("media_type"),
       col("meta.width"), col("meta.height"), col("meta.duration_ms"))
+
+  // ------------------------------------------------ perceptual near-dup
+
+  /** Portable integer PERCEPTUAL HASH over the (stubbed) decode
+    * features - the asset-level near-dup signature a multimodal corpus
+    * dedups on (pHash family: bit = sign of a feature's deviation from
+    * the asset's own mean, the structure a DCT pHash uses over pixel
+    * blocks). Feature i (0..15) is the 48-bit integer from the first
+    * 12 md5 hex chars of (payload, i) - the md5-portable twin of
+    * [[fakeDecodeFeatures]]'s xxhash64 stub, so the DuckDB oracle
+    * reproduces it bit-for-bit; a real decoder swaps the feature
+    * expressions, not the hash/blocking machinery. Bit i is 1 iff
+    * feature_i >= floor(mean of the 16 features) (threshold via
+    * shift: 16 features, >> 4 - all-integer, no rounding ambiguity).
+    * Identical payloads hash identically; the hash is 16 bits wide.
+    *
+    * Scale note: 16 bits matches the 16-feature stub and keeps the
+    * oracle replayable; a real decoder emits 64+ features and the SAME
+    * construction yields a 64-bit hash, which at corpus scale is what
+    * keeps chance Hamming<=t collisions (and so candidate-pair volume)
+    * negligible - width is a decoder property, not a topology one. */
+  def withPHash(df: DataFrame, payloadCol: String = "bytes",
+                outCol: String = "phash"): DataFrame = {
+    val dim = 16
+    val fs = (0 until dim).map { i =>
+      conv(substring(md5(concat(col(payloadCol).cast("string"),
+        lit("|" + i))), 1, 12), 16, 10).cast("long").as(s"__f$i")
+    }
+    val staged = df.select(col("*") +: fs: _*)
+    val total = (0 until dim).map(i => col(s"__f$i")).reduce(_ + _)
+    val thr = shiftright(total, 4)
+    val hash = (0 until dim)
+      .map(i => when(col(s"__f$i") >= thr, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    staged.withColumn(outCol, hash)
+      .drop((0 until dim).map("__f" + _): _*)
+  }
+
+  /** Asset near-dup pairs at Hamming <= maxHamming over [[withPHash]] -
+    * the image-dedup step of a multimodal corpus, with the exact
+    * pigeonhole chunk-blocking topology of
+    * [[Dedup.simhashPairs]]: the 16-bit hash splits into
+    * maxHamming + 1 chunks (evenly as possible), a qualifying pair
+    * shares at least one exact chunk, candidates come ONLY from the
+    * per-(chunk, value) equi-join (never a cross join), buckets above
+    * `maxBucketSize` are dropped as signal-free, and candidates verify
+    * by integer xor popcount. Output: (asset_id_a < asset_id_b,
+    * hamming). */
+  def phashNearDupPairs(assets: DataFrame, maxHamming: Int = 2,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 4,
+      s"maxHamming=$maxHamming outside [1, 4] for a 16-bit hash " +
+        "(chunks = maxHamming + 1, each >= 3 bits)")
+    import org.apache.spark.sql.expressions.Window
+    val chunks = maxHamming + 1
+    val widths = Array.fill(chunks)(16 / chunks)
+    (0 until 16 % chunks).foreach(widths(_) += 1)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val withHash = withPHash(assets).select(col("asset_id"), col("phash"))
+    val chunkCols = (0 until chunks).map { c =>
+      shiftright(col("phash"), offsets(c))
+        .bitwiseAND((1L << widths(c)) - 1)
+    }
+    val chunked = withHash.select(col("asset_id"), col("phash"),
+        posexplode(array(chunkCols: _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
+    val wB = Window.partitionBy(col("chunk"), col("chunkVal"))
+    val bounded = chunked.withColumn("bSize", count(lit(1)).over(wB))
+      .filter(col("bSize") <= maxBucketSize).drop("bSize")
+    val l = bounded.select(col("chunk"), col("chunkVal"),
+      col("asset_id").as("asset_id_a"), col("phash").as("ph_a"))
+    val r = bounded.select(col("chunk"), col("chunkVal"),
+      col("asset_id").as("asset_id_b"), col("phash").as("ph_b"))
+    l.join(r, Seq("chunk", "chunkVal"))
+      .filter(col("asset_id_a") < col("asset_id_b"))
+      .dropDuplicates("asset_id_a", "asset_id_b")
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("asset_id_a"), col("asset_id_b"), col("hamming"))
+  }
+
+  /** Two-modality dedup funnel: which assets survive BOTH the
+    * asset-level pass (min asset_id per exact pHash group - the
+    * Hamming-0 core of [[phashNearDupPairs]]' components) AND the
+    * text-level pass (min doc id per [[Dedup.normMd5]] group of the
+    * paired document text). The two passes group DIFFERENTLY - pHash
+    * keys raw payload bytes, normMd5 keys lowercased
+    * whitespace-collapsed text - so each catches duplicates the other
+    * misses; the funnel verdict labels every asset with which pass(es)
+    * dropped it. Plan: two hash-keyed min aggregations + equi-joins on
+    * the asset id - no pairs, no text shuffle beyond the hash
+    * projections. */
+  def assetDedupVsText(assets: DataFrame, docs: DataFrame,
+                       docIdCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val ph = withPHash(assets).select(col("asset_id"), col("phash"))
+    val phKeep = ph.groupBy(col("phash"))
+      .agg(min(col("asset_id")).as("asset_id"))
+      .select(col("asset_id"), lit(1).as("asset_kept"))
+    val txtKeep = docs
+      .select(col(docIdCol).as("asset_id"),
+        Dedup.normMd5(col(textCol)).as("nh"))
+      .groupBy(col("nh")).agg(min(col("asset_id")).as("asset_id"))
+      .select(col("asset_id"), lit(1).as("text_kept"))
+    assets.select(col("asset_id"), col("media_type"))
+      .join(phKeep, Seq("asset_id"), "left")
+      .join(txtKeep, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("media_type"),
+        coalesce(col("asset_kept"), lit(0)).as("asset_kept"),
+        coalesce(col("text_kept"), lit(0)).as("text_kept"),
+        (coalesce(col("asset_kept"), lit(0)) * coalesce(col("text_kept"),
+          lit(0))).as("kept_both"))
+  }
 }

@@ -780,6 +780,43 @@ class LlmSpec extends SparkSpec {
     assert(f1.toSeq == f2.toSeq && f1.forall(_.size == 8))
   }
 
+  test("phash near-dup: identical payloads pair at hamming 0, the " +
+    "funnel agrees with both passes, blocking is pair-complete") {
+    val d = Seq(
+      (1L, "shared payload"),
+      (2L, "shared payload"),     // byte-identical to 1 -> hamming 0
+      (3L, "Shared   PAYLOAD"),   // normalizes like 1/2, bytes differ
+      (4L, "something else"),
+      (5L, "shared payload")      // third byte-identical copy
+    ).toDF("doc_id", "text")
+    val assets = Multimodal.syntheticAssets(d, "doc_id", "text")
+    val pairs = Multimodal.phashNearDupPairs(assets, maxHamming = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // the identical triple must pair completely at hamming 0
+    assert(Set((1L, 2L, 0), (1L, 5L, 0), (2L, 5L, 0)).subsetOf(pairs))
+    assert(pairs.forall(_._3 <= 2))
+    // exhaustive check: blocking found EVERY hamming<=2 pair
+    val hashes = Multimodal.withPHash(assets)
+      .select($"asset_id", $"phash").as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 2
+    } yield (a, b, h)).toSet
+    assert(pairs == brute)
+
+    val funnel = Multimodal.assetDedupVsText(assets, d)
+      .select("asset_id", "asset_kept", "text_kept", "kept_both")
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    // asset pass keys raw bytes: 1 survives for {1,2,5}; 3 and 4 are
+    // their own byte groups. text pass keys normalized text: 1
+    // survives for {1,2,3,5} (3 normalizes into the group), 4 survives.
+    assert(funnel(1L) == ((1L, 1, 1, 1)))
+    assert(funnel(2L) == ((2L, 0, 0, 0)))
+    assert(funnel(3L) == ((3L, 1, 0, 0))) // caught ONLY by the text pass
+    assert(funnel(4L) == ((4L, 1, 1, 1)))
+    assert(funnel(5L) == ((5L, 0, 0, 0)))
+  }
+
   test("boilerplate chunks shared by >=2 docs are removed in order") {
     val d = Seq(
       (1L, "nav bar alpha beta"),  // chunk "nav bar" shared -> dropped
