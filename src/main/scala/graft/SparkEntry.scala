@@ -43,7 +43,17 @@ object SparkEntry {
       val st = Fixtures.state(s, dir)
       val rel = Fixtures.relations(s, dir)
       val runTs = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")
-      OrthologPipeline.runSpecies(rel, st, graft.model.Species.RAT, runTs)
+      // production phase persistence: every phase boundary writes a
+      // bucketed parquet state table and the plan restarts from the
+      // store read - so the benched/oracled flagship pays the real
+      // state write+read cost, not a localCheckpoint stand-in
+      val prefix = "graft_fs_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_flagship_state").toString
+      // 16 buckets at bench/test scale (~60k-row state tables); the
+      // bucket count is a per-table scale knob, not a topology property
+      OrthologPipeline.runSpecies(rel, st, graft.model.Species.RAT, runTs,
+        phases = OrthologPipeline.BucketedPhases(prefix, base, buckets = 16))
     }
 
   /** The flagship --agrOrthologs run, memoized the same way. */

@@ -27,19 +27,47 @@ object OrthologPipeline {
                     resolutionAudit: DataFrame, strongPicks: DataFrame,
                     mergeAudit: Map[String, DataFrame])
 
-  /** Truncate lineage at a phase boundary. The pipeline is a chain of
+  /** How a phase boundary materializes. The pipeline is a chain of
     * phases that each read the previous phase's full output (and the
     * state snapshot several times over); composing them as one lazy plan
-    * makes Catalyst's tree traversals blow up combinatorially. In
-    * production each phase output is a state table persisted to Parquet
-    * between phases anyway; localCheckpoint is the in-process equivalent
-    * (materialize once, plan restarts from the materialized RDD). */
-  private def phase(df: DataFrame): DataFrame = df.localCheckpoint()
+    * makes Catalyst's tree traversals blow up combinatorially, so every
+    * phase output is materialized and the plan restarts from it.
+    *
+    * [[BucketedPhases]] is the PRODUCTION path: each phase output is
+    * written as a bucketed parquet state table (via
+    * [[graft.sources.StateStore]]) and re-read - a run must survive
+    * process loss between phases, and the next phase's equi-joins want
+    * the bucket co-location. The benched/oracled flagship runs this
+    * path, so the bench pays the real write+read cost.
+    * [[InProcessPhases]] (localCheckpoint) is the in-process stand-in
+    * for callers without a writable warehouse (unit fixtures, CLI dry
+    * runs). */
+  sealed trait PhaseStore {
+    def apply(name: String, keys: Seq[String], df: DataFrame): DataFrame
+  }
+  case object InProcessPhases extends PhaseStore {
+    def apply(name: String, keys: Seq[String], df: DataFrame): DataFrame =
+      df.localCheckpoint()
+  }
+  /** Bucketed-parquet phase persistence. `prefix` namespaces the catalog
+    * tables (one flagship run per prefix); files land under `baseDir`.
+    * Bucket count is the TEST/bench-scale value - production sizes
+    * buckets for the target table (see StateStore scaladoc). */
+  final case class BucketedPhases(prefix: String, baseDir: String,
+                                  buckets: Int = 64) extends PhaseStore {
+    def apply(name: String, keys: Seq[String], df: DataFrame): DataFrame = {
+      val table = s"${prefix}_$name"
+      graft.sources.StateStore.writeBucketed(df, table, keys, buckets,
+        path = Some(s"$baseDir/$name"))
+      graft.sources.StateStore.read(df.sparkSession, table)
+    }
+  }
 
   /** Run the per-species load for `speciesTypeKey` over already-parsed
     * relations (output shape of Readers.readHcopPlusNcbi / readNcbi). */
   def runSpecies(relations: DataFrame, state: State, speciesTypeKey: Int,
-                 runTs: java.sql.Timestamp, pipelineUserId: Int = 70): Result = {
+                 runTs: java.sql.Timestamp, pipelineUserId: Int = 70,
+                 phases: PhaseStore = InProcessPhases): Result = {
 
     // J1/J2 bulk resolution + audit streams (matched/unmatched/...)
     val (resolved, audit) = Resolve.resolveRelations(
@@ -50,11 +78,13 @@ object OrthologPipeline {
 
     // A1/A3 merge + U2 complement
     val merged = Grouping.mergeRelations(mapped)
-    val withComplements = phase(Grouping.withComplementaryRelations(merged))
+    val withComplements = phases("relations", Seq("srcRgdId"),
+      Grouping.withComplementaryRelations(merged))
 
     // W4 cascade + W2 best-fit against the prior-state snapshot
-    val picks = phase(Cascade.run(withComplements, state.orthologs,
-      state.agrOrthologs, state.genes))
+    val picks = phases("picks", Seq("srcRgdId"),
+      Cascade.run(withComplements, state.orthologs,
+        state.agrOrthologs, state.genes))
 
     // M1/M2: reconcile picks with ortholog state; groupId rides along
     // onto inserted state rows (reference-bean parity)
@@ -64,12 +94,14 @@ object OrthologPipeline {
       col("xrefDataSrc"), col("xrefDataSet"), col("groupId"))
     val m0 = Merge.reconcile(incoming, state.orthologs, state.genes,
       runTs, speciesTypeKey, pipelineUserId)
-    val m = m0.copy(newState = phase(m0.newState), downgraded = phase(m0.downgraded))
+    val m = m0.copy(
+      newState = phases("merged_state", Seq("key"), m0.newState),
+      downgraded = phases("downgraded", Seq("srcRgdId"), m0.downgraded))
 
     // W1: final duplicate cleanup
     val (dedupedState0, w1Deleted) = Merge.deleteDuplicateNonManualOrthologs(
       m.newState, pipelineUserId)
-    val dedupedState = phase(dedupedState0)
+    val dedupedState = phases("orthologs", Seq("key"), dedupedState0)
 
     // M4/A7: weak-ortholog sync against the POST-merge ortholog state
     val weakIncoming = WeakSync.dropStrongOrthologs(
