@@ -92,40 +92,9 @@ object SkewProbe {
     // could differ from the timed one (the 500k aqe-ex anomaly in
     // PLANS.md). A skew-split PartialReducerPartitionSpec carries its
     // own dataSize, so the post-split per-task bound is exact.
-    def maxShuffleTaskBytes(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive._
-      import org.apache.spark.sql.execution.{CoalescedPartitionSpec,
-        PartialReducerPartitionSpec}
-      // query stages are LEAF nodes (collect stops at them), so descend
-      // into QueryStageExec.plan explicitly - the final adaptive tree is
-      // a ResultQueryStage wrapping the whole executed plan
-      def allNodes(p: SparkPlan): Seq[SparkPlan] =
-        p +: (p.children.flatMap(allNodes) ++ (p match {
-          case q: QueryStageExec => allNodes(q.plan)
-          case _ => Nil
-        }))
-      def stageBytes(st: ShuffleQueryStageExec): Seq[Long] =
-        st.mapStats.map(_.bytesByPartitionId.toSeq).getOrElse(Nil)
-      val perTask = allNodes(plan).flatMap {
-        case r: AQEShuffleReadExec =>
-          val perPart = r.child match {
-            case st: ShuffleQueryStageExec => stageBytes(st)
-            case _ => Nil
-          }
-          r.partitionSpecs.map {
-            case PartialReducerPartitionSpec(_, _, _, dataSize) => dataSize
-            case CoalescedPartitionSpec(s0, s1, dataSize) =>
-              dataSize.getOrElse(
-                if (perPart.isEmpty) 0L else (s0 until s1).map(perPart).sum)
-            case _ => 0L
-          }
-        // a stage read WITHOUT an AQE read node: one task per partition
-        case st: ShuffleQueryStageExec => stageBytes(st)
-        case _ => Nil
-      }
-      perTask.foldLeft(0L)(math.max)
-    }
+    // per-task shuffle-read byte bound: shared helper (PlanMetrics)
+    def maxShuffleTaskBytes(plan: org.apache.spark.sql.execution.SparkPlan): Long =
+      PlanMetrics.maxShuffleTaskBytes(plan)
 
     def run(label: String, skewJoin: Boolean)(mk: => DataFrame): Unit = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin)

@@ -65,6 +65,30 @@ class AgrSpec extends SparkSpec {
     assert(fb2 == 1001)
   }
 
+  test("M5 symbol branch: a degenerate hot symbol causes NO fanout " +
+    "(pre-aggregation collapses the gene group before the join)") {
+    // one symbol carries 50% of the gene dimension; 50% of curies name
+    // it - the worst-case shape behind the exp-1.54 watch item. The
+    // per-(symbol, species) min pre-aggregation must keep the resolve
+    // output at EXACTLY one row per curie regardless.
+    val nGenes = 2000
+    val g = genes((1 to nGenes).map(i =>
+      (i, if (i % 2 == 0) "HOTSYM" else s"SYM$i", 1)): _*)
+    val ri = rgdIds((1 to nGenes).map(i => (i, "ACTIVE")): _*)
+    val x = xrefs() // empty: everything falls through to the symbol step
+    val curies = (1 to 500).map(i =>
+      (s"AGR:$i", if (i % 2 == 0) "HOTSYM" else s"SYM${i % nGenes}", 1))
+      .toDF("curie", "geneSymbol", "speciesTypeKey")
+
+    val r = Agr.resolveCuries(curies, x, g, ri).persist()
+    try {
+      assert(r.count() == 500) // == distinct curies: no fanout
+      val hot = r.filter($"geneSymbol" === "HOTSYM")
+        .select("rgdId").distinct().as[Int].collect().toSeq
+      assert(hot == Seq(2)) // one pick: min rgd id of the hot group
+    } finally r.unpersist()
+  }
+
   test("S9 upsert-merge: insert new keys, update existing, keep stale rows") {
     val state = Seq(
       (1, 2, "stringent", "Y", "Y", "OMA", old, old),
