@@ -993,7 +993,10 @@ object SparkEntry {
            SELECT b.symbolRgdId AS g1, gg.rgdId AS g2,
                   CASE WHEN l.h % 4 = 0 THEN 'Y' ELSE 'N' END AS isBestScore,
                   'Y' AS isBestRevScore,
-                  'OMA|PANTHER' AS methodsMatched
+                  CASE CAST(l.h % 3 AS INT)
+                    WHEN 0 THEN 'OMA|PANTHER'
+                    WHEN 1 THEN 'Ensembl Compara|InParanoid|OMA'
+                    ELSE 'PANTHER|PhylomeDB' END AS methodsMatched
            FROM lines l
            JOIN bysym b ON b.sym = l.sym AND b.sp = 1
            JOIN g gg ON gg.rgdId = l.h + 1),

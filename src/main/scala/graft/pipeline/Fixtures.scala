@@ -125,7 +125,16 @@ object Fixtures {
       concat(lit("RGD:"), col("rgdId") + 1).as("curie2"),
       lit("ratsym").as("geneSymbol2"),
       lit(Species.RAT).as("speciesTypeKey2"),
-      lit("OMA|PANTHER").as("algorithms"),
+      // VARIED per line (one value matching the prior-state constant):
+      // a constant algorithms column made both sides' methodsMatched
+      // literals, Catalyst folded the upsert's key equality to FALSE,
+      // and the full-outer degenerated to a condition-false
+      // BroadcastNestedLoopJoin - O(|incoming| x |state|), 250s at 10x
+      // vs ~1s as an equi-join (found by the round-9 10x scaling gate;
+      // parquet-scanned production columns can never fold this way)
+      element_at(array(lit("OMA|PANTHER"),
+          lit("Ensembl Compara|InParanoid|OMA"), lit("PANTHER|PhylomeDB")),
+        (pmod(col("rgdId"), lit(3)) + 1).cast("int")).as("algorithms"),
       lit("2").as("algorithmsMatch"),
       lit("9").as("outOfAlgorithms"),
       (col("rgdId") % 4 === 0).as("isBestScore"),

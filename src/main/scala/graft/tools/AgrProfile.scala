@@ -116,6 +116,20 @@ object AgrProfile {
         d.write.format("noop").mode("overwrite").save()
         d
       }
+      // the REAL entry point, unstaged - what q_agr_counts times; a gap
+      // between this and the staged total above is a run()-shape issue,
+      // not an operator issue
+      printTimer("AgrPipeline.run e2e") {
+        val st = Fixtures.state(spark, dir)
+        val r = graft.pipeline.AgrPipeline.run(
+          Fixtures.allianceLines(spark, dir), st.agrOrthologs, st.xrefs,
+          st.genes, st.rgdIds, runTs, cutoff)
+        val d = r.agrOrthologs
+          .groupBy(col("isBestScore"), col("isBestRevScore"), col("methodsMatched"))
+          .agg(count(lit(1)).as("n"))
+        d.write.format("noop").mode("overwrite").save()
+        d
+      }
     }
     spark.stop()
   }

@@ -244,6 +244,42 @@ class PlanPropertiesSpec extends SparkSpec {
       s"family, found $nBnlj - update the probe list")
   }
 
+  test("AGR upsert plans as an equi-join on the flagship fixture - " +
+    "never a nested-loop (the constant-key fold pathology)") {
+    // Round-9 10x gate finding: when BOTH sides' methodsMatched were
+    // constant literals, Catalyst folded the key equality to FALSE and
+    // the full-outer degenerated to a condition-false
+    // BroadcastNestedLoopJoin - O(|incoming| x |state|), 250s at 10x.
+    // This pins the REGISTRY fixture path: the upsert over
+    // Fixtures-derived frames must stay an equi-join.
+    val dir = "/root/testdata/sf0.001"
+    val st = graft.pipeline.Fixtures.state(spark, dir)
+    val lines = graft.pipeline.Fixtures.allianceLines(spark, dir)
+    val runTs = java.sql.Timestamp.valueOf("2026-08-01 12:00:00")
+    val resolved = graft.operators.Agr.resolveCuries(
+      lines.select($"curie1".as("curie"), $"geneSymbol1".as("geneSymbol"),
+          $"speciesTypeKey1".as("speciesTypeKey"))
+        .unionByName(lines.select($"curie2".as("curie"),
+          $"geneSymbol2".as("geneSymbol"),
+          $"speciesTypeKey2".as("speciesTypeKey")))
+        .distinct(),
+      st.xrefs, st.genes, st.rgdIds)
+    val r1 = resolved.select($"curie".as("curie1"), $"rgdId".as("rgdId1"))
+    val r2 = resolved.select($"curie".as("curie2"), $"rgdId".as("rgdId2"))
+    val incoming = lines.join(r1, Seq("curie1")).join(r2, Seq("curie2"))
+      .filter($"rgdId1".isNotNull && $"rgdId2".isNotNull)
+      .select($"rgdId1".as("geneRgdId1"), $"rgdId2".as("geneRgdId2"),
+        lit("stringent").as("confidence"),
+        when($"isBestScore", "Y").otherwise("N").as("isBestScore"),
+        when($"isBestRevScore", "Y").otherwise("N").as("isBestRevScore"),
+        $"algorithms".as("methodsMatched"))
+    val plan = graft.operators.Agr
+      .upsertAgrOrthologs(incoming, st.agrOrthologs, runTs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("containment pair stage ships sketches only - no shingle arrays " +
     "past the sketch build, candidates via equi-join") {
     val d = (1L to 60L).map(i =>
