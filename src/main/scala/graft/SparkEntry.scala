@@ -1930,6 +1930,17 @@ object SparkEntry {
           array_join(transform(col("token_ids"), i => i.cast("string")), ",")
             .as("token_csv"))),
 
+    // byte-level encode -> DISTRIBUTED decode round trip over the WHOLE
+    // corpus: the oracle is simply the raw documents table, so any
+    // byte lost or reordered anywhere in the tokenizer chain fails the
+    // hash compare (total-coverage pre-tokenization + byte fallback
+    // make decode(encode(text)) == text an exact identity)
+    "q_t_byte_roundtrip" -> ((s, dir) => {
+      val enc = graft.llm.ByteBpe.encode(t(s, dir, "documents"), byteBpeMerges)
+      graft.llm.ByteBpe.decode(enc, byteBpeMerges)
+        .select(col("doc_id"), col("text_decoded").as("text"))
+    }),
+
     // the tokenizer chain END-TO-END: train (memoized) -> encode ->
     // concat-and-chunk pack on the REAL BPE token counts - the
     // pretraining sequence layout a data pipeline actually ships
@@ -3748,6 +3759,7 @@ object SparkEntry {
     "q_t_bpe_encode" -> bpeEncodeSql(6),
     "q_t_bpe_encode_big" -> bpeEncodeLiteralSql(bigBpeMerges),
     "q_t_byte_bpe" -> byteBpeEncodeSql(byteBpeMerges),
+    "q_t_byte_roundtrip" -> "SELECT doc_id, text FROM documents",
 
     // tokenizer chain end-to-end: the encode chain's n_tokens feeding
     // the q_pack_chunks per-source running-offset chunk layout

@@ -108,6 +108,36 @@ object ByteBpe {
       .select(col(idCol), col("n_tokens"), col("token_ids"))
   }
 
+  /** DISTRIBUTED decode: (idCol, token_ids) back to the exact original
+    * text - the inverse of [[encode]] by construction (pre-token
+    * matches cover every character, the byte alphabet covers every
+    * byte). Token ids look up their strings in the broadcast
+    * vocabulary, reassemble per document in order, and the native
+    * [[graft.functions.ByteBpeDecode]] expression maps representative
+    * chars back to UTF-8 bytes in one codegen'd call per row. Empty
+    * id arrays decode to "". Same two-shuffle reassembly shape as
+    * encode; nothing driver-side. */
+  def decode(encoded: DataFrame, merges: Seq[(String, String)],
+             idCol: String = "doc_id", idsCol: String = "token_ids",
+             outCol: String = "text_decoded"): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val vocab = vocabEntries(merges).map(_.swap).toDF("id", "tok")
+    val parts = encoded
+      .select(col(idCol), posexplode(col(idsCol)).as(Seq("p", "id")))
+      .join(broadcast(vocab), Seq("id")) // inner yet total: ids come from the vocab
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("p"), col("tok")))).as("__ps"))
+      .select(col(idCol),
+        GraftSqlBridge.column(graft.functions.ByteBpeDecode(
+          GraftSqlBridge.expression(
+            array_join(transform(col("__ps"), x => x("tok")), ""))))
+          .as(outCol))
+    encoded.select(col(idCol))
+      .join(parts, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit("")))
+  }
+
   /** Driver-side decode (tests / spot checks): token ids back to the
     * exact original string - id -> token string -> representative
     * chars -> bytes -> UTF-8. Inverse of [[encode]] by construction

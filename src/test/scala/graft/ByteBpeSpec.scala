@@ -83,6 +83,21 @@ class ByteBpeSpec extends SparkSpec {
     }
   }
 
+  test("distributed decode inverts encode exactly (incl. multi-byte)") {
+    val texts = Seq(
+      "the theme of the day",
+      "Hello, world!  double  spaces\nand a newline",
+      "café 🙂 naïve 42.5%",
+      "")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val G = "Ġ"
+    val merges = Seq(("h", "e"), ("t", "he"), (G, "the"), ("l", "l"))
+    val rt = ByteBpe.decode(ByteBpe.encode(docs, merges), merges)
+      .orderBy("doc_id").select("text_decoded").as[String].collect().toSeq
+    assert(rt == texts)
+  }
+
   test("ids are a function of the table alone: unseen corpus, stable ids") {
     val merges = Seq(("a", "b"))
     // two disjoint corpora; shared tokens get identical ids
