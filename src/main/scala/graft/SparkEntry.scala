@@ -269,6 +269,43 @@ object SparkEntry {
          $union"""
   }
 
+  /** Byte-level BPE TRAIN oracle: the [[bpeTrainSql]] merge chain with
+    * byte-level seeding - GPT-2-class pre-tokens of the RAW text (same
+    * lookaround-free pattern as the engine), the corpus byte remap
+    * (space -> chr(288); every other occurring byte is printable
+    * ASCII), then identical per-round argmax + replace stages. */
+  private def byteBpeTrainSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS (
+           SELECT wc, syms[i] AS l, syms[i + 1] AS r FROM (
+             SELECT wc,
+               string_split(trim(seg, chr(1)), chr(1) || chr(1)) AS syms,
+               unnest(range(1, len(string_split(trim(seg, chr(1)),
+                 chr(1) || chr(1))))) AS i
+             FROM seg${r - 1})),
+         m$r AS (SELECT l, r, CAST(sum(wc) AS BIGINT) AS n FROM p$r
+           GROUP BY l, r ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+         seg$r AS (SELECT s.wc,
+             replace(s.seg, chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+               chr(1) || m.l || m.r || chr(1)) AS seg
+           FROM seg${r - 1} s CROSS JOIN m$r m)"""
+    }.mkString(",\n         ")
+    val union = (1 to rounds).map { r =>
+      s"""SELECT $r AS "round", l AS "left", r AS "right", n FROM m$r"""
+    }.mkString("\n           UNION ALL ")
+    s"""WITH t AS (SELECT unnest(
+             regexp_extract_all(text, '${graft.llm.ByteBpe.preTokenPattern}'))
+             AS w
+           FROM documents),
+         w AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM t GROUP BY w),
+         seg0 AS (SELECT wc,
+             regexp_replace(replace(w, ' ', chr(288)), '(.)',
+               chr(1) || '\\1' || chr(1), 'g') AS seg
+           FROM w),
+         $stages
+         $union"""
+  }
+
   /** BPE-ENCODE oracle CTE chain (through per-doc `agg`): replays
     * [[bpeTrainSql]]'s merge chain but carries the word through every
     * seg stage (LEFT JOIN ON TRUE so a dry round keeps the segmentation
@@ -1929,6 +1966,12 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           array_join(transform(col("token_ids"), i => i.cast("string")), ",")
             .as("token_csv"))),
+
+    // byte-level BPE TRAINING over the byte-representative symbol
+    // space: GPT-2-class pre-tokens, byte seeding, the shared
+    // frequency-argmax loop - the corpus trains AND applies byte-level
+    "q_t_byte_bpe_train" -> ((s, dir) =>
+      graft.llm.ByteBpe.train(t(s, dir, "documents"), rounds = 6)),
 
     // byte-level encode -> DISTRIBUTED decode round trip over the WHOLE
     // corpus: the oracle is simply the raw documents table, so any
@@ -3760,6 +3803,7 @@ object SparkEntry {
     "q_t_bpe_encode_big" -> bpeEncodeLiteralSql(bigBpeMerges),
     "q_t_byte_bpe" -> byteBpeEncodeSql(byteBpeMerges),
     "q_t_byte_roundtrip" -> "SELECT doc_id, text FROM documents",
+    "q_t_byte_bpe_train" -> byteBpeTrainSql(6),
 
     // tokenizer chain end-to-end: the encode chain's n_tokens feeding
     // the q_pack_chunks per-source running-offset chunk layout

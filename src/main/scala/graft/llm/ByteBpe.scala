@@ -71,6 +71,29 @@ object ByteBpe {
     m.toSeq
   }
 
+  /** Byte-level BPE TRAINING: learn `rounds` merges over the
+    * byte-representative symbol space - GPT-2-class pre-tokenization
+    * (raw text, no lowercasing), UTF-8-byte seed symbols, then the
+    * SAME frequency-weighted argmax loop as the word-level
+    * [[TextAnalysis.bpeTrain]] (shared via bpeTrainLoopOverSeg), so a
+    * corpus can now train AND apply a byte-level tokenizer end-to-end.
+    * No dropped-pre-token precondition: the representative alphabet
+    * never contains the U+0001 frame separator. Output: (round, left,
+    * right, n) over representative-char symbols - directly usable as
+    * [[encode]]'s merge table. */
+  def train(df: DataFrame, rounds: Int, textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds $rounds outside [1, 64]")
+    val sep = "\u0001"
+    val words = df.select(explode(preTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val syms = GraftSqlBridge.column(BpeSegment(
+      GraftSqlBridge.expression(col("w")), Nil, byteLevel = true))
+    TextAnalysis.bpeTrainLoopOverSeg(words
+      .select(col("wc"),
+        concat(lit(sep), array_join(syms, sep + sep), lit(sep)).as("seg")),
+      rounds)
+  }
+
   /** Encode every document under a byte-level merge table. Output:
     * (idCol, n_tokens int, token_ids array<int> in reading order);
     * null/empty text keeps its row with n_tokens = 0. Total - every

@@ -86,15 +86,27 @@ object TextAnalysis {
                textCol: String = "text"): DataFrame = {
     require(rounds >= 1 && rounds <= 64, s"rounds $rounds outside [1, 64]")
     val sep = "\u0001"
-    val spark = df.sparkSession
-    import spark.implicits._
     val words = df.select(explode(normalizedWords(col(textCol))).as("w"))
       .filter(!col("w").contains(sep))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-    var seg = words
+    bpeTrainLoopOverSeg(words
       .select(col("wc"),
-        regexp_replace(col("w"), "(.)", s"$sep$$1$sep").as("seg"))
-      .persist()
+        regexp_replace(col("w"), "(.)", s"$sep$$1$sep").as("seg")), rounds)
+  }
+
+  /** The shared merge-training loop over a SEEDED segmentation frame
+    * (`wc`, `seg` = chr(1)-wrapped symbol string): per round, one
+    * frequency-weighted adjacent-pair argmax job over the persisted
+    * vocab-sized frame, then one left-to-right replace pass - the body
+    * of [[bpeTrain]], also driven by [[graft.llm.ByteBpe.train]]'s
+    * byte-level seeding. Returns (round, left, right, n) in round
+    * order; stops early when no pair remains. */
+  private[llm] def bpeTrainLoopOverSeg(seg0: DataFrame,
+                                       rounds: Int): DataFrame = {
+    val sep = "\u0001"
+    val spark = seg0.sparkSession
+    import spark.implicits._
+    var seg = seg0.persist()
     // one job per round: the argmax action is the FIRST action over the
     // lazily-persisted current segmentation, so it both materializes the
     // cache and returns the merge - no separate count() job. The parent

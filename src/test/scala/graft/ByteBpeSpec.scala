@@ -83,6 +83,26 @@ class ByteBpeSpec extends SparkSpec {
     }
   }
 
+  test("byte-level training: hand-computed merges incl. space-byte symbol") {
+    // pre-tokens of "low low low lot": low(1), " low"(2), " lot"(1)
+    // r1: (l,o) 4; r2: (lo,w) 3 beats (Ġ,lo) 3 on left-symbol order
+    // ('l' < 'Ġ'); r3: (Ġ,low) 2
+    val docs = Seq((1L, "low low low lot")).toDF("doc_id", "text")
+    val merges = ByteBpe.train(docs, rounds = 3)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(merges == Seq((1, "l", "o", 4L), (2, "lo", "w", 3L),
+      (3, "Ġ", "low", 2L)))
+    // train -> encode -> decode closes the loop on the same corpus
+    val table = merges.map { case (_, l, r, _) => (l, r) }
+    val rt = ByteBpe.decode(ByteBpe.encode(docs, table), table)
+      .select("text_decoded").as[String].head()
+    assert(rt == "low low low lot")
+    // and the learned merges actually compress: "low" is one token
+    val ids = ByteBpe.encode(docs, table)
+      .select("n_tokens").as[Int].head()
+    assert(ids == 6) // low | Ġlow | Ġlow | Ġlo | t
+  }
+
   test("distributed decode inverts encode exactly (incl. multi-byte)") {
     val texts = Seq(
       "the theme of the day",
