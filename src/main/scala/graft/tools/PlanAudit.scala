@@ -78,7 +78,14 @@ object PlanAudit {
       "q_d_containment",  // bottom-k sketches + capped blocking join
       "q_t_winnow",       // native winnow select, no shuffle
       "q_d_winnow_pairs", // winnow postings + df-cut pair join
-      "q_d_source_overlap") // hash-distinct + stratum-bounded self-join
+      "q_d_source_overlap", // hash-distinct + stratum-bounded self-join
+      "q_t_byte_bpe",     // byte-level encode: distinct-pre-token frame
+      "q_t_byte_roundtrip", // encode -> decode identity chain
+      "q_t_max_spans",    // step-1 chain spans (lag window)
+      "q_t_max_span_trim",// maximal-span trim + reassembly
+      "q_mm_phash_pairs", // pHash chunk blocking pair join
+      "q_mm_asset_dedup", // two-modality survivorship joins
+      "q_agr_counts")     // post-fix: upsert must be an equi-join
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
