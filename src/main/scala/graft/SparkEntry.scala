@@ -1967,6 +1967,12 @@ object SparkEntry {
           array_join(transform(col("token_ids"), i => i.cast("string")), ",")
             .as("token_csv"))),
 
+    // fill-in-the-middle training transform: deterministic md5-draw
+    // apply/cuts/mode, middle moved behind sentinel tokens (PSM/SPM) -
+    // map-only, no shuffle
+    "q_t_fim" -> ((s, dir) =>
+      graft.llm.Fim.fimTransform(t(s, dir, "documents"), rate = 0.5)),
+
     // byte-level BPE TRAINING over the byte-representative symbol
     // space: GPT-2-class pre-tokens, byte seeding, the shared
     // frequency-argmax loop - the corpus trains AND applies byte-level
@@ -3804,6 +3810,43 @@ object SparkEntry {
     "q_t_byte_bpe" -> byteBpeEncodeSql(byteBpeMerges),
     "q_t_byte_roundtrip" -> "SELECT doc_id, text FROM documents",
     "q_t_byte_bpe_train" -> byteBpeTrainSql(6),
+
+    // FIM transform: md5 draws for apply/cuts/mode, list slices +
+    // sentinel-token reassembly per mode
+    "q_t_fim" ->
+      """WITH d AS (SELECT doc_id, text, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+           FROM documents),
+         h AS (SELECT doc_id, ws, CAST(len(ws) AS INT) AS n,
+             ('0x' || substr(md5(text || '|fim|apply'), 1, 12))::BIGINT
+               % 1000000 AS ha,
+             ('0x' || substr(md5(text || '|fim|c1'), 1, 12))::BIGINT AS h1,
+             ('0x' || substr(md5(text || '|fim|c2'), 1, 12))::BIGINT AS h2,
+             ('0x' || substr(md5(text || '|fim|mode'), 1, 12))::BIGINT
+               % 2 AS hm
+           FROM d),
+         c AS (SELECT doc_id, ws, n, hm,
+             (n >= 2 AND ha < 500000) AS applied,
+             CAST(least(h1 % greatest(n - 1, 1) + 1,
+                        h2 % greatest(n - 1, 1) + 1) AS INT) AS i,
+             CAST(greatest(h1 % greatest(n - 1, 1) + 1,
+                           h2 % greatest(n - 1, 1) + 1) AS INT) AS j
+           FROM h)
+         SELECT doc_id,
+           CASE WHEN NOT applied THEN 'none'
+                WHEN hm = 1 THEN 'spm' ELSE 'psm' END AS fim_mode,
+           CASE WHEN applied THEN i ELSE 0 END AS n_prefix,
+           CASE WHEN applied THEN j - i ELSE 0 END AS n_middle,
+           CASE WHEN applied THEN n - j ELSE 0 END AS n_suffix,
+           CASE WHEN NOT applied THEN array_to_string(ws, ' ')
+                WHEN hm = 1 THEN array_to_string(
+                  ['<fim_suf>'] || ws[j + 1 : n] || ['<fim_pre>']
+                    || ws[1 : i] || ['<fim_mid>'] || ws[i + 1 : j], ' ')
+                ELSE array_to_string(
+                  ['<fim_pre>'] || ws[1 : i] || ['<fim_suf>']
+                    || ws[j + 1 : n] || ['<fim_mid>'] || ws[i + 1 : j], ' ')
+           END AS fim_text
+         FROM c""",
 
     // tokenizer chain end-to-end: the encode chain's n_tokens feeding
     // the q_pack_chunks per-source running-offset chunk layout

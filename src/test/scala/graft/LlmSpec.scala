@@ -186,6 +186,48 @@ class LlmSpec extends SparkSpec {
     assert(trimmed(5L) == (("tiny doc", 0L)))
   }
 
+  test("FIM transform: lossless rearrangement, exact counts, rate " +
+    "bounds, map-only plan") {
+    import graft.llm.Fim
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to (i % 9 + 1).toInt).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Fim.fimTransform(docs, rate = 1.0).persist()
+    try {
+      val rows = r.as[(Long, String, Int, Int, Int, String)].collect()
+      val byId = rows.map(x => x._1 -> x).toMap
+      val orig = docs.as[(Long, String)].collect().toMap
+      rows.foreach { case (id, mode, np, nm, ns, text) =>
+        val ws = orig(id).split(" ").toSeq
+        if (ws.size < 2) {
+          assert(mode == "none" && text == orig(id))
+        } else {
+          assert(mode == "psm" || mode == "spm") // rate 1.0: all applied
+          assert(np + nm + ns == ws.size && np >= 1)
+          // strip sentinels, reassemble in document order: lossless
+          val parts = text.split(" ").toSeq
+          val pre = parts.slice(parts.indexOf(Fim.PreTok) + 1,
+            parts.indexOf(Fim.PreTok) + 1 + np)
+          val suf = parts.slice(parts.indexOf(Fim.SufTok) + 1,
+            parts.indexOf(Fim.SufTok) + 1 + ns)
+          val mid = parts.slice(parts.indexOf(Fim.MidTok) + 1,
+            parts.indexOf(Fim.MidTok) + 1 + nm)
+          assert((pre ++ mid ++ suf) == ws, s"doc $id")
+        }
+      }
+      // both modes occur over 60 docs at a fair coin
+      val modes = rows.filter(_._2 != "none").map(_._2).toSet
+      assert(modes == Set("psm", "spm"))
+      // rate 0: nothing applied, text passes through verbatim-normalized
+      val none = Fim.fimTransform(docs, rate = 0.0)
+        .select("fim_mode").distinct().as[String].collect().toSeq
+      assert(none == Seq("none"))
+      // map-only contract
+      val plan = Fim.fimTransform(docs).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    } finally r.unpersist()
+  }
+
   test("maximal repeated spans: step-1 chains, not touch-merged islands") {
     // same fixture as the island test: doc 1's two repeats sit at
     // positions 1 and 6 - ADJACENT intervals but NOT a step-1 chain
