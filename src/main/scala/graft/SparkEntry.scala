@@ -269,6 +269,75 @@ object SparkEntry {
          $union"""
   }
 
+  /** Literal WordPiece vocabulary for q_t_wordpiece (`##` =
+    * continuation): every corpus letter as start AND continuation
+    * EXCEPT `##y` - so "query" (the one y-continuation word) becomes
+    * the whole-word [UNK] - plus multi-char pieces that exercise
+    * longest-match-first over the single letters. */
+  private val wordpieceVocab: Seq[String] = {
+    val letters = "abcdefghijklmnopqrstuvwy".map(_.toString)
+    letters ++ letters.filterNot(_ == "y").map("##" + _) ++
+      Seq("key", "table", "the", "val", "fa", "sc", "st", "qu", "ta", "row",
+        "##ue", "##st", "##an", "##ble", "##ream")
+  }
+
+  /** WordPiece oracle: greedy longest-match segmentation replayed as a
+    * DuckDB RECURSIVE CTE - per step, the longest vocab piece matching
+    * at the cursor (continuation table for pos > 0) via a LATERAL
+    * top-1; no match at any position collapses the word to [UNK] -
+    * then the per-doc reassembly of [[bpeEncodeLiteralSql]]. */
+  private def wordpieceSql(vocab: Seq[String]): String = {
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val rows = vocab.map { tok =>
+      if (tok.startsWith("##"))
+        s"(${lit(tok.substring(2))}, ${lit(tok)}, true)"
+      else s"(${lit(tok)}, ${lit(tok)}, false)"
+    }.mkString(",\n             ")
+    s"""WITH RECURSIVE
+         d AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+         dw AS (SELECT doc_id, i, ws[i] AS w FROM d,
+             LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+         w AS (SELECT DISTINCT w FROM dw),
+         vocab AS (SELECT * FROM (VALUES
+             $rows) AS v0(raw, tok, cont)),
+         seg AS (
+           SELECT w, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces,
+                  false AS failed
+           FROM w
+           UNION ALL
+           SELECT s.w,
+             CASE WHEN b.raw IS NULL THEN length(s.w)
+                  ELSE s.pos + length(b.raw) END,
+             CASE WHEN b.raw IS NULL THEN ['[UNK]']
+                  ELSE s.pieces || [b.tok] END,
+             b.raw IS NULL
+           FROM seg s LEFT JOIN LATERAL (
+             SELECT raw, tok FROM vocab v
+             WHERE v.cont = (s.pos > 0)
+               AND substr(s.w, s.pos + 1, length(v.raw)) = v.raw
+             ORDER BY length(v.raw) DESC, v.raw LIMIT 1) b ON TRUE
+           WHERE s.pos < length(s.w) AND NOT s.failed),
+         term AS (SELECT w, pieces FROM seg
+           WHERE pos = length(w) OR failed),
+         enc AS (SELECT w, array_to_string(pieces, ',') AS csv,
+             CAST(len(pieces) AS INT) AS np,
+             CASE WHEN pieces = ['[UNK]'] THEN 1 ELSE 0 END AS unk
+           FROM term),
+         agg AS (SELECT dw.doc_id,
+             CAST(sum(e.np) AS INT) AS n_pieces,
+             CAST(sum(e.unk) AS INT) AS n_unk_words,
+             string_agg(e.csv, ',' ORDER BY dw.i) AS pieces_csv
+           FROM dw JOIN enc e ON e.w = dw.w
+           GROUP BY dw.doc_id)
+         SELECT d0.doc_id, coalesce(a.n_pieces, 0) AS n_pieces,
+                coalesce(a.n_unk_words, 0) AS n_unk_words,
+                coalesce(a.pieces_csv, '') AS pieces_csv
+         FROM (SELECT doc_id FROM documents) d0
+         LEFT JOIN agg a ON a.doc_id = d0.doc_id"""
+  }
+
   /** Byte-level BPE TRAIN oracle: the [[bpeTrainSql]] merge chain with
     * byte-level seeding - GPT-2-class pre-tokens of the RAW text (same
     * lookaround-free pattern as the engine), the corpus byte remap
@@ -1966,6 +2035,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           array_join(transform(col("token_ids"), i => i.cast("string")), ",")
             .as("token_csv"))),
+
+    // WordPiece (BERT-family) tokenizer application: greedy
+    // longest-match-first against a literal ##-convention vocabulary,
+    // whole-word [UNK] on any unmatched position; the native
+    // WordpieceSegment expression is the only per-word work
+    "q_t_wordpiece" -> ((s, dir) =>
+      graft.llm.Wordpiece.encode(t(s, dir, "documents"), wordpieceVocab)),
 
     // fill-in-the-middle training transform: deterministic md5-draw
     // apply/cuts/mode, middle moved behind sentinel tokens (PSM/SPM) -
@@ -3810,6 +3886,7 @@ object SparkEntry {
     "q_t_byte_bpe" -> byteBpeEncodeSql(byteBpeMerges),
     "q_t_byte_roundtrip" -> "SELECT doc_id, text FROM documents",
     "q_t_byte_bpe_train" -> byteBpeTrainSql(6),
+    "q_t_wordpiece" -> wordpieceSql(wordpieceVocab),
 
     // FIM transform: md5 draws for apply/cuts/mode, list slices +
     // sentinel-token reassembly per mode

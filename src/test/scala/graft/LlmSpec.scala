@@ -186,6 +186,24 @@ class LlmSpec extends SparkSpec {
     assert(trimmed(5L) == (("tiny doc", 0L)))
   }
 
+  test("wordpiece: greedy longest match, whole-word UNK, per-doc csv") {
+    import graft.llm.Wordpiece
+    val vocab = Seq("un", "aff", "##aff", "##able", "##ab", "a", "##b",
+      "table", "ta", "##ble")
+    val docs = Seq(
+      (1L, "unaffable table ab"),
+      (2L, "zzz un"),   // zzz -> UNK (no 'z' piece); un segments
+      (3L, "unx")       // prefix matches then fails -> whole-word UNK
+    ).toDF("doc_id", "text")
+    val r = Wordpiece.encode(docs, vocab)
+      .as[(Long, Int, Int, String)].collect().map(x => x._1 -> x).toMap
+    // "unaffable": un + ##aff (len 3 beats ##ab) + ##able;
+    // "table": whole-word piece beats ta+##ble; "ab": a + ##b
+    assert(r(1L) == ((1L, 6, 0, "un,##aff,##able,table,a,##b")))
+    assert(r(2L) == ((2L, 2, 1, "[UNK],un")))
+    assert(r(3L) == ((3L, 1, 1, "[UNK]")))
+  }
+
   test("FIM transform: lossless rearrangement, exact counts, rate " +
     "bounds, map-only plan") {
     import graft.llm.Fim
