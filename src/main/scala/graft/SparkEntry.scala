@@ -50,6 +50,18 @@ object SparkEntry {
       val prefix = "graft_fs_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       val base = java.nio.file.Files
         .createTempDirectory("graft_flagship_state").toString
+      // state tables are session-lifetime scratch: remove the parquet
+      // tree on JVM exit so repeated bench/test runs don't accumulate
+      // orphaned state dirs (the graft_fs_* catalog entries point here
+      // and die with the in-memory metastore)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }))
       // 16 buckets at bench/test scale (~60k-row state tables); the
       // bucket count is a per-table scale knob, not a topology property
       OrthologPipeline.runSpecies(rel, st, graft.model.Species.RAT, runTs,
@@ -284,8 +296,10 @@ object SparkEntry {
   /** WordPiece oracle: greedy longest-match segmentation replayed as a
     * DuckDB RECURSIVE CTE - per step, the longest vocab piece matching
     * at the cursor (continuation table for pos > 0) via a LATERAL
-    * top-1; no match at any position collapses the word to [UNK] -
-    * then the per-doc reassembly of [[bpeEncodeLiteralSql]]. */
+    * top-1; no match at any position - or a word over the 100-code-
+    * point max_input_chars_per_word cap - collapses the word to [UNK],
+    * then the per-doc reassembly of [[bpeEncodeLiteralSql]]. DuckDB's
+    * length/substr count code points, as does the engine. */
   private def wordpieceSql(vocab: Seq[String]): String = {
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
     val rows = vocab.map { tok =>
@@ -303,8 +317,12 @@ object SparkEntry {
          vocab AS (SELECT * FROM (VALUES
              $rows) AS v0(raw, tok, cont)),
          seg AS (
-           SELECT w, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces,
-                  false AS failed
+           -- seed; words over the max_input_chars_per_word cap (code
+           -- points, like the engine) are [UNK] outright
+           SELECT w, 0 AS pos,
+                  CASE WHEN length(w) > 100 THEN ['[UNK]']
+                       ELSE CAST([] AS VARCHAR[]) END AS pieces,
+                  length(w) > 100 AS failed
            FROM w
            UNION ALL
            SELECT s.w,
@@ -342,7 +360,9 @@ object SparkEntry {
     * byte-level seeding - GPT-2-class pre-tokens of the RAW text (same
     * lookaround-free pattern as the engine), the corpus byte remap
     * (space -> chr(288); every other occurring byte is printable
-    * ASCII), then identical per-round argmax + replace stages. */
+    * ASCII - ENFORCED, not assumed: tools/Smoke fails the run if any
+    * fixture document contains a byte outside printable ASCII+space),
+    * then identical per-round argmax + replace stages. */
   private def byteBpeTrainSql(rounds: Int): String = {
     val stages = (1 to rounds).map { r =>
       s"""p$r AS (
@@ -2168,11 +2188,14 @@ object SparkEntry {
       graft.llm.Splitting.assignSplit(t(s, dir, "documents"))
         .select(col("doc_id"), col("split_bucket"), col("split"))),
 
-    // single-pass column profiling (integer-valued columns only: quartile
-    // interpolation at dyadic fractions of integers is exact in double,
-    // so the cross-engine compare is bit-stable)
+    // column profiling, distributed-EXACT path (integer-valued columns
+    // only: quartile interpolation at dyadic fractions of integers is
+    // exact in double, so the cross-engine compare is bit-stable).
+    // summarizeDistributed replaces summarize's single-reducer
+    // value-map `percentile` buffer with a value histogram + sharded
+    // prefix sum + rank-neighbor lookup - same rows, scale-safe plan
     "q_profile_stats" -> ((s, dir) =>
-      graft.operators.Profile.summarize(t(s, dir, "lineitem"),
+      graft.operators.Profile.summarizeDistributed(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_linenumber", "l_partkey"))),
 
     // benchmark-contamination screen: every 97th doc plays the held-out
@@ -4931,25 +4954,30 @@ object SparkEntry {
          FROM a, UNNEST(generate_series(0,
            greatest(CAST(floor(duration_ms / 60000.0) AS INT) - 1, 0))) AS t(f)""",
 
-    // portable pHash near-dup pairs: 16 md5-derived 48-bit features,
-    // bit = feature >= floor(mean) (integer shift), 3-chunk (6/5/5)
-    // pigeonhole blocking at Hamming <= 2, xor-popcount verify
+    // portable pHash near-dup pairs: 64 md5-derived 48-bit features,
+    // bit = feature >= floor(mean) (integer shift; bit 63's weight is
+    // the BIGINT min literal - DuckDB's << errors at 63 - and sum()
+    // goes through HUGEINT so the cast back to BIGINT is exact),
+    // 3-chunk (22/21/21) pigeonhole blocking at Hamming <= 2,
+    // xor-popcount verify
     "q_mm_phash_pairs" ->
       """WITH f AS (SELECT doc_id, i,
              ('0x' || substr(md5(text || '|' || CAST(i AS VARCHAR)), 1, 12))
                ::BIGINT AS fv
-           FROM documents, LATERAL (SELECT unnest(range(0, 16)) AS i)),
+           FROM documents, LATERAL (SELECT unnest(range(0, 64)) AS i)),
          p AS (SELECT doc_id,
-             CAST(sum(CASE WHEN fv >= thr THEN 1::BIGINT << i ELSE 0 END)
+             CAST(sum(CASE WHEN fv < thr THEN 0
+                           WHEN i = 63 THEN (-9223372036854775808)::BIGINT
+                           ELSE 1::BIGINT << i END)
                AS BIGINT) AS phash
            FROM (SELECT doc_id, i, fv,
-               CAST(sum(fv) OVER (PARTITION BY doc_id) AS BIGINT) >> 4 AS thr
+               CAST(sum(fv) OVER (PARTITION BY doc_id) AS BIGINT) >> 6 AS thr
              FROM f)
            GROUP BY doc_id),
          c AS (SELECT doc_id AS asset_id, phash, u.chunk,
-             CASE u.chunk WHEN 0 THEN phash & 63
-                          WHEN 1 THEN (phash >> 6) & 31
-                          ELSE (phash >> 11) & 31 END AS chunkval
+             CASE u.chunk WHEN 0 THEN phash & 4194303
+                          WHEN 1 THEN (phash >> 22) & 2097151
+                          ELSE (phash >> 43) & 2097151 END AS chunkval
            FROM p, LATERAL (SELECT unnest(range(0, 3)) AS chunk) u),
          b AS (SELECT * FROM (SELECT *,
                count(*) OVER (PARTITION BY chunk, chunkval) AS bs FROM c)
@@ -4966,12 +4994,14 @@ object SparkEntry {
       """WITH f AS (SELECT doc_id, i,
              ('0x' || substr(md5(text || '|' || CAST(i AS VARCHAR)), 1, 12))
                ::BIGINT AS fv
-           FROM documents, LATERAL (SELECT unnest(range(0, 16)) AS i)),
+           FROM documents, LATERAL (SELECT unnest(range(0, 64)) AS i)),
          p AS (SELECT doc_id,
-             CAST(sum(CASE WHEN fv >= thr THEN 1::BIGINT << i ELSE 0 END)
+             CAST(sum(CASE WHEN fv < thr THEN 0
+                           WHEN i = 63 THEN (-9223372036854775808)::BIGINT
+                           ELSE 1::BIGINT << i END)
                AS BIGINT) AS phash
            FROM (SELECT doc_id, i, fv,
-               CAST(sum(fv) OVER (PARTITION BY doc_id) AS BIGINT) >> 4 AS thr
+               CAST(sum(fv) OVER (PARTITION BY doc_id) AS BIGINT) >> 6 AS thr
              FROM f)
            GROUP BY doc_id),
          pk AS (SELECT min(doc_id) AS asset_id FROM p GROUP BY phash),

@@ -10,10 +10,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * first): a word splits into the longest vocabulary piece at each
   * position - continuation pieces carry the `##` prefix - and a word
   * with NO matching piece at any position becomes a single `[UNK]`,
-  * matching the published WordPiece tokenizer exactly. The vocabulary
-  * is plan-time model state shared per executor (the [[BpeSegment]]
-  * pattern); per-word cost is O(len x maxPieceLen) hash probes.
-  * Participates in whole-stage codegen via `defineCodeGen`. */
+  * matching the published WordPiece tokenizer exactly, including its
+  * max_input_chars_per_word guard (words longer than
+  * [[WordpieceSegment.MaxInputChars]] CODE POINTS become `[UNK]`
+  * without paying the O(len x maxPieceLen) scan). Iteration is by
+  * Unicode code point - piece lengths, the cap, and substring probes
+  * all count code points, the same semantics as the DuckDB oracle's
+  * `length`/`substr` - so non-BMP text segments identically in both
+  * engines. The vocabulary is plan-time model state shared per
+  * executor (the [[BpeSegment]] pattern). Participates in whole-stage
+  * codegen via `defineCodeGen`. */
 case class WordpieceSegment(child: Expression, vocab: Seq[String])
     extends UnaryExpression {
 
@@ -41,42 +47,60 @@ object WordpieceSegment {
 
   val Unk = "[UNK]"
 
-  /** Executor-shared vocabulary: start pieces (no `##`) and
+  /** Published WordPiece word-length circuit breaker
+    * (max_input_chars_per_word in the BERT reference tokenizer): words
+    * longer than this many code points become [UNK] outright, bounding
+    * the per-word probe cost against pathological inputs. */
+  val MaxInputChars = 100
+
+  /** Piece tables built once per executor: start pieces (no `##`) and
     * continuation pieces (`##`-prefixed) as raw-text -> emitted-token
-    * maps, plus each table's max raw length to bound the probe. Only
-    * `vocab` serializes; the maps rebuild per executor. */
-  final class Model(val vocab: Array[String]) extends Serializable {
-    @transient lazy val (starts, conts, maxStart, maxCont):
-        (java.util.HashMap[String, String], java.util.HashMap[String, String],
-         Int, Int) = {
-      val s = new java.util.HashMap[String, String]()
-      val c = new java.util.HashMap[String, String]()
-      var ms = 0
-      var mc = 0
-      vocab.foreach { tok =>
-        if (tok.startsWith("##")) {
-          val raw = tok.substring(2)
-          if (raw.nonEmpty) { c.put(raw, tok); mc = math.max(mc, raw.length) }
-        } else if (tok.nonEmpty) {
-          s.put(tok, tok); ms = math.max(ms, tok.length)
+    * maps, plus each table's max raw length IN CODE POINTS to bound
+    * the probe. */
+  private[functions] final class Tables(vocab: Array[String]) {
+    val starts = new java.util.HashMap[String, String]()
+    val conts = new java.util.HashMap[String, String]()
+    var maxStart = 0
+    var maxCont = 0
+    vocab.foreach { tok =>
+      if (tok.startsWith("##")) {
+        val raw = tok.substring(2)
+        if (raw.nonEmpty) {
+          conts.put(raw, tok)
+          maxCont = math.max(maxCont, raw.codePointCount(0, raw.length))
         }
+      } else if (tok.nonEmpty) {
+        starts.put(tok, tok)
+        maxStart = math.max(maxStart, tok.codePointCount(0, tok.length))
       }
-      (s, c, ms, mc)
     }
   }
 
+  /** Executor-shared vocabulary. Only `vocab` serializes: the tables
+    * live behind a single @transient lazy field (a tuple-pattern lazy
+    * val would leave the synthesized backing field non-transient) and
+    * rebuild per executor. */
+  final class Model(val vocab: Array[String]) extends Serializable {
+    @transient lazy val tables: Tables = new Tables(vocab)
+  }
+
   def segment(word: String, model: Model): Array[String] = {
+    val t = model.tables
+    // one code-point array up front: every probe below indexes it, so
+    // surrogate pairs cost nothing extra and counts match the oracle
+    val cps = word.codePoints().toArray
+    val n = cps.length
+    if (n > MaxInputChars) return Array(Unk)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var pos = 0
-    val n = word.length
     while (pos < n) {
       val (table, maxL0) =
-        if (pos == 0) (model.starts, model.maxStart)
-        else (model.conts, model.maxCont)
+        if (pos == 0) (t.starts, t.maxStart)
+        else (t.conts, t.maxCont)
       var l = math.min(n - pos, maxL0)
       var found: String = null
       while (l >= 1 && found == null) {
-        found = table.get(word.substring(pos, pos + l))
+        found = table.get(new String(cps, pos, l))
         if (found == null) l -= 1
       }
       if (found == null) return Array(Unk)

@@ -138,7 +138,8 @@ object ByteBpe {
     * vocabulary, reassemble per document in order, and the native
     * [[graft.functions.ByteBpeDecode]] expression maps representative
     * chars back to UTF-8 bytes in one codegen'd call per row. Empty
-    * id arrays decode to "". Same two-shuffle reassembly shape as
+    * id arrays decode to ""; an id missing from the vocabulary raises
+    * (never silent truncation). Same two-shuffle reassembly shape as
     * encode; nothing driver-side. */
   def decode(encoded: DataFrame, merges: Seq[(String, String)],
              idCol: String = "doc_id", idsCol: String = "token_ids",
@@ -146,9 +147,18 @@ object ByteBpe {
     val spark = encoded.sparkSession
     import spark.implicits._
     val vocab = vocabEntries(merges).map(_.swap).toDF("id", "tok")
+    // LEFT join + raise: an id outside the table (corrupted input,
+    // wrong merge table) must surface as an error, not decode to
+    // silently truncated text - the distributed twin of decodeIds'
+    // require. raise_error's NullType branch coerces to string.
     val parts = encoded
       .select(col(idCol), posexplode(col(idsCol)).as(Seq("p", "id")))
-      .join(broadcast(vocab), Seq("id")) // inner yet total: ids come from the vocab
+      .join(broadcast(vocab), Seq("id"), "left")
+      .withColumn("tok", when(col("tok").isNull,
+          raise_error(concat(lit("byte-BPE decode: token id "),
+            col("id").cast("string"), lit(" not in the vocabulary of "),
+            lit(vocabEntries(merges).size), lit(" entries"))))
+        .otherwise(col("tok")))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("p"), col("tok")))).as("__ps"))
       .select(col(idCol),

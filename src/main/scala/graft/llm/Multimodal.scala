@@ -111,34 +111,36 @@ object Multimodal {
 
   // ------------------------------------------------ perceptual near-dup
 
-  /** Portable integer PERCEPTUAL HASH over the (stubbed) decode
+  /** Portable 64-bit integer PERCEPTUAL HASH over the (stubbed) decode
     * features - the asset-level near-dup signature a multimodal corpus
     * dedups on (pHash family: bit = sign of a feature's deviation from
     * the asset's own mean, the structure a DCT pHash uses over pixel
-    * blocks). Feature i (0..15) is the 48-bit integer from the first
+    * blocks). Feature i (0..63) is the 48-bit integer from the first
     * 12 md5 hex chars of (payload, i) - the md5-portable twin of
     * [[fakeDecodeFeatures]]'s xxhash64 stub, so the DuckDB oracle
-    * reproduces it bit-for-bit; a real decoder swaps the feature
+    * reproduces it bit-for-bit; a real decoder swaps the 64 feature
     * expressions, not the hash/blocking machinery. Bit i is 1 iff
-    * feature_i >= floor(mean of the 16 features) (threshold via
-    * shift: 16 features, >> 4 - all-integer, no rounding ambiguity).
-    * Identical payloads hash identically; the hash is 16 bits wide.
-    *
-    * Scale note: 16 bits matches the 16-feature stub and keeps the
-    * oracle replayable; a real decoder emits 64+ features and the SAME
-    * construction yields a 64-bit hash, which at corpus scale is what
-    * keeps chance Hamming<=t collisions (and so candidate-pair volume)
-    * negligible - width is a decoder property, not a topology one. */
+    * feature_i >= floor(mean of the 64 features) (threshold via
+    * shift: 64 features, >> 6 - all-integer, no rounding ambiguity).
+    * Identical payloads hash identically; the hash IS 64 bits wide
+    * (bit 63 makes the BIGINT negative - harmless for grouping, xor,
+    * and popcount), so chance Hamming<=t collisions - and with them
+    * candidate-pair volume - stay negligible at corpus scale instead
+    * of growing quadratically the way a narrow hash's birthday
+    * collisions do. */
   def withPHash(df: DataFrame, payloadCol: String = "bytes",
                 outCol: String = "phash"): DataFrame = {
-    val dim = 16
+    val dim = 64
     val fs = (0 until dim).map { i =>
       conv(substring(md5(concat(col(payloadCol).cast("string"),
         lit("|" + i))), 1, 12), 16, 10).cast("long").as(s"__f$i")
     }
     val staged = df.select(col("*") +: fs: _*)
+    // 64 features < 2^48 each: total < 2^54, no overflow; bit 63's
+    // weight is Long.MinValue and is added LAST (ascending reduce), so
+    // every partial sum stays in range under ANSI arithmetic.
     val total = (0 until dim).map(i => col(s"__f$i")).reduce(_ + _)
-    val thr = shiftright(total, 4)
+    val thr = shiftright(total, 6)
     val hash = (0 until dim)
       .map(i => when(col(s"__f$i") >= thr, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -149,7 +151,7 @@ object Multimodal {
   /** Asset near-dup pairs at Hamming <= maxHamming over [[withPHash]] -
     * the image-dedup step of a multimodal corpus, with the exact
     * pigeonhole chunk-blocking topology of
-    * [[Dedup.simhashPairs]]: the 16-bit hash splits into
+    * [[Dedup.simhashPairs]]: the 64-bit hash splits into
     * maxHamming + 1 chunks (evenly as possible), a qualifying pair
     * shares at least one exact chunk, candidates come ONLY from the
     * per-(chunk, value) equi-join (never a cross join), buckets above
@@ -159,12 +161,12 @@ object Multimodal {
   def phashNearDupPairs(assets: DataFrame, maxHamming: Int = 2,
                         maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 4,
-      s"maxHamming=$maxHamming outside [1, 4] for a 16-bit hash " +
-        "(chunks = maxHamming + 1, each >= 3 bits)")
+      s"maxHamming=$maxHamming outside [1, 4] for a 64-bit hash " +
+        "(chunks = maxHamming + 1, each >= 12 bits)")
     import org.apache.spark.sql.expressions.Window
     val chunks = maxHamming + 1
-    val widths = Array.fill(chunks)(16 / chunks)
-    (0 until 16 % chunks).foreach(widths(_) += 1)
+    val widths = Array.fill(chunks)(64 / chunks)
+    (0 until 64 % chunks).foreach(widths(_) += 1)
     val offsets = widths.scanLeft(0)(_ + _).init
     val withHash = withPHash(assets).select(col("asset_id"), col("phash"))
     val chunkCols = (0 until chunks).map { c =>

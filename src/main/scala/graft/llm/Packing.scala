@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sequence packing: group documents into fixed
@@ -35,53 +34,14 @@ object Packing {
 
   /** Adds `outCol` = sum of `tokenCol` over rows of the same stratum
     * that precede this row in `orderCol` order (exclusive running
-    * offset), via the two-level shard prefix sum described above.
+    * offset), via the two-level shard prefix sum described above
+    * (shared machinery: [[graft.operators.ShardedPrefixSum]]).
     * `numShards <= 0` defaults to spark.sql.shuffle.partitions. */
   private def withCumBefore(df: DataFrame, tokenCol: String,
                             strataCol: String, orderCol: String,
-                            numShards: Int, outCol: String): DataFrame = {
-    val shards =
-      if (numShards > 0) numShards
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // Contiguous-range sharding: spark_partition_id() after a range
-    // repartition on (stratum, ord) is monotone in that order, so each
-    // (stratum, shard) cell is a contiguous slice of the stratum's
-    // stream. Equal keys land in one partition (RangePartitioner is a
-    // function of the key), so ties never split across shards. Both
-    // references to `ranged` share one canonical exchange subtree
-    // (ReuseExchange), and the sampler is seeded deterministically, so
-    // the two branches always agree on shard assignment.
-    val ranged = df
-      .repartitionByRange(shards, col(strataCol), col(orderCol))
-      .withColumn("__pack_shard", spark_partition_id())
-    val wIn = Window
-      .partitionBy(col(strataCol), col("__pack_shard"))
-      .orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val within = sum(col(tokenCol)).over(wIn) - col(tokenCol)
-    // Per-(stratum, shard) token totals: at most `shards` + |strata|
-    // rows - driver-sized regardless of corpus size.
-    val totals = ranged
-      .groupBy(col(strataCol).as("__pack_strata"),
-        col("__pack_shard").as("__pack_shard_t"))
-      .agg(sum(col(tokenCol)).as("__pack_tot"))
-    val wOff = Window
-      .partitionBy(col("__pack_strata"))
-      .orderBy(col("__pack_shard_t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals
-      .withColumn("__pack_off",
-        coalesce(sum(col("__pack_tot")).over(wOff), lit(0L)))
-      .drop("__pack_tot")
-    ranged
-      .join(broadcast(offsets),
-        col(strataCol) <=> col("__pack_strata") &&
-          col("__pack_shard") === col("__pack_shard_t"),
-        "left")
-      .withColumn(outCol, within + col("__pack_off"))
-      .drop("__pack_strata", "__pack_shard_t", "__pack_off",
-        "__pack_shard")
-  }
+                            numShards: Int, outCol: String): DataFrame =
+    graft.operators.ShardedPrefixSum.cumBefore(
+      df, tokenCol, strataCol, orderCol, numShards, outCol)
 
   def assignBins(df: DataFrame, budgetTokens: Long,
                  tokenCol: String = "n_tokens",

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact running sums: the TWO-LEVEL shard prefix sum used
+  * by sequence packing ([[graft.llm.Packing]]) and the distributed
+  * column profile ([[Profile.summarizeDistributed]]).
+  *
+  * A naive `sum(x) OVER (PARTITION BY stratum ORDER BY ord)`
+  * materializes each stratum in one WindowExec task - a hot stratum
+  * ("web" = most of a 100 TB corpus, or one column's whole value
+  * domain) serializes through a single reducer. Instead:
+  * range-partition on (stratum, ord) into `numShards` contiguous
+  * slices, cumsum within each (stratum, shard) slice in parallel,
+  * aggregate the tiny per-(stratum, shard) totals (~numShards rows),
+  * prefix-sum THOSE on the driver-sized frame, and broadcast the
+  * exclusive shard offsets back. Because the shards are contiguous
+  * ranges of the (stratum, ord) order, within-shard-cumsum + shard
+  * offset equals the global ordered cumsum exactly - the result is
+  * invariant to where the range boundaries fall, so AQE coalescing and
+  * sampling-determined splits cannot change it. Integer-only
+  * arithmetic, bit-stable across engines and re-runs.
+  */
+object ShardedPrefixSum {
+
+  /** Adds `outCol` = sum of `tokenCol` over rows of the same stratum
+    * that precede this row in `orderCol` order (exclusive running
+    * offset). Ties on (stratum, order) never split across shards
+    * (RangePartitioner is a function of the key), so the result is
+    * well-defined per (stratum, order) group even when individual rows
+    * within a tie are otherwise unordered.
+    * `numShards <= 0` defaults to spark.sql.shuffle.partitions. */
+  def cumBefore(df: DataFrame, tokenCol: String,
+                strataCol: String, orderCol: String,
+                numShards: Int, outCol: String): DataFrame = {
+    val shards =
+      if (numShards > 0) numShards
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // Contiguous-range sharding: spark_partition_id() after a range
+    // repartition on (stratum, ord) is monotone in that order, so each
+    // (stratum, shard) cell is a contiguous slice of the stratum's
+    // stream. Both references to `ranged` share one canonical exchange
+    // subtree (ReuseExchange), and the sampler is seeded
+    // deterministically, so the two branches always agree on shard
+    // assignment.
+    val ranged = df
+      .repartitionByRange(shards, col(strataCol), col(orderCol))
+      .withColumn("__pfx_shard", spark_partition_id())
+    val wIn = Window
+      .partitionBy(col(strataCol), col("__pfx_shard"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = sum(col(tokenCol)).over(wIn) - col(tokenCol)
+    // Per-(stratum, shard) totals: at most `shards` + |strata| rows -
+    // driver-sized regardless of input size.
+    val totals = ranged
+      .groupBy(col(strataCol).as("__pfx_strata"),
+        col("__pfx_shard").as("__pfx_shard_t"))
+      .agg(sum(col(tokenCol)).as("__pfx_tot"))
+    val wOff = Window
+      .partitionBy(col("__pfx_strata"))
+      .orderBy(col("__pfx_shard_t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__pfx_off",
+        coalesce(sum(col("__pfx_tot")).over(wOff), lit(0L)))
+      .drop("__pfx_tot")
+    ranged
+      .join(broadcast(offsets),
+        col(strataCol) <=> col("__pfx_strata") &&
+          col("__pfx_shard") === col("__pfx_shard_t"),
+        "left")
+      .withColumn(outCol, within + col("__pfx_off"))
+      .drop("__pfx_strata", "__pfx_shard_t", "__pfx_off",
+        "__pfx_shard")
+  }
+}

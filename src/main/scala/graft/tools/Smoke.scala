@@ -27,6 +27,18 @@ object Smoke {
     // cartesian joins (the registry-wide sweep for the constant-fold
     // BNLJ class the round-9 10x gate caught in the AGR upsert)
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+
+    // The byte-BPE train/encode DuckDB oracles remap only the space
+    // byte (space -> chr(288)); that shortcut is valid iff the
+    // documents corpus contains printable ASCII + space ONLY. Enforce
+    // the assumption instead of assuming it: any tab / newline /
+    // non-ASCII character in any fixture document fails the smoke run.
+    val nonPrintable = spark.read.parquet(s"$dir/documents.parquet")
+      .where(org.apache.spark.sql.functions.col("text").isNotNull &&
+        org.apache.spark.sql.functions.col("text").rlike("[^ -~]"))
+      .count()
+    println(s"NON_PRINTABLE_ASCII_DOCS=$nonPrintable")
+
     var failed = 0
     var planBad = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -45,7 +57,7 @@ object Smoke {
     println(s"QUERIES_OK=${graft.SparkEntry.queries.size - failed} FAILED=$failed")
     println(s"PLAN_VIOLATIONS=$planBad")
     spark.stop()
-    if (failed > 0 || planBad > 0) sys.exit(1)
+    if (failed > 0 || planBad > 0 || nonPrintable > 0) sys.exit(1)
   }
 
   /** Non-scalar BroadcastNestedLoopJoin / CartesianProduct findings in

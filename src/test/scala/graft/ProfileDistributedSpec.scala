@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Profile, ShardedPrefixSum}
+
+/** Distributed-exact profile and the shared sharded prefix sum: value
+  * equivalence with the single-reducer `percentile` path, and the plan
+  * properties that make them the 100 TB exact path. */
+class ProfileDistributedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sharded prefix sum equals the naive global ordered cumsum, " +
+    "at any shard count") {
+    val rnd = new scala.util.Random(7)
+    val d = (1 to 500).map { i =>
+      (if (i % 3 == 0) "a" else "b", rnd.nextInt(40).toLong, rnd.nextInt(9).toLong)
+    }.toDF("stratum", "ord", "x")
+      // make (stratum, ord) keys repeat so tie handling is exercised
+      .groupBy("stratum", "ord").agg(sum("x").as("x"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("stratum").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = d.withColumn("cum", sum($"x").over(w) - $"x")
+      .select("stratum", "ord", "cum")
+      .as[(String, Long, Long)].collect().toSet
+    for (shards <- Seq(1, 3, 16)) {
+      val got = ShardedPrefixSum.cumBefore(d, "x", "stratum", "ord", shards, "cum")
+        .select("stratum", "ord", "cum")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == naive, s"shards=$shards")
+    }
+  }
+
+  test("summarizeDistributed returns the exact summarize rows " +
+    "bit-for-bit on integer columns, nulls and all-null included") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 1000).map { i =>
+      (if (i % 7 == 0) null else java.lang.Long.valueOf(rnd.nextInt(200).toLong),
+        java.lang.Long.valueOf(rnd.nextInt(5).toLong),
+        null.asInstanceOf[java.lang.Long])
+    }
+    val t = rows.toDF("a", "b", "c")
+    val cols = Seq("a", "b", "c")
+    def byName(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val exact = byName(Profile.summarize(t, cols))
+    val dist = byName(Profile.summarizeDistributed(t, cols))
+    assert(dist == exact)
+    // all-null column: null quartiles/min/max, full null count
+    assert(dist("c")(1) == 1000L && dist("c")(5) == null && dist("c")(7) == null)
+  }
+
+  test("summarizeDistributed quartiles interpolate exactly like " +
+    "percentile at every n mod 4") {
+    for (n <- 5 to 9) {
+      val t = (1 to n).map(i => i.toLong * 10).toDF("a")
+      val e = Profile.summarize(t, Seq("a")).collect().head.toSeq
+      val d = Profile.summarizeDistributed(t, Seq("a")).collect().head.toSeq
+      assert(d == e, s"n=$n")
+    }
+  }
+
+  test("summarizeDistributed plans with no object-hash percentile " +
+    "buffer and no single-partition window") {
+    val t = (1 to 100).map(i => (i.toLong, (i % 10).toLong)).toDF("a", "b")
+    val plan = Profile.summarizeDistributed(t, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    // the exact-percentile path plans an ObjectHashAggregate whose
+    // buffer is a per-column value-count map; the distributed path
+    // must not
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("percentile"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // every window is keyed by (col_name, shard) - never an empty or
+    // column-only partition spec that would serialize a whole column
+    // through one task
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.forall(l => l.contains("__pfx_shard") || l.contains("__pfx_shard_t")),
+      winLines.mkString("\n"))
+  }
+}
