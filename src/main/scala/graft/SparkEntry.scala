@@ -356,6 +356,211 @@ object SparkEntry {
          LEFT JOIN agg a ON a.doc_id = d0.doc_id"""
   }
 
+  /** Literal unigram-LM vocabulary for q_t_unigram: (piece, integer
+    * cost = quantized -1000 ln p). Letters + digits as singles,
+    * plus multi-char pieces that exercise every Viterbi outcome -
+    * winners ("th" 4000 < t+h 6400; "qu"; "ing"), a loser ("in" 9000 >
+    * i+n 5700, never picked), and an exact tie ("er" 5700 = e+r, the
+    * tie-breaks-to-longer case). `y` is deliberately missing as a
+    * single (and the corpus has no punctuation), so y-words exercise
+    * the unkCost fallback corpus-wide ("query" -> qu,er,[y]). */
+  private val unigramVocab: Seq[(String, Long)] = {
+    val singles = "aeiou".map(c => c.toString -> 2500L) ++
+      "bcdfghjklmnpqrstvwxz".map(c => c.toString -> 3200L) ++
+      "0123456789".map(c => c.toString -> 2800L)
+    singles ++ Seq("th" -> 4000L, "the" -> 5000L, "qu" -> 1500L,
+      "er" -> 5700L, "in" -> 9000L, "ing" -> 7000L, "st" -> 5000L,
+      "data" -> 6000L)
+  }
+
+  /** Viterbi forward pass + backtrack as a NON-RECURSIVE DuckDB
+    * `list_reduce` DP - the unigram-LM twin of [[wordpieceSql]]'s
+    * greedy walk. Two deliberate DuckDB 1.0 constraints shape this:
+    * (1) a CTE scanned from inside a RECURSIVE CTE's iteration
+    * evaluates EMPTY when it transitively depends on another recursive
+    * CTE (observed: a recursive pass-2 Viterbi under trained costs
+    * falls back to unkCost at every position), so the DP must not use
+    * recursion at all; (2) `list_reduce` corrupts list fields inside a
+    * STRUCT accumulator (observed: the list resets to its last
+    * element), so the accumulator is a plain LIST of per-position
+    * structs and the position index is `len(acc)`.
+    *
+    * `dp$sfx` folds the word's positions: acc[j+1] = (t = best total
+    * cost to position j, nl = NEGATED winning piece length, u =
+    * winning piece is the unkCost single-code-point fallback); each
+    * step list_sorts the candidate structs so (t ASC, nl ASC) breaks
+    * ties toward the LONGER piece - exactly UnigramSegment.segment's
+    * integer DP. `seg$sfx` backtracks the winning lengths with a
+    * second bounded reduce ($maxWordLen no-op-padded steps), emitting
+    * (w, wc, pieces VARCHAR[] in reading order, nunk BIGINT).
+    * `mapCte` must expose one row `m` = MAP(piece -> cost);
+    * `wordsCte` must expose distinct `w` (+ `wc`) already filtered to
+    * length(w) <= maxWordLen. */
+  private def unigramViterbiCtes(wordsCte: String, mapCte: String,
+                                 sfx: String, maxPieceLen: Int,
+                                 unkCost: Long, maxWordLen: Int): String = {
+    val cand = "STRUCT(t BIGINT, nl BIGINT, u BOOLEAN)"
+    val bt = "STRUCT(k BIGINT, p VARCHAR, nu BIGINT)"
+    val pick =
+      s"""list_sort(list_filter(list_transform(
+             range(1, least(len(acc), $maxPieceLen) + 1),
+             l -> CASE
+               WHEN len(map_extract(m.m,
+                   substr(wn.w, len(acc) + 1 - l, l))) > 0
+                 THEN {'t': acc[len(acc) + 1 - l].t + map_extract(m.m,
+                         substr(wn.w, len(acc) + 1 - l, l))[1],
+                       'nl': -l, 'u': false}
+               WHEN l = 1
+                 THEN {'t': acc[len(acc)].t + $unkCost,
+                       'nl': CAST(-1 AS BIGINT), 'u': true}
+               ELSE CAST(NULL AS $cand) END),
+             c -> c.t IS NOT NULL))[1]"""
+    s"""dp$sfx AS MATERIALIZED (
+           SELECT wn.w, wn.wc,
+             list_reduce(
+               list_prepend([{'t': CAST(0 AS BIGINT),
+                              'nl': CAST(0 AS BIGINT), 'u': false}],
+                 list_transform(range(1, length(wn.w) + 1),
+                   x -> CAST(NULL AS $cand[]))),
+               (acc, st) -> acc || [$pick]) AS dp
+           FROM $wordsCte wn, $mapCte m),
+         seg$sfx AS MATERIALIZED (
+           SELECT w, wc,
+             list_reverse(list_filter(
+               list_transform(bt, e -> e.p), p -> p <> '')) AS pieces,
+             bt[len(bt)].nu AS nunk
+           FROM (
+             SELECT w, wc,
+               list_reduce(
+                 list_prepend([{'k': length(w), 'p': '',
+                                'nu': CAST(0 AS BIGINT)}],
+                   list_transform(range(1, $maxWordLen + 1),
+                     x -> CAST(NULL AS $bt[]))),
+                 (acc, st) -> acc || [
+                   CASE WHEN acc[len(acc)].k > 0 THEN
+                     {'k': acc[len(acc)].k + dp[acc[len(acc)].k + 1].nl,
+                      'p': substr(w,
+                             acc[len(acc)].k + dp[acc[len(acc)].k + 1].nl + 1,
+                             -dp[acc[len(acc)].k + 1].nl),
+                      'nu': acc[len(acc)].nu +
+                        CASE WHEN dp[acc[len(acc)].k + 1].u
+                             THEN 1 ELSE 0 END}
+                   ELSE {'k': acc[len(acc)].k, 'p': '',
+                         'nu': acc[len(acc)].nu} END]) AS bt
+             FROM dp$sfx))"""
+  }
+
+  /** Unigram-LM ENCODE oracle: the [[unigramViterbiCtes]] DP over the
+    * distinct-word frame under the literal vocabulary (shipped as a
+    * one-row MAP), over-cap words (> 48 code points,
+    * UnigramSegment.MaxWordLen) collapsing to a single [UNK], then the
+    * per-doc csv reassembly of [[wordpieceSql]]. */
+  private def unigramSql(vocab: Seq[(String, Long)], unkCost: Long): String = {
+    def l(s: String) = "'" + s.replace("'", "''") + "'"
+    val rows = vocab.map { case (p, c) =>
+      s"(${l(p)}, CAST($c AS BIGINT))"
+    }.mkString(",\n             ")
+    s"""WITH
+         d AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+         dw AS (SELECT doc_id, i, ws[i] AS w FROM d,
+             LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+         w0 AS (SELECT DISTINCT w FROM dw),
+         w AS MATERIALIZED (SELECT w, CAST(1 AS BIGINT) AS wc FROM w0
+           WHERE length(w) <= 48),
+         vocab AS (SELECT * FROM (VALUES
+             $rows) AS v0(piece, cost)),
+         m0 AS MATERIALIZED (SELECT map(list(piece ORDER BY piece),
+             list(cost ORDER BY piece)) AS m FROM vocab),
+         ${unigramViterbiCtes("w", "m0", "", 4, unkCost, 48)},
+         segd AS (SELECT w, pieces, nunk FROM seg
+           UNION ALL
+           SELECT w, ['[UNK]'], CAST(1 AS BIGINT) FROM w0
+           WHERE length(w) > 48),
+         enc AS (SELECT w, array_to_string(pieces, ',') AS csv,
+             CAST(len(pieces) AS INT) AS np, nunk FROM segd),
+         agg AS (SELECT dw.doc_id,
+             CAST(sum(e.np) AS INT) AS n_pieces,
+             CAST(sum(e.nunk) AS INT) AS n_unk_pieces,
+             string_agg(e.csv, ',' ORDER BY dw.i) AS pieces_csv
+           FROM dw JOIN enc e ON e.w = dw.w
+           GROUP BY dw.doc_id)
+         SELECT d0.doc_id, coalesce(a.n_pieces, 0) AS n_pieces,
+                coalesce(a.n_unk_pieces, 0) AS n_unk_pieces,
+                coalesce(a.pieces_csv, '') AS pieces_csv
+         FROM (SELECT doc_id FROM documents) d0
+         LEFT JOIN agg a ON a.doc_id = d0.doc_id"""
+  }
+
+  /** Unigram-LM TRAIN oracle (rounds = 2): seed substring counts over
+    * the capped distinct-word frame, prune (all singles + top-keepTop
+    * multi by n DESC, piece ASC), quantized-ln costs over the kept
+    * total, a full Viterbi usage pass, the mid-round prune at
+    * keepTop >> 1, a second Viterbi pass under the re-derived costs,
+    * and the final prune at keepTop >> 2 - Unigram.train's exact loop
+    * with the two segment passes as [[unigramViterbiCtes]] instances.
+    * Usage joins back to the vocabulary so fallback pieces never
+    * count, mirroring the engine's left-semi. Every computed
+    * model-sized CTE is MATERIALIZED: DuckDB inlines CTEs by default,
+    * and an inlined cost table would be recomputed from the corpus on
+    * every DP probe (observed: >5 min at sf0.001 inlined vs 0.5 s
+    * materialized). */
+  private def unigramTrainSql(maxPieceLen: Int, keepTop: Int,
+                              unkCost: Long): String = {
+    def usage(segCte: String, vocabCte: String, name: String) =
+      s"""$name AS MATERIALIZED (
+           SELECT px.piece, CAST(sum(px.wc) AS BIGINT) AS n
+           FROM (SELECT wc, unnest(pieces) AS piece FROM $segCte) px
+           JOIN (SELECT DISTINCT piece FROM $vocabCte) vp
+             ON vp.piece = px.piece
+           GROUP BY px.piece)"""
+    def prune(src: String, name: String, kMulti: Int) =
+      s"""$name AS MATERIALIZED (SELECT piece, n FROM $src WHERE length(piece) = 1
+           UNION ALL
+           SELECT piece, n FROM (
+             SELECT piece, n FROM $src WHERE length(piece) > 1
+             ORDER BY n DESC, piece ASC LIMIT $kMulti) q_$name)"""
+    def costs(src: String, name: String) =
+      s"""$name AS MATERIALIZED (SELECT piece,
+             CAST(round(-1000 * ln(CAST(n AS DOUBLE) /
+               (SELECT CAST(sum(n) AS DOUBLE) FROM $src)))
+               AS BIGINT) AS cost
+           FROM $src)"""
+    def vmap(src: String, name: String) =
+      s"""$name AS MATERIALIZED (SELECT map(list(piece ORDER BY piece),
+             list(cost ORDER BY piece)) AS m FROM $src)"""
+    s"""WITH
+         t AS (SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
+             AS w
+           FROM documents),
+         wn AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS wc
+           FROM t WHERE length(w) <= 48 GROUP BY w),
+         subs AS (SELECT wn.wc, substr(wn.w, ii.i, ll.l) AS piece
+           FROM wn,
+           LATERAL (SELECT unnest(range(1, length(wn.w) + 1)) AS i) ii,
+           LATERAL (SELECT unnest(range(1,
+             least($maxPieceLen, length(wn.w) - ii.i + 1) + 1)) AS l) ll),
+         seed AS MATERIALIZED (SELECT piece, CAST(sum(wc) AS BIGINT) AS n
+           FROM subs GROUP BY piece),
+         ${prune("seed", "v0", keepTop)},
+         ${costs("v0", "c0")},
+         ${vmap("c0", "m0")},
+         ${unigramViterbiCtes("wn", "m0", "1", maxPieceLen, unkCost, 48)},
+         ${usage("seg1", "c0", "u1")},
+         ${prune("u1", "v1", keepTop >> 1)},
+         ${costs("v1", "c1")},
+         ${vmap("c1", "m1")},
+         ${unigramViterbiCtes("wn", "m1", "2", maxPieceLen, unkCost, 48)},
+         ${usage("seg2", "c1", "u2")}
+         SELECT piece, n FROM u2 WHERE length(piece) = 1
+         UNION ALL
+         SELECT piece, n FROM (
+           SELECT piece, n FROM u2 WHERE length(piece) > 1
+           ORDER BY n DESC, piece ASC LIMIT ${keepTop >> 2}) qf"""
+  }
+
   /** Byte-level BPE TRAIN oracle: the [[bpeTrainSql]] merge chain with
     * byte-level seeding - GPT-2-class pre-tokens of the RAW text (same
     * lookaround-free pattern as the engine), the corpus byte remap
@@ -2062,6 +2267,20 @@ object SparkEntry {
     // WordpieceSegment expression is the only per-word work
     "q_t_wordpiece" -> ((s, dir) =>
       graft.llm.Wordpiece.encode(t(s, dir, "documents"), wordpieceVocab)),
+
+    // unigram-LM (SentencePiece-family) tokenizer application: Viterbi
+    // min-total-cost segmentation under a literal (piece, cost)
+    // vocabulary with single-code-point unk fallback; the native
+    // UnigramSegment expression is the only per-word work
+    "q_t_unigram" -> ((s, dir) =>
+      graft.llm.Unigram.encode(t(s, dir, "documents"), unigramVocab)),
+
+    // unigram-LM training: substring-count seeding, quantized-ln
+    // costs, EM-style segment/recount/prune rounds; only model-sized
+    // vocabularies ever reach the driver
+    "q_t_unigram_train" -> ((s, dir) =>
+      graft.llm.Unigram.train(t(s, dir, "documents"), rounds = 2,
+        maxPieceLen = 4, keepTop = 120)),
 
     // fill-in-the-middle training transform: deterministic md5-draw
     // apply/cuts/mode, middle moved behind sentinel tokens (PSM/SPM) -
@@ -3910,6 +4129,9 @@ object SparkEntry {
     "q_t_byte_roundtrip" -> "SELECT doc_id, text FROM documents",
     "q_t_byte_bpe_train" -> byteBpeTrainSql(6),
     "q_t_wordpiece" -> wordpieceSql(wordpieceVocab),
+    "q_t_unigram" -> unigramSql(unigramVocab, graft.llm.Unigram.DefaultUnkCost),
+    "q_t_unigram_train" ->
+      unigramTrainSql(4, 120, graft.llm.Unigram.DefaultUnkCost),
 
     // FIM transform: md5 draws for apply/cuts/mode, list slices +
     // sentinel-token reassembly per mode
