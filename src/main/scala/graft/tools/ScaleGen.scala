@@ -39,7 +39,8 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(src, out, copiesS) = args.take(3)
     val copies = copiesS.toInt
-    require(copies >= 1 && copies <= 20, s"copies $copies outside [1,20]")
+    // 40 * Stride = 2.0e9 is the Int-range ceiling for the offset keys.
+    require(copies >= 1 && copies <= 40, s"copies $copies outside [1,40]")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
