@@ -36,6 +36,11 @@ object StateStoreBench {
       .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // At cluster scale the incoming batch is GBs - never broadcastable.
+    // Local fixtures ARE broadcastable, which would silently turn every
+    // variant into a BroadcastHashJoin and hide the property under
+    // measurement (the state-side Exchange), so pin the shuffle join.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     import spark.implicits._
 
     val base = java.nio.file.Files
@@ -75,6 +80,7 @@ object StateStoreBench {
       (1 to passes).foreach { _ =>
         spark.catalog.clearCache()
         val incoming = spark.read.parquet(s"$base/incoming")
+          .select(col("srcRgdId"), col("destRgdId").as("inDestRgdId"))
         val joined = incoming.join(state, Seq("srcRgdId"))
           .groupBy(col("dataSource"))
           .agg(count(lit(1)).as("n"), countDistinct(col("destRgdId")).as("d"))
