@@ -2661,6 +2661,35 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // streaming MinHash-LSH near-dup: real file-source stream over the
+    // documents table through the keyed-state flagger (signatures +
+    // band explode stateless, one groupByKey(band, bandval) shuffle,
+    // <=1000 stored signatures per bucket), then the per-doc roll-up
+    // over the drained sink. The DuckDB twin replays the md5
+    // signatures and the first-1000-per-bucket retention with a
+    // rank-capped self-join, so a signature mangled by the state
+    // store, a dropped flag, or an off-by-one in the stored-set cut
+    // all fail the compare.
+    "q_stream_neardup" -> ((s, dir) => {
+      val name = "stream_neardup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val src = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val banded = graft.streaming.StreamingNearDup.bandedSigs(src)
+      val q = graft.streaming.StreamingNearDup
+        .flagNearDups(banded, estMinAgree = 6, maxBucketDocs = 1000)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import s.implicits._
+      graft.streaming.StreamingNearDup.flagSummary(
+        s.table(name).as[graft.streaming.StreamingNearDup.DupFlag])
+    }),
+
     "q_stream_windowed" -> ((s, dir) => {
       val name = "stream_counts_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
@@ -5352,6 +5381,48 @@ object SparkEntry {
       """SELECT event_id, CAST(event_id % 86400 + 86400 AS BIGINT) AS ts_s,
              user_id, event_type, value
          FROM events""",
+
+    // batch recomputation of the streaming LSH near-dup flagger: same
+    // md5-permutation signatures and band encoding as q_d_minhash_md5's
+    // oracle, "seen before" = doc_id-earlier, stored set = the first
+    // 1000 docs of each bucket (rank cap = the state cap), flag when
+    // >= 6 of 16 signature positions agree. sigs is MATERIALIZED - it
+    // feeds the band explode and both sides of the agreement join.
+    "q_stream_neardup" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               t -> t <> '') AS ws
+           FROM documents),
+         g AS (SELECT doc_id,
+             unnest(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+               ELSE list_distinct(list_transform(
+                 generate_series(1, len(ws) - 2),
+                 i -> array_to_string(ws[i : i + 2], ' '))) END) AS shingle
+           FROM w),
+         shs AS (SELECT doc_id, list(shingle) AS sh FROM g GROUP BY doc_id),
+         sigs AS MATERIALIZED (SELECT doc_id,
+             list_transform(range(1, 17), i ->
+               list_min(list_transform(sh,
+                 s -> substr(md5(i || '|' || s), 1, 16)))) AS sig
+           FROM shs),
+         bnd AS (SELECT doc_id, b,
+             array_to_string(sig[b*2+1 : b*2+2], '#') AS bandval
+           FROM sigs, LATERAL (SELECT unnest(range(0, 8)) AS b)),
+         rnk AS (SELECT doc_id, b, bandval,
+             row_number() OVER (PARTITION BY b, bandval
+               ORDER BY doc_id) AS rk
+           FROM bnd),
+         flg AS (SELECT l.doc_id AS id_b, a.doc_id AS id_a, a.b AS band
+           FROM rnk a JOIN rnk l
+             ON a.b = l.b AND a.bandval = l.bandval
+             AND a.doc_id < l.doc_id AND a.rk <= 1000
+           JOIN sigs sa ON sa.doc_id = a.doc_id
+           JOIN sigs sb ON sb.doc_id = l.doc_id
+           WHERE len(list_filter(range(1, 17),
+             i -> sa.sig[i] = sb.sig[i])) >= 6)
+         SELECT id_b AS doc_id, min(id_a) AS dup_of,
+                count(DISTINCT band) AS n_dup_bands
+         FROM flg GROUP BY id_b""",
 
     // batch recomputation of the watermarked tumbling-window stream
     "q_stream_windowed" ->
