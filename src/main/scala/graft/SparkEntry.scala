@@ -2058,6 +2058,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // quality-aware cluster pick: each near-dup component keeps its
+    // best-quality member (q_t_quality's score formula; ties -> min
+    // id) instead of the min-id convention; reuses the session-memoized
+    // md5-minhash pair frame
+    "q_d_quality_pick" -> ((s, dir) => {
+      val scored = TextAnalysis.withQualityFeatures(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_score"))
+      Dedup.nearDupClusterPick(scored, minhashMd5PairsShared(s, dir),
+        "quality_score")
+    }),
+
     // leakage-safe split: whole near-dup clusters share one train/val/
     // test assignment (keyed by the cluster's min content hash); reuses
     // the session-memoized md5-minhash pair frame
@@ -3399,6 +3410,64 @@ object SparkEntry {
          dups AS (SELECT id FROM l12 WHERE lbl <> id)
          SELECT d.doc_id, d.source FROM documents d
          WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.id = d.doc_id)"""
+    },
+
+    // quality-aware cluster pick: the SAME pairs + component chain as
+    // q_d_dedup_e2e, the SAME score formula as q_t_curate, then a
+    // per-component (score DESC, id ASC) argmax with the member count
+    "q_d_quality_pick" -> {
+      val rounds = (1 to 12).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT n.id,
+             least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+           FROM l${i - 1} n LEFT JOIN (
+             SELECT s.u, min(x.lbl) AS mn FROM sym s
+             JOIN l${i - 1} x ON x.id = s.v GROUP BY s.u) m
+             ON m.u = n.id)"""
+      }.mkString(",\n         ")
+      s"""WITH $minhashMd5CtesSql,
+         sym AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM sym),
+         $rounds,
+         qf AS (SELECT doc_id, length(text) AS nc,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT)
+               AS nw,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                 '\\s+'),
+               w -> list_contains(['the','a','an','and','or','of','to','in',
+                 'is','it','that','for','on','with','as','was','at','by'],
+                 w))) AS INT) AS nstop,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '',
+               'g')) AS npunct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS ndigit
+           FROM documents),
+         qr AS (SELECT doc_id,
+             CASE WHEN nw > 0 THEN nstop / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS sr,
+             CASE WHEN nc > 0 THEN npunct / CAST(nc AS DOUBLE)
+                  ELSE 0.0 END AS pr,
+             CASE WHEN nc > 0 THEN ndigit / CAST(nc AS DOUBLE)
+                  ELSE 0.0 END AS dr
+           FROM qf),
+         qs AS (SELECT doc_id,
+             least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+               CAST(0.4 AS DOUBLE) * least(sr * 4, CAST(1.0 AS DOUBLE)) +
+               CAST(0.3 AS DOUBLE) *
+                 (CAST(1.0 AS DOUBLE) - least(pr * 5, CAST(1.0 AS DOUBLE))) +
+               CAST(0.3 AS DOUBLE) *
+                 (CAST(1.0 AS DOUBLE) - least(dr * 5, CAST(1.0 AS DOUBLE)))))
+               AS q
+           FROM qr),
+         mem AS (SELECT l.lbl AS component, l.id, qs.q
+           FROM l12 l JOIN qs ON qs.doc_id = l.id)
+         SELECT component, id AS keep_id, n_members FROM (
+           SELECT component, id,
+             row_number() OVER (PARTITION BY component
+               ORDER BY q DESC, id ASC) AS rk,
+             count(*) OVER (PARTITION BY component) AS n_members
+           FROM mem)
+         WHERE rk = 1"""
     },
 
     // leakage-safe split: the SAME pairs + component chain as

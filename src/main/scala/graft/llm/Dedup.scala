@@ -379,6 +379,40 @@ object Dedup {
     df.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware keep-one-per-cluster: instead of
+    * [[nearDupSurvivors]]' min-id convention, each near-dup component
+    * keeps its highest-`scoreCol` member (ties -> min id) - the form
+    * production dedup actually wants, since a cluster's members differ
+    * in boilerplate, truncation, and OCR noise and the arbitrary min-id
+    * pick throws the best copy away ~half the time.
+    *
+    * `scored` is (idCol, scoreCol) - score however you like
+    * (quality-feature formula, LR classifier, LM perplexity). Returns
+    * one row per component: (component, keep_id, n_members).
+    * Deterministic across engines for the same reason q_t_curate's
+    * ordering is: identical per-row double arithmetic, and
+    * (score DESC, id ASC) is a total order.
+    *
+    * Plan: one CC run over the pair graph, one equi-join of the label
+    * frame to the scores, then a single component-partitioned window
+    * pass (rank + member count share the one shuffle). Window
+    * partitions are near-dup clusters - bounded by cluster size, never
+    * corpus-sized. */
+  def nearDupClusterPick(scored: DataFrame, pairs: DataFrame,
+                         scoreCol: String,
+                         idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val members = comps.join(
+      scored.select(col(idCol).as("id"), col(scoreCol).as("__s")), Seq("id"))
+    val byComp = Window.partitionBy(col("component"))
+    val pick = byComp.orderBy(col("__s").desc, col("id").asc)
+    members
+      .withColumn("__rk", row_number().over(pick))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .filter(col("__rk") === 1)
+      .select(col("component"), col("id").as("keep_id"), col("n_members"))
+  }
+
   /** EXACT all-pairs n-gram Jaccard via a shingle inverted index - the
     * deterministic alternative to [[ngramJaccardPairs]] (whose MinHash
     * candidate stage can miss pairs below the band guarantee). Every

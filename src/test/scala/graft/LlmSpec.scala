@@ -454,6 +454,19 @@ class LlmSpec extends SparkSpec {
     assert(survivors == expected)
   }
 
+  test("nearDupClusterPick keeps the best-scored member per component") {
+    // two components: {1,2,3} and {10,11}; scores favor 2 and 11;
+    // 20 ties with nobody (not in any pair -> not in the output)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val scored = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9), // tie 2 vs 3 -> min id 2
+      (10L, 0.2), (11L, 0.8), (20L, 1.0)
+    ).toDF("doc_id", "score")
+    val got = Dedup.nearDupClusterPick(scored, pairs, "score")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L), (10L, 11L, 2L)))
+  }
+
   test("SCALE: no CartesianProduct / BroadcastNestedLoop in pair plans") {
     val oneVec = Seq((1L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
     val planes8 = Ann.hyperplanes(8, 4, seed = 11L)
