@@ -2440,6 +2440,35 @@ object SparkEntry {
         hashed = false)
     }),
 
+    // ONLINE decontamination: the same ngramOverlap plan as
+    // q_contamination with the training side a real file-source STREAM
+    // and the benchmark side the static batch frame - the stream-static
+    // broadcast join Structured Streaming admission screens use (docs
+    // screened as they are ingested, the eval set fixed). Complete-mode
+    // memory sink is the harness's returnable-DataFrame convention
+    // (q_stream_windowed); at scale this runs in update mode to a keyed
+    // sink. Oracle: identical SQL to q_contamination - the streamed
+    // incremental aggregation must land on exactly the batch answer.
+    "q_stream_contam" -> ((s, dir) => {
+      val name = "stream_contam_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val src = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(col("doc_id") % 97 =!= 0)
+      val bench = t(s, dir, "documents")
+        .filter(col("doc_id") % 97 === 0)
+        .withColumnRenamed("doc_id", "bench_id")
+      val q = graft.llm.Contamination.ngramOverlap(src, bench, hashed = false)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     "q_t_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.wordCount(col("text")).as("n_ws_tokens"),
@@ -4536,6 +4565,21 @@ object SparkEntry {
 
     // contamination: distinct 3-gram overlap between train and holdout
     "q_contamination" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS ws
+           FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+             array_to_string(ws[i : i + 2], ' ') AS shingle
+           FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0)))
+             AS t(i))
+         SELECT tr.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+         FROM (SELECT * FROM g WHERE doc_id % 97 <> 0) tr
+         JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) b USING (shingle)
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
+
+    // the stream-static screen must land on exactly the batch answer
+    "q_stream_contam" ->
       """WITH w AS (SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'),
                x -> x <> '') AS ws
