@@ -2619,6 +2619,14 @@ object SparkEntry {
         .select(col("vec_id") +:
           pqCodebooks.indices.map(j => col(s"pq_code_$j")): _*)),
 
+    // full IVF-PQ ADC search: coarse probe + codes-only scoring via
+    // driver-side lookup tables - the query never touches corpus floats
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+      Ann.ivfPqTopK(t(s, dir, "embeddings"), annQuery, 10, centroids,
+        pqCodebooks)
+    }),
+
     // SemDeDup semantic dedup: IVF-celled greedy keep-lowest-id over
     // within-cell cosine near-dup pairs (non-transitive by design)
     "q_d_semdedup" -> ((s, dir) =>
@@ -5096,6 +5104,34 @@ object SparkEntry {
     // summation differences, as documented for the ANN oracles
     "q_ann_pq_assign" ->
       s"SELECT * FROM ${pqCodesSql(pqCodebooks)}",
+
+    // IVF-PQ ADC: same probe cells and PQ codes as their own oracles,
+    // then the score is literal-table lookups summed in fixed order -
+    // the SAME driver-computed doubles are embedded as literals in both
+    // engines, so the sums are bit-identical (no float-scan margins)
+    "q_ann_ivfpq" -> {
+      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+      val codebooks = pqCodebooks
+      val subDim = codebooks.head.head.size
+      val query = annQuery
+      val qnorm = math.sqrt(query.map(x => x * x).sum)
+      val tT = codebooks.zipWithIndex.map { case (cb, j) =>
+        cb.map(c => c.zipWithIndex.map { case (x, i) =>
+          x * query(j * subDim + i) }.sum)
+      }
+      val nT = codebooks.map(_.map(c => c.map(x => x * x).sum))
+      val probes = Ann.probeCells(query, centroids, 2).mkString(", ")
+      val dotSum = codebooks.indices
+        .map(j => s"(${sqlVec(tT(j))})[pq_code_$j + 1]").mkString(" + ")
+      val nSum = codebooks.indices
+        .map(j => s"(${sqlVec(nT(j))})[pq_code_$j + 1]").mkString(" + ")
+      s"""SELECT vec_id, ($dotSum) / ($qnorm * sqrt($nSum)) AS adc_cosine
+          FROM ${pqCodesSql(codebooks)} pq
+          WHERE vec_id IN (SELECT vec_id FROM ${ivfCellFromSql(centroids)}
+                           WHERE ivf_cell IN ($probes))
+          ORDER BY adc_cosine DESC NULLS LAST, vec_id ASC
+          LIMIT 10"""
+    },
 
     // SemDeDup recomputed: same cell assignment, a row is dropped iff a
     // lower-id same-cell row is cosine-similar >= 0.4 (NOT EXISTS as a

@@ -239,6 +239,57 @@ object Ann {
       .limit(k)
   }
 
+  /** Full IVF-PQ search with asymmetric-distance computation (ADC,
+    * Jegou et al. '11) - the compressed-index form of [[ivfTopK]]: the
+    * corpus is stored as [[pqAssign]] codes (m small ints per vector,
+    * the representation that fits a 100 TB float corpus in RAM), and a
+    * query scores a row WITHOUT touching its floats. Per query the
+    * driver precomputes two tiny lookup tables over the codebooks -
+    * T_j[c] = q_j . c and N_j[c] = |c|^2 - and the per-row approximate
+    * cosine is
+    *
+    *   sum_j T_j[code_j] / (|q| * sqrt(sum_j N_j[code_j]))
+    *
+    * - m literal-array lookups and one division, a pure codegen'd map
+    * over the probed cells (coarse IVF filter first, as in ivfTopK; at
+    * scale the code table is bucketed by ivf_cell so the probe is a
+    * partition prune). The lookup sums are fixed-order over literal
+    * doubles, so an independent engine reproduces them bit-for-bit -
+    * tighter than the float-scan oracles, whose ~ulp summation margins
+    * the ANN convention documents. */
+  def ivfPqTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
+                centroids: Seq[Seq[Double]],
+                codebooks: Seq[Seq[Seq[Double]]], nprobe: Int = 2,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
+    val subDim = codebooks.head.head.size
+    require(codebooks.size * subDim == query.size,
+      s"codebooks cover ${codebooks.size * subDim} dims, query has ${query.size}")
+    val probes = probeCells(query, centroids, nprobe)
+    val qnorm = math.sqrt(query.map(x => x * x).sum)
+    val tTables = codebooks.zipWithIndex.map { case (cb, j) =>
+      cb.map(c => c.zipWithIndex.map { case (x, i) =>
+        x * query(j * subDim + i) }.sum)
+    }
+    val nTables = codebooks.map(_.map(c => c.map(x => x * x).sum))
+    val coded = pqAssign(
+      ivfAssign(embeddings.filter(col(vecCol).isNotNull), centroids, vecCol)
+        .filter(col("ivf_cell").isin(probes: _*)), // partition-prunable
+      codebooks, vecCol)
+    val dotApprox = codebooks.indices.map { j =>
+      element_at(array(tTables(j).map(lit): _*), col(s"pq_code_$j") + 1)
+    }.reduce(_ + _)
+    val normSq = codebooks.indices.map { j =>
+      element_at(array(nTables(j).map(lit): _*), col(s"pq_code_$j") + 1)
+    }.reduce(_ + _)
+    coded
+      .select(col(idCol),
+        (dotApprox / (lit(qnorm) * sqrt(normSq))).as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Lloyd k-means over the embedding column - the "train the IVF
     * centroids offline" step. Assignment reuses [[ivfAssign]] (cosine,
     * like the probe search); the update step computes per-(cell,
