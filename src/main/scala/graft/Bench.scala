@@ -80,10 +80,21 @@ object Bench {
     // on the plain second pass). First/last pass totals ride along for
     // reference as cold_total/warm_total.
     val nPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    // machine-state stamp (quiet-bench protocol): 1-minute system load
+    // average before and after the run. A bench whose loadavg_start is
+    // already >> the core count, or whose cold/warm totals disagree by
+    // >25%, ran on a contended machine - re-run once and keep the min
+    // (the r9 driver cold total was a 1.7x outlier by exactly this
+    // signature: warm agreed with the committed run within 2%).
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     val passes = (1 to nPasses).map { i =>
       if (i > 1) resetPassState()
       pass()
     }
+    val loadEnd = loadAvg()
     val cold = passes.head
     val warm = passes.last
     val best = passes.tail.foldLeft(cold) { (acc, p) =>
@@ -99,8 +110,12 @@ object Bench {
     val total = best.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
+    val skew = // fractional cold/warm disagreement; >0.25 = contended run
+      if (math.min(coldTotal, warmTotal) > 0)
+        math.abs(coldTotal - warmTotal) / math.min(coldTotal, warmTotal)
+      else 0.0
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"loadavg_start":${ms(loadStart)},"loadavg_end":${ms(loadEnd)},"cold_warm_skew":${ms(skew)},"sf":"$sfDir"}"""
     if (only.isEmpty) { // a filtered run must not clobber the full record
       try {
         // cwd-relative: lands in whatever checkout ran the bench

@@ -1875,4 +1875,34 @@ class LlmSpec extends SparkSpec {
     // exact containment each way = 38/80 = 0.475; k=16 estimate is coarse
     assert(math.abs(p.head._1 - 0.475) < 0.3 && math.abs(p.head._2 - 0.475) < 0.3)
   }
+
+  test("ANN: IVF-PQ ADC ranking is exact on exactly-codable vectors") {
+    // codebook entries are orthonormal axis directions; every corpus
+    // vector is an exact codebook combo, so PQ reconstruction is exact
+    // and the ADC cosine equals the true cosine up to sqrt(2)*sqrt(2) ulp
+    val cb = Seq(Seq(1.0, 0, 0, 0), Seq(0.0, 1, 0, 0), Seq(0.0, 0, 1, 0))
+    val codebooks = Seq(cb, cb)
+    val vecs = (for { i <- 0 until 3; j <- 0 until 3 } yield
+      ((i * 3 + j).toLong, (cb(i) ++ cb(j)).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val query = cb(0) ++ cb(1) // equals vector id 1
+    val centroids = Ann.hyperplanes(8, 4, seed = 11L)
+
+    // probing every cell: full ranking, ties by vec_id
+    val adc = Ann.ivfPqTopK(vecs, query, 9, centroids, codebooks,
+        nprobe = centroids.size)
+      .select($"vec_id", $"adc_cosine").as[(Long, Double)].collect()
+    assert(adc.length == 9)
+    assert(adc.head._1 == 1L) // the query's own combo ranks first
+    assert(math.abs(adc.head._2 - 1.0) < 1e-12)
+    // one shared subspace => cosine 0.5: ids (0,0)(0,2)(1,1)(2,1)
+    assert(adc.slice(1, 5).map(_._1).toSet == Set(0L, 2L, 4L, 7L))
+    assert(adc.slice(1, 5).forall(x => math.abs(x._2 - 0.5) < 1e-12))
+    assert(adc.drop(5).forall(x => math.abs(x._2) < 1e-12))
+
+    // nprobe=1 restricts to the query's coarse cell but keeps its top hit
+    val near = Ann.ivfPqTopK(vecs, query, 3, centroids, codebooks, nprobe = 1)
+      .select($"vec_id").as[Long].collect()
+    assert(near.contains(1L))
+  }
 }
