@@ -91,10 +91,12 @@ object Unigram {
     *     from the kept usage.
     *
     * Returns the post-round-`rounds` vocabulary as (piece, n) - pure
-    * integer output (costs are derivable via [[costOf]]); the final
-    * prune runs distributed (orderBy+limit = TakeOrdered, no
-    * single-partition window), and only intermediate model-sized
-    * vocabularies are collected. */
+    * integer output (costs are derivable via [[costOf]]). EVERY prune
+    * (seed included) runs distributed through [[prune]]
+    * (orderBy+limit = TakeOrdered, no single-partition window, no
+    * corpus-sized collect): the seed-substring frame - the one
+    * corpus-vocabulary-sized frame of training - is pruned to
+    * <= keepTop + alphabet rows BEFORE the driver sees it. */
   def train(df: DataFrame, rounds: Int = 2, maxPieceLen: Int = 5,
             keepTop: Int = 300, unkCost: Long = DefaultUnkCost,
             textCol: String = "text"): DataFrame = {
@@ -112,14 +114,7 @@ object Unigram {
             sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i + 1)),
             l => col("w").substr(i, l))))).as("piece"))
     val seed = subs.groupBy(col("piece")).agg(sum(col("wc")).as("n"))
-    def pruneLocal(counts: Seq[(String, Long)], kMulti: Int): Seq[(String, Long)] = {
-      val (singles, multi) = counts.partition { case (p, _) =>
-        p.codePointCount(0, p.length) == 1
-      }
-      singles ++ multi.sortBy { case (p, n) => (-n, p) }.take(kMulti)
-    }
-    var vocabCounts: Seq[(String, Long)] = pruneLocal(
-      seed.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, keepTop)
+    var vocabCounts: Seq[(String, Long)] = collectCounts(prune(seed, keepTop))
     def usageOf(costs: Seq[(String, Long)]): DataFrame = {
       val segd = words.select(col("wc"),
         explode(GraftSqlBridge.column(UnigramSegment(
@@ -136,18 +131,37 @@ object Unigram {
     var r = 1
     while (r < rounds) {
       val costs = withCosts(vocabCounts)
-      vocabCounts = pruneLocal(
-        usageOf(costs).collect().map(x => (x.getString(0), x.getLong(1))).toSeq,
-        keepTop >> r)
+      vocabCounts = collectCounts(prune(usageOf(costs), keepTop >> r))
       r += 1
     }
     // final round: distributed prune, distributed output
-    val usage = usageOf(withCosts(vocabCounts))
-    val singles = usage.filter(length(col("piece")) === 1)
-    val multi = usage.filter(length(col("piece")) > 1)
-      .orderBy(col("n").desc, col("piece").asc).limit(keepTop >> rounds)
-    singles.unionByName(multi).select(col("piece"), col("n"))
+    prune(usageOf(withCosts(vocabCounts)), keepTop >> rounds)
+      .select(col("piece"), col("n"))
   }
+
+  /** Distributed vocabulary prune: ALL single-code-point pieces (the
+    * alphabet - bounded by the corpus character set) plus the top
+    * `kMulti` multi-character pieces by (n DESC, piece ASC). The
+    * orderBy+limit plans as TakeOrderedAndProject - a distributed
+    * top-k, never a global sort or a full collect - so a driver
+    * collect of the result is <= kMulti + |alphabet| rows even when
+    * the input is the corpus-vocabulary-sized seed-substring frame
+    * (billions of distinct <= maxPieceLen-grams on a multilingual
+    * corpus; the alphabet is not). Spark's `length` counts code
+    * points (UTF8String.numChars), so the singles predicate matches
+    * `codePointCount == 1` across surrogate pairs. */
+  private[graft] def prune(counts: DataFrame, kMulti: Int): DataFrame = {
+    val singles = counts.filter(length(col("piece")) === 1)
+    val multi = counts.filter(length(col("piece")) > 1)
+      .orderBy(col("n").desc, col("piece").asc).limit(kMulti)
+    singles.unionByName(multi)
+  }
+
+  /** Driver collect of an already-pruned vocabulary frame (model-sized
+    * by [[prune]]'s contract). */
+  private def collectCounts(df: DataFrame): Seq[(String, Long)] =
+    df.select(col("piece"), col("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
 
   /** Costs for a counted vocabulary: [[costOf]] over its own total. */
   def withCosts(counts: Seq[(String, Long)]): Seq[(String, Long)] = {

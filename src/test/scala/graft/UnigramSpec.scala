@@ -111,6 +111,25 @@ class UnigramSpec extends SparkSpec {
     assert(out == out2)
   }
 
+  test("train's prune is distributed: TakeOrdered top-k, so the driver " +
+    "collects <= kMulti + alphabet rows of any corpus-sized count frame") {
+    // 26 singles + 5000 multi-char pieces: far more than kMulti, the
+    // shape of the seed-substring frame train prunes BEFORE collecting
+    val counts = (('a' to 'z').map(c => (c.toString, 100L)) ++
+      (1 to 5000).map(i => (f"mp$i%05d", i.toLong))).toDF("piece", "n")
+    val pruned = Unigram.prune(counts, 50)
+    assert(pruned.count() == 26 + 50)
+    // top-k multi pieces by (n DESC, piece ASC): the 50 largest n win
+    val multiKept = pruned.filter(length($"piece") > 1)
+      .as[(String, Long)].collect().toSeq
+    assert(multiKept.map(_._2).min == 4951L, multiKept.map(_._2).min)
+    // the limit plans as a distributed TakeOrdered, never a global
+    // sort + CollectLimit of the full frame (the r10 seed-collect bug)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CollectLimit"), plan)
+  }
+
   test("costOf is the integer-quantized negative log-prob") {
     assert(Unigram.costOf(1, 1) == 0L)
     assert(Unigram.costOf(50, 100) == math.round(-1000.0 * math.log(0.5)))
