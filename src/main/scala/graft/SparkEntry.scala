@@ -2583,12 +2583,21 @@ object SparkEntry {
     // multimodal NEAR-DUP: portable integer pHash over the (stubbed)
     // decode features, SimHash-style pigeonhole chunk blocking at
     // Hamming <= 2, xor-popcount verify - bucket pairs only, no cross
-    // join at any scale
-    "q_mm_phash_pairs" -> ((s, dir) =>
-      graft.llm.Multimodal.phashNearDupPairs(
-        graft.llm.Multimodal.syntheticAssets(t(s, dir, "documents"),
-          "doc_id", "text"),
-        maxHamming = 2)),
+    // join at any scale. Every 50th document re-enters byte-identical
+    // under asset_id + 1,000,000: the stub features are hash-derived
+    // (not locality-sensitive), so these planted Hamming-0 duplicates
+    // are what keeps the MATCHING path non-vacuous - all corpus texts
+    // are distinct and uncorrelated 64-bit hashes land within
+    // Hamming <= 2 only with negligible probability (by design).
+    "q_mm_phash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = graft.llm.Multimodal.syntheticAssets(docs, "doc_id", "text")
+      val planted = graft.llm.Multimodal.syntheticAssets(
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
+        .withColumn("asset_id", col("asset_id") + lit(1000000L))
+      graft.llm.Multimodal.phashNearDupPairs(base.unionByName(planted),
+        maxHamming = 2)
+    }),
 
     // two-modality dedup funnel: asset-level (exact pHash group) vs
     // text-level (normMd5 group) survivorship per asset
@@ -2733,6 +2742,15 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // oracle parity requires doc_id-ordered delivery, which this
+      // source guarantees only as SINGLE-batch (one file, AvailableNow,
+      // no maxFilesPerTrigger); enforce rather than assume - a config
+      // or source change that splits the run into multiple batches
+      // must fail here, not hash-mismatch downstream
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"q_stream_neardup needs single-batch delivery for doc_id-order " +
+          s"parity with the rank-capped oracle; got $dataBatches data batches")
       import s.implicits._
       graft.streaming.StreamingNearDup.flagSummary(
         s.table(name).as[graft.streaming.StreamingNearDup.DupFlag])
@@ -5359,12 +5377,19 @@ object SparkEntry {
     // the BIGINT min literal - DuckDB's << errors at 63 - and sum()
     // goes through HUGEINT so the cast back to BIGINT is exact),
     // 3-chunk (22/21/21) pigeonhole blocking at Hamming <= 2,
-    // xor-popcount verify
+    // xor-popcount verify; every 50th document re-enters byte-identical
+    // at doc_id + 1,000,000 (the planted Hamming-0 pairs that keep the
+    // matching path non-vacuous, mirroring the Spark side)
     "q_mm_phash_pairs" ->
-      """WITH f AS (SELECT doc_id, i,
+      """WITH d2 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+             FROM documents
+           UNION ALL
+           SELECT CAST(doc_id + 1000000 AS BIGINT), text
+             FROM documents WHERE doc_id % 50 = 0),
+         f AS (SELECT doc_id, i,
              ('0x' || substr(md5(text || '|' || CAST(i AS VARCHAR)), 1, 12))
                ::BIGINT AS fv
-           FROM documents, LATERAL (SELECT unnest(range(0, 64)) AS i)),
+           FROM d2, LATERAL (SELECT unnest(range(0, 64)) AS i)),
          p AS (SELECT doc_id,
              CAST(sum(CASE WHEN fv < thr THEN 0
                            WHEN i = 63 THEN (-9223372036854775808)::BIGINT
