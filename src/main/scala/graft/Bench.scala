@@ -86,9 +86,12 @@ object Bench {
     // >25%, ran on a contended machine - re-run once and keep the min
     // (the r9 driver cold total was a 1.7x outlier by exactly this
     // signature: warm agreed with the committed run within 2%).
-    def loadAvg(): Double =
-      java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
+    // getSystemLoadAverage returns -1.0 where the platform has no load
+    // average; record JSON null then, never the -1 sentinel (downstream
+    // skew analysis must not ingest it as a real load)
+    def loadAvg(): Option[Double] =
+      Some(java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage).filter(_ >= 0)
     val loadStart = loadAvg()
     val passes = (1 to nPasses).map { i =>
       if (i > 1) resetPassState()
@@ -114,8 +117,9 @@ object Bench {
       if (math.min(coldTotal, warmTotal) > 0)
         math.abs(coldTotal - warmTotal) / math.min(coldTotal, warmTotal)
       else 0.0
+    def msOpt(v: Option[Double]): String = v.map(ms).getOrElse("null")
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"loadavg_start":${ms(loadStart)},"loadavg_end":${ms(loadEnd)},"cold_warm_skew":${ms(skew)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"loadavg_start":${msOpt(loadStart)},"loadavg_end":${msOpt(loadEnd)},"cold_warm_skew":${ms(skew)},"sf":"$sfDir"}"""
     if (only.isEmpty) { // a filtered run must not clobber the full record
       try {
         // cwd-relative: lands in whatever checkout ran the bench

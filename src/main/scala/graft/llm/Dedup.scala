@@ -397,13 +397,25 @@ object Dedup {
     * frame to the scores, then a single component-partitioned window
     * pass (rank + member count share the one shuffle). Window
     * partitions are near-dup clusters - bounded by cluster size, never
-    * corpus-sized. */
+    * corpus-sized.
+    *
+    * `scored` must cover every id appearing in `pairs`: a component
+    * member with no score FAILS the job (left join + raise_error)
+    * instead of silently vanishing - an inner join here would
+    * undercount n_members and could mispick keep_id without any
+    * signal. */
   def nearDupClusterPick(scored: DataFrame, pairs: DataFrame,
                          scoreCol: String,
                          idCol: String = "doc_id"): DataFrame = {
     val comps = connectedComponents(pairs)
-    val members = comps.join(
-      scored.select(col(idCol).as("id"), col(scoreCol).as("__s")), Seq("id"))
+    val members = comps
+      .join(scored.select(col(idCol).as("id"), col(scoreCol).as("__s")),
+        Seq("id"), "left")
+      .withColumn("__s", when(col("__s").isNull,
+          raise_error(concat(lit("nearDupClusterPick: pair-graph member id "),
+            col("id").cast("string"),
+            lit(" has no row in the scored frame"))))
+        .otherwise(col("__s")))
     val byComp = Window.partitionBy(col("component"))
     val pick = byComp.orderBy(col("__s").desc, col("id").asc)
     members

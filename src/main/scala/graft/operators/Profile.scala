@@ -59,10 +59,15 @@ object Profile {
       (d, p) => percentile(d, lit(p)))
 
   /** Distributed EXACT profile - the 100 TB exact path. Same output
-    * schema and (for integer-valued columns, where quartile
-    * interpolation at dyadic fractions is exact in double) the same
-    * values as [[summarize]], with no per-column value-map aggregation
-    * buffer anywhere in the plan:
+    * schema and the same values as [[summarize]] for columns whose
+    * values are exactly representable in double (|v| <= 2^53 for
+    * integer columns; quartile interpolation at dyadic fractions is
+    * then exact). The caveat covers n_distinct too: this path counts
+    * distinct DOUBLE-CAST values (the histogram key), while
+    * [[summarize]] counts distinct original values - a long column
+    * with magnitude beyond 2^53 can collapse neighbors under the cast
+    * and report fewer distincts here. No per-column value-map
+    * aggregation buffer anywhere in the plan:
     *
     *   1. one scan explodes (col_name, value) pairs for all profiled
     *      columns, then a partial-aggregable `groupBy(col_name, v)`

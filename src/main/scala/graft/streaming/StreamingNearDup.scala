@@ -88,7 +88,17 @@ object StreamingNearDup {
     * caps at `maxBucketDocs` stored signatures - later docs are still
     * compared, no longer stored. `timeoutMs > 0` adds processing-time
     * eviction of idle buckets (streaming only; the batch twin and
-    * tests use 0 = NoTimeout). */
+    * tests use 0 = NoTimeout).
+    *
+    * Ordering contract: "seen before" is ARRIVAL order. Docs are
+    * sorted by doc_id only WITHIN a micro-batch group, so batch/oracle
+    * equivalence (dup_of < doc_id, stored set = first maxBucketDocs by
+    * id) holds iff delivery is doc_id-ordered across micro-batches -
+    * trivially true for a single batch. A multi-batch
+    * out-of-id-order stream is still correct ONLINE semantics (flag
+    * against what was actually seen), but diverges from the
+    * rank-capped batch oracle; the registry query ENFORCES
+    * single-batch delivery at run time rather than assume it. */
   def flagNearDups(banded: Dataset[BandDoc], estMinAgree: Int = 6,
                    maxBucketDocs: Int = 1000,
                    timeoutMs: Long = 0L): Dataset[DupFlag] = {

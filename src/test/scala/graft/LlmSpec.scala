@@ -465,6 +465,15 @@ class LlmSpec extends SparkSpec {
     val got = Dedup.nearDupClusterPick(scored, pairs, "score")
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 2L, 3L), (10L, 11L, 2L)))
+    // a pair-graph member with NO score must fail loudly (silent inner-
+    // join disappearance undercounts n_members and can mispick keep_id)
+    val partial = scored.filter($"doc_id" =!= 3L)
+    val e = intercept[Exception] {
+      Dedup.nearDupClusterPick(partial, pairs, "score").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("has no row in the scored frame")), e)
   }
 
   test("SCALE: no CartesianProduct / BroadcastNestedLoop in pair plans") {

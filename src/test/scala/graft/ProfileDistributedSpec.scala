@@ -31,6 +31,42 @@ class ProfileDistributedSpec extends SparkSpec {
     }
   }
 
+  test("cumBefore's two references to the ranged frame resolve to ONE " +
+    "range exchange (shard boundaries cannot disagree between branches)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    // correctness depends on both plan references to `ranged` agreeing
+    // on shard assignment: RangePartitioner samples with a per-RDD-id
+    // seed, so two INDEPENDENT materializations could place boundaries
+    // differently and corrupt the cumsum. This pins the reuse - a
+    // Spark/AQE change that breaks exchange reuse fails here instead.
+    val d = (1 to 500).map(i => ((i % 5).toString, i.toLong, 1L))
+      .toDF("stratum", "ord", "x")
+    val out = ShardedPrefixSum.cumBefore(d, "x", "stratum", "ord", 8, "cum")
+    out.collect() // execute so AQE finalizes the inspected plan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val next = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: next.flatMap(flatten)
+    }
+    val all = flatten(out.queryExecution.executedPlan)
+    val rangeExchanges = all.collect {
+      case s: ShuffleExchangeExec
+        if s.outputPartitioning.isInstanceOf[RangePartitioning] => s
+    }
+    assert(rangeExchanges.nonEmpty, all.map(_.nodeName).mkString("\n"))
+    // every range-exchange reference must be the SAME physical exchange
+    // (reused stage), never a second independent materialization
+    assert(rangeExchanges.map(System.identityHashCode).distinct.size == 1,
+      out.queryExecution.executedPlan.toString)
+  }
+
   test("summarizeDistributed returns the exact summarize rows " +
     "bit-for-bit on integer columns, nulls and all-null included") {
     val rnd = new scala.util.Random(11)
