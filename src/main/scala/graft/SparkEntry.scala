@@ -146,6 +146,39 @@ object SparkEntry {
               FROM (SELECT vec_id, embedding, $simCols FROM embeddings)))"""
   }
 
+  /** Shared DuckDB recomputation of the nprobe=2 IVF kNN join (the
+    * first-5-vectors query set, self excluded, rank <= 5): the oracle
+    * for BOTH q_ann_knn_join (batch window-rank plan) and q_stream_ann
+    * (stream-static candidates + keyed-state top-k) - the two engines'
+    * paths must produce identical ranked rows. */
+  private lazy val knnJoinOracleSql: String = {
+    val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+    val sims = Ann.unitCentroids(centroids).map(dotSql)
+    val legs = sims.zipWithIndex.map { case (s, i) =>
+      s"SELECT vec_id AS q_id, embedding, $s AS s, $i AS cell FROM embeddings WHERE vec_id < 5"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH probe AS (
+           SELECT q_id, embedding AS qv, cell FROM (
+             SELECT q_id, embedding, cell,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY s DESC, cell ASC) AS rn
+             FROM ($legs))
+           WHERE rn <= 2),
+         cand AS (
+           SELECT p.q_id, p.qv, c.vec_id AS neighbor_id, c.embedding
+           FROM probe p JOIN ${ivfCellFromSql(centroids)} c
+             ON c.ivf_cell = p.cell
+           WHERE c.vec_id <> p.q_id)
+         SELECT q_id, neighbor_id, rank FROM (
+           SELECT q_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 CAST(qv AS DOUBLE[])) DESC NULLS LAST,
+               neighbor_id ASC) AS BIGINT) AS rank
+           FROM cand)
+         WHERE rank <= 5"""
+  }
+
   /** PQ codebooks for q_ann_pq_assign: 4 subspaces x 8 codewords x 16
     * dims, deterministic (seeded) - literals on both engines. */
   private def pqCodebooks: Seq[Seq[Seq[Double]]] =
@@ -2756,6 +2789,41 @@ object SparkEntry {
         s.table(name).as[graft.streaming.StreamingNearDup.DupFlag])
     }),
 
+    // streaming ANN top-k retrieval: query vectors stream against the
+    // STATIC IVF-celled corpus (stateless probe-cell stream-static
+    // equi-join, Spark's own cosine scoring), then k-bounded keyed
+    // state per query merges candidates into the final ranked top-k.
+    // MUST return exactly the batch knnJoin rows - the oracle IS
+    // q_ann_knn_join's, shared verbatim.
+    "q_stream_ann" -> ((s, dir) => {
+      val name = "stream_ann_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+      val src = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+        .filter(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "q_id")
+      val cands = graft.streaming.StreamingAnn.candidates(
+        src, t(s, dir, "embeddings"), centroids, nprobe = 2,
+        excludeSelf = true)
+      val q = graft.streaming.StreamingAnn.topK(cands, k = 5)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // append-mode top-k re-emits refined rows if a query's candidates
+      // span micro-batches; exact batch parity holds single-batch only
+      // (one file, AvailableNow, no maxFilesPerTrigger) - enforce it
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"q_stream_ann needs single-batch delivery for exact batch " +
+          s"parity with the knnJoin oracle; got $dataBatches data batches")
+      s.table(name)
+    }),
+
     "q_stream_windowed" -> ((s, dir) => {
       val name = "stream_counts_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
@@ -5240,33 +5308,13 @@ object SparkEntry {
 
     // per-query probe cells via (sim desc, cell asc) rank; same unit
     // centroids + list_dot_product as the Spark side
-    "q_ann_knn_join" -> {
-      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
-      val sims = Ann.unitCentroids(centroids).map(dotSql)
-      val legs = sims.zipWithIndex.map { case (s, i) =>
-        s"SELECT vec_id AS q_id, embedding, $s AS s, $i AS cell FROM embeddings WHERE vec_id < 5"
-      }.mkString("\n           UNION ALL ")
-      s"""WITH probe AS (
-           SELECT q_id, embedding AS qv, cell FROM (
-             SELECT q_id, embedding, cell,
-               row_number() OVER (PARTITION BY q_id
-                 ORDER BY s DESC, cell ASC) AS rn
-             FROM ($legs))
-           WHERE rn <= 2),
-         cand AS (
-           SELECT p.q_id, p.qv, c.vec_id AS neighbor_id, c.embedding
-           FROM probe p JOIN ${ivfCellFromSql(centroids)} c
-             ON c.ivf_cell = p.cell
-           WHERE c.vec_id <> p.q_id)
-         SELECT q_id, neighbor_id, rank FROM (
-           SELECT q_id, neighbor_id,
-             CAST(row_number() OVER (PARTITION BY q_id
-               ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                 CAST(qv AS DOUBLE[])) DESC NULLS LAST,
-               neighbor_id ASC) AS BIGINT) AS rank
-           FROM cand)
-         WHERE rank <= 5"""
-    },
+    "q_ann_knn_join" -> knnJoinOracleSql,
+
+    // the STREAMING retrieval path must return exactly the batch
+    // knnJoin rows - same oracle, shared verbatim, so any divergence
+    // between the keyed-state top-k and the window-rank batch plan
+    // hash-mismatches immediately
+    "q_stream_ann" -> knnJoinOracleSql,
 
     // recall@5 recomputed: the q_ann_knn_join probe/candidate/rank CTEs
     // for the approximate side, a brute-force window rank for the exact

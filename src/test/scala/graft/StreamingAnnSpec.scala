@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.llm.Ann
+import graft.streaming.StreamingAnn
+import graft.streaming.StreamingAnn.{Cand, Hit}
+
+/** Streaming ANN top-k retrieval: batch agreement with Ann.knnJoin,
+  * cross-batch state merge, tie-breaking, and the k bound. */
+class StreamingAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = {
+    val rnd = new scala.util.Random(23)
+    (0L until 40L).map(i =>
+      (i, Seq.fill(8)((rnd.nextGaussian() * 0.5 + (i % 4) * 0.7).toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("batch path: candidates + topK returns exactly Ann.knnJoin") {
+    val emb = fixture
+    val centroids = Ann.hyperplanes(8, 4, seed = 11L)
+    val queries = emb.filter($"vec_id" < 3).withColumnRenamed("vec_id", "q_id")
+    val got = StreamingAnn.topK(
+        StreamingAnn.candidates(queries, emb, centroids, nprobe = 2,
+          excludeSelf = true), k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val expect = Ann.knnJoin(queries, emb, k = 3, centroids, nprobe = 2,
+        excludeSelf = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect && got.size == 9)
+  }
+
+  test("cross-batch merge keeps the global best k, not the last batch's") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Cand]
+    input.addData(Cand(1L, 10L, 0.9), Cand(1L, 20L, 0.5))
+    val q = StreamingAnn.topK(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("ann_hits")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val after1 = spark.table("ann_hits").as[Hit].collect().toSet
+    assert(after1 == Set(Hit(1L, 10L, 1L), Hit(1L, 20L, 2L)))
+    // batch 2: 0.7 displaces 0.5 but not 0.9 - the state merge is
+    // against everything seen, not batch-local
+    input.addData(Cand(1L, 30L, 0.7))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("ann_hits").as[Hit].collect().toSet
+    assert(all == after1 ++ Set(Hit(1L, 10L, 1L), Hit(1L, 30L, 2L)))
+  }
+
+  test("ties order by neighbor_id; emissions never exceed k") {
+    val cands = Seq(
+      Cand(7L, 5L, 0.8), Cand(7L, 3L, 0.8), Cand(7L, 9L, 0.8),
+      Cand(7L, 1L, 0.2)).toDS()
+    val hits = StreamingAnn.topK(cands, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hits == Set((7L, 3L, 1L), (7L, 5L, 2L), (7L, 9L, 3L)))
+  }
+}
