@@ -1990,6 +1990,19 @@ object SparkEntry {
         alpha = 0.5, strataCol = "stratum")
         .select(col("doc_id"), col("stratum"), col("kept"))),
 
+    // greedy token-budget selection: best documents by stopword-ratio
+    // quality score until 10k BPE-ish tokens are spent; the global
+    // greedy order runs through the sharded prefix sum (no single-task
+    // window), the straddling doc is kept (cum_before < budget)
+    "q_sample_token_budget" -> ((s, dir) => {
+      val scored = TextAnalysis.withQualityFeatures(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountBpeIsh(col("text")).as("n_tokens"),
+          col("stopword_ratio").as("score"))
+      graft.llm.Splitting.tokenBudgetSelect(scored, budget = 10000L,
+        scoreCol = "score", tokenCol = "n_tokens")
+    }),
+
     // explicit target-weight mixture over the same skewed stratum:
     // big targets 30%, small 70%, mid is OUT of the recipe (weight 0 ->
     // dropped) - exercises the keep-all sentinel, a fractional cutoff,
@@ -3314,6 +3327,32 @@ object SparkEntry {
                 CAST(substr(md5('temp-v1' || d.text), 1, 8)
                   < coalesce(cut.cutoff, 'g') AS INT) AS kept
          FROM d LEFT JOIN cut ON cut.stratum = d.stratum""",
+
+    // greedy token-budget selection recomputed: the q_t_tokens BPE-ish
+    // token count and the q_t_quality stopword-ratio score (both
+    // already hash-matched queries, so the doubles agree bit-for-bit),
+    // a window cumsum in (score DESC, doc_id ASC) order, keep every
+    // row whose preceding sum is under the 10k budget
+    "q_sample_token_budget" ->
+      """WITH s AS (SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                    t -> t <> ''))
+               + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+               AS INT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               w -> list_contains(['the','a','an','and','or','of','to','in','is',
+                 'it','that','for','on','with','as','was','at','by'], w)))
+               AS DOUBLE)
+               / len(string_split_regex(lower(trim(text)), '\s+')) AS score
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens, score,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+           FROM s)
+         SELECT doc_id, n_tokens, score, cum_before FROM c
+         WHERE cum_before < 10000""",
 
     // target-weight mixture recomputed: same skewed stratum, ratio =
     // CASE-weight / n, rate = round(ratio / max(ratio), 6), the shared

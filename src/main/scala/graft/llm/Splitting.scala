@@ -30,6 +30,36 @@ object Splitting {
           .otherwise("test"))
   }
 
+  /** Greedy token-budget selection - the data-mixing primitive "take
+    * the best documents until the token budget is spent": rank every
+    * document by (scoreCol DESC, idCol ASC) - a total order - and keep
+    * exactly the documents whose cumulative token count BEFORE them is
+    * < `budget` (the greedy prefix; the straddling document is kept,
+    * its predecessor sum is still under budget). Output keeps the
+    * input id/token/score columns plus `cum_before`.
+    *
+    * Scale shape: the global greedy order is NOT a single-task global
+    * window - it runs through [[graft.operators.ShardedPrefixSum]]
+    * (range partition on the order key, parallel within-shard cumsums,
+    * broadcast shard offsets), so a 100 TB corpus ranks and
+    * prefix-sums fully parallel. The descending score component rides
+    * as a negated column (ShardedPrefixSum orders ascending), and ties
+    * break by id on both engines, keeping the selection deterministic
+    * and SQL-replayable. */
+  def tokenBudgetSelect(df: DataFrame, budget: Long, scoreCol: String,
+                        tokenCol: String, idCol: String = "doc_id",
+                        numShards: Int = 0): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    val keyed = df.select(col(idCol), col(tokenCol), col(scoreCol))
+      .withColumn("__tb_neg", negate(col(scoreCol).cast("double")))
+      .withColumn("__tb_all", lit(0))
+    graft.operators.ShardedPrefixSum
+      .cumBefore(keyed, tokenCol, "__tb_all", Seq("__tb_neg", idCol),
+        numShards, "cum_before")
+      .filter(col("cum_before") < budget)
+      .drop("__tb_neg", "__tb_all")
+  }
+
   /** 8-hex-digit (32-bit) cutoff for a keep rate: a row survives when
     * its hash prefix compares below this string. */
   private[llm] def rateCutoffHex(rate: Double): String = {

@@ -34,7 +34,18 @@ object ShardedPrefixSum {
     * `numShards <= 0` defaults to spark.sql.shuffle.partitions. */
   def cumBefore(df: DataFrame, tokenCol: String,
                 strataCol: String, orderCol: String,
+                numShards: Int, outCol: String): DataFrame =
+    cumBefore(df, tokenCol, strataCol, Seq(orderCol), numShards, outCol)
+
+  /** Composite-order variant: the running order is the lexicographic
+    * (orderCols...) ascending order within each stratum - same
+    * two-level topology, with the range partition and both window
+    * passes keyed on the full column list. Use a negated column for a
+    * descending component (keeps the single code path). */
+  def cumBefore(df: DataFrame, tokenCol: String,
+                strataCol: String, orderCols: Seq[String],
                 numShards: Int, outCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "cumBefore needs at least one order column")
     val shards =
       if (numShards > 0) numShards
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
@@ -46,11 +57,11 @@ object ShardedPrefixSum {
     // deterministically, so the two branches always agree on shard
     // assignment.
     val ranged = df
-      .repartitionByRange(shards, col(strataCol), col(orderCol))
+      .repartitionByRange(shards, (strataCol +: orderCols).map(col): _*)
       .withColumn("__pfx_shard", spark_partition_id())
     val wIn = Window
       .partitionBy(col(strataCol), col("__pfx_shard"))
-      .orderBy(col(orderCol))
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = sum(col(tokenCol)).over(wIn) - col(tokenCol)
     // Per-(stratum, shard) totals: at most `shards` + |strata| rows -

@@ -1598,6 +1598,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("token-budget select: greedy prefix in score order, straddler " +
+    "kept, no single-task global window") {
+    // scores force the order 30, 10, 20 (desc); tokens 40+40+40 against
+    // budget 100: 30 (cum 0) and 10 (cum 40) kept, 20 (cum 80) kept as
+    // the straddler (80 < 100), 99 (cum 120) dropped
+    val d = Seq(
+      (10L, 40L, 0.8), (20L, 40L, 0.5), (30L, 40L, 0.9), (99L, 40L, 0.1)
+    ).toDF("doc_id", "n_tokens", "score")
+    val out = graft.llm.Splitting.tokenBudgetSelect(d, budget = 100L,
+      scoreCol = "score", tokenCol = "n_tokens")
+    val got = out.select("doc_id", "cum_before")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(30L -> 0L, 10L -> 40L, 20L -> 80L))
+    // ties on score break by id: equal-score docs select low ids first
+    val tied = (1L to 6L).map(i => (i, 10L, 0.5)).toDF("doc_id", "n_tokens", "score")
+    val keptTied = graft.llm.Splitting.tokenBudgetSelect(tied, budget = 30L,
+      scoreCol = "score", tokenCol = "n_tokens")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTied == Set(1L, 2L, 3L))
+    // the greedy order must be sharded, never one global window task
+    val plan = out.queryExecution.executedPlan.toString
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty &&
+      winLines.forall(l => l.contains("__pfx_shard")), winLines.mkString("\n"))
+  }
+
   test("mixture repeat: reference keeps one copy, under-represented repeats") {
     // natural 40/10 vs targets big=0.3, small=0.7: ratio_big = 0.3/40 is
     // the positive minimum -> big is the keep-once reference (rate 1.0
