@@ -45,13 +45,23 @@ object Splitting {
     * prefix-sums fully parallel. The descending score component rides
     * as a negated column (ShardedPrefixSum orders ascending), and ties
     * break by id on both engines, keeping the selection deterministic
-    * and SQL-replayable. */
+    * and SQL-replayable. A null score or token count FAILS the job
+    * (raise_error): a null score would otherwise sort first under the
+    * negated ascending order - silently "best" - and a null token
+    * count would vanish from the running sum. */
   def tokenBudgetSelect(df: DataFrame, budget: Long, scoreCol: String,
                         tokenCol: String, idCol: String = "doc_id",
                         numShards: Int = 0): DataFrame = {
     require(budget > 0, s"budget $budget must be positive")
+    // fail loud on null score/tokens: a null score would otherwise sort
+    // FIRST under the negated ascending order (silently "best"), and a
+    // null token count would vanish from the running sum
     val keyed = df.select(col(idCol), col(tokenCol), col(scoreCol))
-      .withColumn("__tb_neg", negate(col(scoreCol).cast("double")))
+      .withColumn("__tb_neg", when(
+          col(scoreCol).isNull || col(tokenCol).isNull,
+          raise_error(concat(lit("tokenBudgetSelect: null score/tokens at "),
+            lit(s"$idCol="), col(idCol).cast("string"))))
+        .otherwise(negate(col(scoreCol).cast("double"))))
       .withColumn("__tb_all", lit(0))
     graft.operators.ShardedPrefixSum
       .cumBefore(keyed, tokenCol, "__tb_all", Seq("__tb_neg", idCol),

@@ -52,7 +52,13 @@ object StreamingAnn {
     * [[Ann.ivfAssign]] cell, score with [[Ann.cosine]]. A corpus
     * vector lives in exactly one cell and a query probes distinct
     * cells, so each (query, neighbor) pair appears at most once per
-    * delivery. Works identically on batch and streaming `queries`. */
+    * delivery. Works identically on batch and streaming `queries`.
+    *
+    * Null embeddings on either side are dropped (a null cosine is not
+    * a candidate, and would NPE the primitive-double [[Cand]] encoder);
+    * this diverges from [[Ann.knnJoin]] only when a query has fewer
+    * than k non-null candidates, where knnJoin pads with null-cosine
+    * rows ranked last. */
   def candidates(queries: DataFrame, corpus: DataFrame,
                  centroids: Seq[Seq[Double]], nprobe: Int = 2,
                  excludeSelf: Boolean = false,
@@ -60,10 +66,12 @@ object StreamingAnn {
                  vecCol: String = "embedding"): Dataset[Cand] = {
     import queries.sparkSession.implicits._
     val probed = queries
+      .filter(col(vecCol).isNotNull)
       .select(col(qIdCol).cast("long").as("q_id"), col(vecCol).as("__qv"))
       .withColumn("cell",
         explode(Ann.probeCellsCol(col("__qv"), centroids, nprobe)))
-    val cells = Ann.ivfAssign(corpus, centroids, vecCol)
+    val cells = Ann.ivfAssign(corpus.filter(col(vecCol).isNotNull),
+        centroids, vecCol)
       .select(col(cIdCol).cast("long").as("neighbor_id"),
         col(vecCol).as("__cv"), col("ivf_cell").as("cell"))
     val joined = probed.join(cells, Seq("cell"))

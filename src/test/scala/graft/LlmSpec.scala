@@ -1623,6 +1623,17 @@ class LlmSpec extends SparkSpec {
       .filter(_.contains("windowspecdefinition")).toSeq
     assert(winLines.nonEmpty &&
       winLines.forall(l => l.contains("__pfx_shard")), winLines.mkString("\n"))
+    // a null score must fail loudly, never silently rank best
+    val withNull = Seq((1L, java.lang.Long.valueOf(10L), java.lang.Double.valueOf(0.5)),
+      (2L, java.lang.Long.valueOf(10L), null.asInstanceOf[java.lang.Double]))
+      .toDF("doc_id", "n_tokens", "score")
+    val err = intercept[Exception] {
+      graft.llm.Splitting.tokenBudgetSelect(withNull, budget = 100L,
+        scoreCol = "score", tokenCol = "n_tokens").collect()
+    }
+    def msgs2(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
+    assert(msgs2(err).exists(_.contains("null score/tokens")), err)
   }
 
   test("mixture repeat: reference keeps one copy, under-represented repeats") {

@@ -50,6 +50,23 @@ class StreamingAnnSpec extends SparkSpec {
     assert(all == after1 ++ Set(Hit(1L, 10L, 1L), Hit(1L, 30L, 2L)))
   }
 
+  test("null embeddings are dropped from both sides, not NPE'd") {
+    val emb = fixture
+    val withNulls = emb.unionByName(
+      Seq((100L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val centroids = Ann.hyperplanes(8, 4, seed = 11L)
+    val queries = withNulls.filter($"vec_id" === 0L || $"vec_id" === 100L)
+      .withColumnRenamed("vec_id", "q_id")
+    val hits = StreamingAnn.topK(
+        StreamingAnn.candidates(queries, withNulls, centroids, nprobe = 2,
+          excludeSelf = true), k = 3)
+      .as[(Long, Long, Long)].collect()
+    // the null query contributes nothing; the null corpus row is never
+    // a neighbor; the real query still gets its k hits
+    assert(hits.map(_._1).toSet == Set(0L) && hits.length == 3)
+    assert(!hits.exists(_._2 == 100L))
+  }
+
   test("ties order by neighbor_id; emissions never exceed k") {
     val cands = Seq(
       Cand(7L, 5L, 0.8), Cand(7L, 3L, 0.8), Cand(7L, 9L, 0.8),
