@@ -1636,6 +1636,30 @@ class LlmSpec extends SparkSpec {
     assert(msgs2(err).exists(_.contains("null score/tokens")), err)
   }
 
+  test("token-budget select equals the naive global-window greedy on " +
+    "random frames") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(5, 41)) {
+      val rnd = new scala.util.Random(seed)
+      // coarse scores force ties; tokens vary; budget cuts mid-corpus
+      val d = (1L to 300L).map(i =>
+        (i, (rnd.nextInt(30) + 1).toLong, (rnd.nextInt(5) * 0.25)))
+        .toDF("doc_id", "n_tokens", "score")
+      val w = Window.orderBy($"score".desc, $"doc_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = d
+        .withColumn("cum_before", sum($"n_tokens").over(w) - $"n_tokens")
+        .filter($"cum_before" < 1000)
+        .select("doc_id", "cum_before")
+        .as[(Long, Long)].collect().toSet
+      val got = graft.llm.Splitting.tokenBudgetSelect(d, budget = 1000L,
+          scoreCol = "score", tokenCol = "n_tokens")
+        .select("doc_id", "cum_before")
+        .as[(Long, Long)].collect().toSet
+      assert(got == naive, s"seed=$seed")
+    }
+  }
+
   test("mixture repeat: reference keeps one copy, under-represented repeats") {
     // natural 40/10 vs targets big=0.3, small=0.7: ratio_big = 0.3/40 is
     // the positive minimum -> big is the keep-once reference (rate 1.0

@@ -31,6 +31,32 @@ class ProfileDistributedSpec extends SparkSpec {
     }
   }
 
+  test("composite-order cumBefore equals the naive multi-key window " +
+    "cumsum on random frames, at any shard count") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(3, 17, 99)) {
+      val rnd = new scala.util.Random(seed)
+      // duplicate (stratum, k1) pairs with distinct k2 tie-breakers so
+      // the composite order genuinely matters
+      val d = (1 to 400).map { i =>
+        (s"s${rnd.nextInt(3)}", rnd.nextInt(12).toLong, i.toLong,
+          rnd.nextInt(7).toLong)
+      }.toDF("stratum", "k1", "k2", "x")
+      val w = Window.partitionBy("stratum").orderBy("k1", "k2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = d.withColumn("cum", sum($"x").over(w) - $"x")
+        .select("stratum", "k1", "k2", "cum")
+        .as[(String, Long, Long, Long)].collect().toSet
+      for (shards <- Seq(1, 5, 16)) {
+        val got = ShardedPrefixSum
+          .cumBefore(d, "x", "stratum", Seq("k1", "k2"), shards, "cum")
+          .select("stratum", "k1", "k2", "cum")
+          .as[(String, Long, Long, Long)].collect().toSet
+        assert(got == naive, s"seed=$seed shards=$shards")
+      }
+    }
+  }
+
   test("cumBefore's two references to the ranged frame resolve to ONE " +
     "range exchange (shard boundaries cannot disagree between branches)") {
     import org.apache.spark.sql.execution.SparkPlan
