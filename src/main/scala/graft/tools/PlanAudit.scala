@@ -83,11 +83,20 @@ object PlanAudit {
       "q_t_byte_roundtrip", // encode -> decode identity chain
       "q_t_max_spans",    // step-1 chain spans (lag window)
       "q_t_max_span_trim",// maximal-span trim + reassembly
-      "q_mm_phash_pairs", // pHash chunk blocking pair join
+      "q_mm_phash_pairs", // pHash bucket-collect pair generation (r11)
       "q_mm_asset_dedup", // two-modality survivorship joins
-      "q_agr_counts")     // post-fix: upsert must be an equi-join
+      "q_agr_counts",     // post-fix: upsert must be an equi-join
+      "q_t_unigram",      // native Viterbi over the distinct-word frame
+      "q_t_unigram_train",// distributed-prune EM rounds (r11 seed fix)
+      "q_sample_token_budget") // sharded greedy prefix selection (r11)
 
-    interesting.foreach { name =>
+    // SPARK_GRAFT_ONLY=a,b restricts the audit (same convention as
+    // Bench/Verify) for single-query plan iterations
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+
+    interesting.filter(n => only.forall(_.contains(n))).foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       // execute THIS QueryExecution (df.write would clone it), so AQE
       // finalizes the plan we inspect
