@@ -2636,7 +2636,16 @@ object SparkEntry {
     // are distinct and uncorrelated 64-bit hashes land within
     // Hamming <= 2 only with negligible probability (by design).
     "q_mm_phash_pairs" -> ((s, dir) => {
+      // the planted namespace (doc_id + 1,000,000) is provably disjoint
+      // only while every real doc_id stays below 1e6; enforce that
+      // IN-PLAN (any over-range id raises during the scan) so a larger
+      // fixture can never silently alias planted ids with real assets
       val docs = t(s, dir, "documents")
+        .withColumn("doc_id", when(col("doc_id") >= 1000000L,
+            raise_error(concat(
+              lit("q_mm_phash_pairs: doc_id "), col("doc_id").cast("string"),
+              lit(" >= 1000000 collides with the planted-duplicate namespace"))))
+          .otherwise(col("doc_id")))
       val base = graft.llm.Multimodal.syntheticAssets(docs, "doc_id", "text")
       val planted = graft.llm.Multimodal.syntheticAssets(
           docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")

@@ -414,7 +414,7 @@ object Dedup {
       .withColumn("__s", when(col("__s").isNull,
           raise_error(concat(lit("nearDupClusterPick: pair-graph member id "),
             col("id").cast("string"),
-            lit(" has no row in the scored frame"))))
+            lit(" is missing from the scored frame or has a null score"))))
         .otherwise(col("__s")))
     val byComp = Window.partitionBy(col("component"))
     val pick = byComp.orderBy(col("__s").desc, col("id").asc)

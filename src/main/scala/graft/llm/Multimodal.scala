@@ -130,15 +130,30 @@ object Multimodal {
     * collisions do. */
   def withPHash(df: DataFrame, payloadCol: String = "bytes",
                 outCol: String = "phash"): DataFrame = {
-    val dim = 64
-    val fs = (0 until dim).map { i =>
+    val fs = (0 until 64).map { i =>
       conv(substring(md5(concat(col(payloadCol).cast("string"),
         lit("|" + i))), 1, 12), 16, 10).cast("long").as(s"__f$i")
     }
-    val staged = df.select(col("*") +: fs: _*)
-    // 64 features < 2^48 each: total < 2^54, no overflow; bit 63's
-    // weight is Long.MinValue and is added LAST (ascending reduce), so
-    // every partial sum stays in range under ANSI arithmetic.
+    withPHashFromFeatures(df, fs, outCol)
+  }
+
+  /** The pHash bit math over 64 caller-provided NON-NEGATIVE long
+    * feature columns (each < 2^48 so the 64-term sum stays in Long
+    * range): bit i is 1 iff feature_i >= floor(mean of the 64)
+    * (threshold via shift: 64 features, >> 6 - all-integer, no
+    * rounding ambiguity). Shared by the md5 stub ([[withPHash]]) and
+    * the real image decode path ([[withImagePHash]]) - swapping the
+    * decoder swaps the 64 feature expressions, never this machinery.
+    * Bit 63's weight is Long.MinValue and is added LAST (ascending
+    * reduce), so every partial sum stays in range under ANSI
+    * arithmetic. */
+  def withPHashFromFeatures(df: DataFrame, features: Seq[Column],
+                            outCol: String = "phash"): DataFrame = {
+    val dim = 64
+    require(features.size == dim, s"pHash needs 64 features, got ${features.size}")
+    val staged = df.select(col("*") +: features.zipWithIndex.map {
+      case (f, i) => f.as(s"__f$i")
+    }: _*)
     val total = (0 until dim).map(i => col(s"__f$i")).reduce(_ + _)
     val thr = shiftright(total, 6)
     val hash = (0 until dim)
@@ -157,18 +172,34 @@ object Multimodal {
     * candidates verify by integer xor popcount. Output:
     * (asset_id_a < asset_id_b, hamming).
     *
-    * Pair generation is ONE aggregation, not a bucket self-join: each
-    * (chunk, value) bucket collects its <= maxBucketSize (id, hash)
-    * members - 16 bytes each, so the aggregation buffer is bounded by
-    * the cap, never by corpus skew - and in-bucket pairs explode from
-    * the sorted member array. The self-join form evaluated the
-    * 64-feature hash pipeline THREE times (the bucket-size window plus
-    * both join sides re-derived it; measured 2.8s -> this shape 1.x s
-    * at sf0.1); here the feature scan and md5 pipeline run exactly
-    * once, and the only corpus-sized shuffles are the bucket groupBy
-    * and the cross-chunk pair dedup. */
+    * Pair generation is ONE collecting aggregation, not a bucket
+    * self-join: each surviving (chunk, value) bucket collects its
+    * 2..maxBucketSize (id, hash) members - 16 bytes each - and
+    * in-bucket pairs explode from the sorted member array. Bucket
+    * SIZES are counted FIRST (a count aggregate over the same bucket
+    * exchange) and over-cap buckets are dropped by a semi-join BEFORE
+    * any member is collected, so a degenerate hot bucket (one hash
+    * value covering most of a skewed corpus) never builds an
+    * unbounded array in an aggregation buffer - the collect buffer is
+    * bounded by the cap under ANY skew. The chunked frame is
+    * explicitly hash-partitioned on the bucket key once; the count
+    * pass, the semi-join probe, and the collect pass all reuse that
+    * single exchange (ReuseExchange - same canonical subtree), so the
+    * feature scan and md5 pipeline still run exactly once. The
+    * self-join form this replaced evaluated the 64-feature pipeline
+    * THREE times (measured 4.9s -> 2.9s at sf0.1). */
   def phashNearDupPairs(assets: DataFrame, maxHamming: Int = 2,
-                        maxBucketSize: Int = 1000): DataFrame = {
+                        maxBucketSize: Int = 1000): DataFrame =
+    phashPairsFromHashes(
+      withPHash(assets).select(col("asset_id"), col("phash")),
+      maxHamming, maxBucketSize)
+
+  /** The blocking + verify machinery of [[phashNearDupPairs]] over an
+    * already-hashed (asset_id, phash) frame - the entry point for
+    * alternative feature pipelines (the [[withImagePHash]] real-decode
+    * path plugs in here). */
+  def phashPairsFromHashes(withHash: DataFrame, maxHamming: Int = 2,
+                           maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 4,
       s"maxHamming=$maxHamming outside [1, 4] for a 64-bit hash " +
         "(chunks = maxHamming + 1, each >= 12 bits)")
@@ -176,7 +207,6 @@ object Multimodal {
     val widths = Array.fill(chunks)(64 / chunks)
     (0 until 64 % chunks).foreach(widths(_) += 1)
     val offsets = widths.scanLeft(0)(_ + _).init
-    val withHash = withPHash(assets).select(col("asset_id"), col("phash"))
     val chunkCols = (0 until chunks).map { c =>
       shiftright(col("phash"), offsets(c))
         .bitwiseAND((1L << widths(c)) - 1)
@@ -184,10 +214,19 @@ object Multimodal {
     val chunked = withHash.select(col("asset_id"), col("phash"),
         posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
+      .repartition(col("chunk"), col("chunkVal"))
+    // size gate BEFORE collecting: over-cap (skewed) buckets never
+    // reach the collect_list buffer; both aggregations and the join
+    // probe share chunked's one repartition exchange
+    val keptKeys = chunked
+      .groupBy(col("chunk"), col("chunkVal"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn").between(2, maxBucketSize))
+      .select(col("chunk"), col("chunkVal"))
     val buckets = chunked
+      .join(keptKeys, Seq("chunk", "chunkVal"), "left_semi")
       .groupBy(col("chunk"), col("chunkVal"))
       .agg(collect_list(struct(col("asset_id"), col("phash"))).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucketSize))
     // sorted member array (struct order = asset_id first), so every
     // emitted pair has asset_id_a < asset_id_b by construction
     val arr = array_sort(col("ms"))

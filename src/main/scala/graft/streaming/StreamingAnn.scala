@@ -86,7 +86,14 @@ object StreamingAnn {
     * batch's candidates into the stored best-k list ordered by
     * (sim DESC, neighbor_id ASC) - the [[Ann.knnJoin]] total order -
     * and emit the group's current top-k as ranked [[Hit]]s. State per
-    * query is exactly <= k entries. */
+    * query is exactly <= k entries.
+    *
+    * At-least-once safe: the merge DEDUPES by neighbor_id (keeping the
+    * max sim) before ranking, so a re-delivered (query, neighbor)
+    * candidate - a replayed batch, a re-probe of the same corpus row -
+    * cannot occupy two of the k slots and evict a genuinely distinct
+    * neighbor; re-delivering the same candidates re-emits the SAME
+    * ranked rows. */
   def topK(cands: Dataset[Cand], k: Int,
            timeoutMs: Long = 0L): Dataset[Hit] = {
     require(k >= 1, s"k=$k must be positive")
@@ -106,6 +113,9 @@ object StreamingAnn {
             val merged =
               (state.getOption.getOrElse(Nil) ++
                 rows.map(c => (c.neighbor_id, c.sim)))
+                .groupBy(_._1)
+                .map { case (id, xs) => (id, xs.map(_._2).max) }
+                .toList
                 .sortBy { case (id, s) => (-s, id) }
                 .take(k)
             state.update(merged)

@@ -473,7 +473,8 @@ class LlmSpec extends SparkSpec {
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("has no row in the scored frame")), e)
+    assert(msgs(e).exists(
+      _.contains("is missing from the scored frame or has a null score")), e)
   }
 
   test("SCALE: no CartesianProduct / BroadcastNestedLoop in pair plans") {
@@ -897,6 +898,22 @@ class LlmSpec extends SparkSpec {
     assert(funnel(3L) == ((3L, 1, 0, 0))) // caught ONLY by the text pass
     assert(funnel(4L) == ((4L, 1, 1, 1)))
     assert(funnel(5L) == ((5L, 0, 0, 0)))
+  }
+
+  test("phash blocking: over-cap buckets are dropped BEFORE collection, " +
+    "at-cap buckets pair completely") {
+    // 5 byte-identical payloads share every chunk bucket (size 5)
+    val d = (1L to 5L).map((_, "same payload")).toDF("doc_id", "text")
+    val assets = Multimodal.syntheticAssets(d, "doc_id", "text")
+    // cap below the bucket size: the size gate must drop the bucket in
+    // the pre-collect count pass - no pairs survive
+    assert(Multimodal.phashNearDupPairs(assets, maxHamming = 2,
+      maxBucketSize = 4).count() == 0)
+    // cap at the bucket size: all C(5,2)=10 hamming-0 pairs emerge
+    val pairs = Multimodal.phashNearDupPairs(assets, maxHamming = 2,
+      maxBucketSize = 5).as[(Long, Long, Int)].collect().toSet
+    assert(pairs == (for { a <- 1L to 5L; b <- 1L to 5L if a < b }
+      yield (a, b, 0)).toSet)
   }
 
   test("boilerplate chunks shared by >=2 docs are removed in order") {

@@ -50,6 +50,27 @@ class StreamingAnnSpec extends SparkSpec {
     assert(all == after1 ++ Set(Hit(1L, 10L, 1L), Hit(1L, 30L, 2L)))
   }
 
+  test("at-least-once redelivery: a replayed candidate cannot occupy " +
+    "two slots or evict a distinct neighbor") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Cand]
+    input.addData(Cand(1L, 10L, 0.9), Cand(1L, 20L, 0.5))
+    val q = StreamingAnn.topK(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("ann_redeliver")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2 redelivers batch 1 verbatim (at-least-once): the state
+    // merge must dedupe by neighbor_id, so the re-emission is the SAME
+    // ranked rows - without the dedupe, neighbor 10 would fill both
+    // slots and rank-2 would flip from 20 to 10
+    input.addData(Cand(1L, 10L, 0.9), Cand(1L, 20L, 0.5))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ann_redeliver").as[Hit].collect().toSeq
+    assert(rows.size == 4)
+    assert(rows.toSet == Set(Hit(1L, 10L, 1L), Hit(1L, 20L, 2L)))
+  }
+
   test("null embeddings are dropped from both sides, not NPE'd") {
     val emb = fixture
     val withNulls = emb.unionByName(
