@@ -2662,6 +2662,59 @@ object SparkEntry {
           "doc_id", "text"),
         t(s, dir, "documents"))),
 
+    // REAL image codec, feature-verified end to end: render each doc a
+    // 16x16 grayscale gradient PNG through the JDK encoder, DECODE it
+    // back (javax.imageio - a genuine codec round trip, not the hash
+    // stub), extract the 8x8 block-mean luma grid, threshold into the
+    // pHash. The gradient's block means have an exact integer closed
+    // form (2a*gx + 2b*gy + c + (a+b)/2), so DuckDB verifies decode +
+    // feature extraction + hash arithmetic bit-for-bit without any
+    // image library. Per-row map work only - no shuffle, no state.
+    "q_mm_image_phash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("asset_id"),
+        (col("doc_id") % 64).cast("int").as("c"),
+        (col("doc_id") % 7 + 1).cast("int").as("a"),
+        (col("doc_id") % 5 + 1).cast("int").as("b"))
+      val staged = docs
+        .withColumn("bytes", graft.llm.Multimodal.grayImageBytes(
+          col("c"), col("a"), col("b"), 16, 16, "png"))
+        .withColumn("grid",
+          graft.llm.Multimodal.imageLumaFeatures(col("bytes")))
+      graft.llm.Multimodal.withPHashFromFeatures(staged,
+          (0 until 64).map(i => element_at(col("grid"), i + 1)))
+        .withColumn("feat_sum",
+          aggregate(col("grid"), lit(0L), (acc, x) => acc + x))
+        .select(col("asset_id"), col("feat_sum"), col("phash"))
+    }),
+
+    // REAL-DECODE near-dup pairs: block-noise fixtures (diverse 64-bit
+    // hashes, unlike the gradient whose pHash collapses to its
+    // orientation) rendered as PNG; every 50th doc re-enters as a BMP
+    // re-encode of the SAME pixels under asset_id + 1,000,000. The
+    // planted cross-CODEC duplicates surface at Hamming 0 only if both
+    // decoders recover identical pixels - byte-level the payloads
+    // differ entirely. Same pigeonhole blocking as q_mm_phash_pairs.
+    "q_mm_image_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("doc_id", when(col("doc_id") >= 1000000L,
+            raise_error(concat(
+              lit("q_mm_image_pairs: doc_id "), col("doc_id").cast("string"),
+              lit(" >= 1000000 collides with the planted-duplicate namespace"))))
+          .otherwise(col("doc_id")))
+      val base = docs.select(col("doc_id").cast("long").as("asset_id"),
+        graft.llm.Multimodal.blockNoiseImageBytes(
+          col("doc_id"), 16, 16, 2, "png").as("bytes"))
+      val planted = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).cast("long").as("asset_id"),
+          graft.llm.Multimodal.blockNoiseImageBytes(
+            col("doc_id"), 16, 16, 2, "bmp").as("bytes"))
+      val hashed = graft.llm.Multimodal
+        .withImagePHash(base.unionByName(planted))
+        .select(col("asset_id"), col("phash"))
+      graft.llm.Multimodal.phashPairsFromHashes(hashed, maxHamming = 2)
+    }),
+
     // IVF coarse quantization (rows-only): cell histogram under
     // deterministic centroids
     "q_ann_ivf" -> ((s, dir) => {
@@ -5542,6 +5595,69 @@ object SparkEntry {
          FROM documents d
          LEFT JOIN pk ON pk.asset_id = d.doc_id
          LEFT JOIN tk ON tk.asset_id = d.doc_id""",
+
+    // real-codec round trip, closed form: the Spark side encodes a
+    // 16x16 gray gradient PNG and DECODES it with javax.imageio; the
+    // oracle recomputes the 8x8 block-mean features arithmetically
+    // (block mean of luma = c + a*x + b*y over a 2x2 block is
+    // 2a*gx + 2b*gy + c + (a+b)/2, exactly) - a hash mismatch means
+    // the codec round trip or the grid math broke
+    "q_mm_image_phash" ->
+      """WITH f AS (SELECT doc_id, i,
+             2 * (doc_id % 7 + 1) * (i % 8)
+               + 2 * (doc_id % 5 + 1) * (i // 8)
+               + (doc_id % 64)
+               + ((doc_id % 7 + 1) + (doc_id % 5 + 1)) // 2 AS fv
+           FROM documents, LATERAL (SELECT unnest(range(0, 64)) AS i))
+         SELECT CAST(doc_id AS BIGINT) AS asset_id,
+                CAST(sum(fv) AS BIGINT) AS feat_sum,
+                CAST(sum(CASE WHEN fv < thr THEN 0
+                              WHEN i = 63 THEN (-9223372036854775808)::BIGINT
+                              ELSE 1::BIGINT << i END)
+                  AS BIGINT) AS phash
+         FROM (SELECT doc_id, i, fv,
+                 CAST(sum(fv) OVER (PARTITION BY doc_id) AS BIGINT) >> 6 AS thr
+               FROM f)
+         GROUP BY doc_id""",
+
+    // real-decode near-dup pairs: block-noise cell luma
+    // (seed*7919 + cell*104729) % 251 replayed arithmetically (cell
+    // size = feature block size, so block mean = cell luma); planted
+    // BMP re-encodes of every 50th doc's PNG pixels at
+    // doc_id + 1,000,000; then the same 3-chunk (22/21/21) pigeonhole
+    // blocking and xor-popcount verify as q_mm_phash_pairs
+    "q_mm_image_pairs" ->
+      """WITH d2 AS (SELECT CAST(doc_id AS BIGINT) AS asset_id,
+                CAST(doc_id AS BIGINT) AS seed
+             FROM documents
+           UNION ALL
+           SELECT CAST(doc_id + 1000000 AS BIGINT), CAST(doc_id AS BIGINT)
+             FROM documents WHERE doc_id % 50 = 0),
+         f AS (SELECT asset_id, i,
+             (seed * 7919 + i * 104729) % 251 AS fv
+           FROM d2, LATERAL (SELECT unnest(range(0, 64)) AS i)),
+         p AS (SELECT asset_id,
+             CAST(sum(CASE WHEN fv < thr THEN 0
+                           WHEN i = 63 THEN (-9223372036854775808)::BIGINT
+                           ELSE 1::BIGINT << i END)
+               AS BIGINT) AS phash
+           FROM (SELECT asset_id, i, fv,
+               CAST(sum(fv) OVER (PARTITION BY asset_id) AS BIGINT) >> 6 AS thr
+             FROM f)
+           GROUP BY asset_id),
+         c AS (SELECT asset_id, phash, u.chunk,
+             CASE u.chunk WHEN 0 THEN phash & 4194303
+                          WHEN 1 THEN (phash >> 22) & 2097151
+                          ELSE (phash >> 43) & 2097151 END AS chunkval
+           FROM p, LATERAL (SELECT unnest(range(0, 3)) AS chunk) u),
+         b AS (SELECT * FROM (SELECT *,
+               count(*) OVER (PARTITION BY chunk, chunkval) AS bs FROM c)
+           WHERE bs <= 1000)
+         SELECT DISTINCT a.asset_id AS asset_id_a, bb.asset_id AS asset_id_b,
+                CAST(bit_count(xor(a.phash, bb.phash)) AS INT) AS hamming
+         FROM b a JOIN b bb ON a.chunk = bb.chunk
+           AND a.chunkval = bb.chunkval AND a.asset_id < bb.asset_id
+         WHERE bit_count(xor(a.phash, bb.phash)) <= 2""",
 
     // gap-based sessionization recomputed via lag + running break count;
     // a session breaks only at gap > 900s - Spark session windows merge

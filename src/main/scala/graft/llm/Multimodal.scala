@@ -8,12 +8,20 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample plumbing.
   *
-  * The actual codec step is STUBBED - this container has no image/audio
-  * libraries - behind `fakeDecodeFeatures`, a deterministic
+  * The IMAGE codec is REAL: [[imageLumaFeatures]] decodes PNG/BMP/GIF
+  * payloads with the JDK's own `javax.imageio`
+  * ([[graft.functions.ImageLumaGrid]] - no external library) and
+  * extracts the block-mean luma grid that [[withImagePHash]] thresholds
+  * into a perceptual hash; [[phashPairsFromHashes]] then finds
+  * cross-codec near-duplicates from genuinely decoded pixels.
+  *
+  * The AUDIO/VIDEO codec step remains STUBBED - this container ships no
+  * audio/video codecs - behind `fakeDecodeFeatures`, a deterministic
   * hash-derived feature vector clearly marked as a stand-in. Everything
   * around it (schema, partitioning, batch shape, pruning-friendly
   * metadata) is real: swapping the stub for a JNI/FFI decoder changes
-  * one expression, not the pipeline.
+  * one expression, not the pipeline - exactly the swap the image leg
+  * has now made.
   *
   * Scale notes: binaries stay opaque end-to-end (no decode before
   * filter); metadata lives in a sibling struct so planners prune the
@@ -109,6 +117,70 @@ object Multimodal {
     df.select(col("asset_id"), col("media_type"),
       col("meta.width"), col("meta.height"), col("meta.duration_ms"))
 
+  // ------------------------------------------------ real image decode
+
+  /** REAL decode + feature extraction for image payloads: the
+    * grid x grid block-mean luma vector via the native
+    * [[graft.functions.ImageLumaGrid]] expression (JDK `javax.imageio`,
+    * zero external deps). Per-row map work inside codegen - no
+    * shuffle, no driver state. Fails loudly on undecodable bytes;
+    * screen with [[imageDecodable]] when the corpus may contain junk. */
+  def imageLumaFeatures(bytes: Column, grid: Int = 8): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.ImageLumaGrid(
+        org.apache.spark.sql.GraftSqlBridge.expression(bytes), grid))
+
+  /** True iff the JDK resolves an image reader for the payload - the
+    * quarantine predicate in front of [[imageLumaFeatures]]. */
+  def imageDecodable(bytes: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.ImageDecodable(
+        org.apache.spark.sql.GraftSqlBridge.expression(bytes)))
+
+  /** Deterministic grayscale fixture rendered THROUGH a real JDK
+    * encoder (png/bmp/gif): luma(x,y) = base + xStep*x + yStep*y. The
+    * linear gradient's block means have an exact integer closed form,
+    * so an external engine can oracle the full encode -> decode ->
+    * feature chain arithmetically. */
+  def grayImageBytes(base: Column, xStep: Column, yStep: Column,
+                     w: Int, h: Int, format: String = "png"): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.GrayImageEncode(
+        org.apache.spark.sql.GraftSqlBridge.expression(base.cast("int")),
+        org.apache.spark.sql.GraftSqlBridge.expression(xStep.cast("int")),
+        org.apache.spark.sql.GraftSqlBridge.expression(yStep.cast("int")),
+        w, h, format))
+
+  /** Deterministic grayscale BLOCK-NOISE fixture through a real JDK
+    * encoder: cell i's luma = (seed * 7919 + i * 104729) mod 251. Each
+    * seed gets an effectively random 64-bit pHash (the linear
+    * gradient's hash collapses to its orientation - brightness
+    * invariance erases the base), so corpus-wide near-dup queries stay
+    * sparse; the closed form stays exact for an external oracle. */
+  def blockNoiseImageBytes(seed: Column, w: Int, h: Int, block: Int,
+                           format: String = "png"): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.GrayBlockImageEncode(
+        org.apache.spark.sql.GraftSqlBridge.expression(seed.cast("long")),
+        w, h, block, format))
+
+  /** [[withPHash]]'s REAL-DECODE twin: 64 features = the 8x8 block-mean
+    * luma grid of the DECODED image payload, thresholded by the same
+    * bit = feature >= floor(mean) machinery
+    * ([[withPHashFromFeatures]]). Two encodings of the same pixels -
+    * PNG vs BMP, original vs losslessly re-encoded - produce identical
+    * hashes; a uniform brightness shift moves every feature AND the
+    * threshold together, leaving the hash unchanged (the perceptual
+    * robustness a DCT pHash has and a byte hash does not). */
+  def withImagePHash(df: DataFrame, payloadCol: String = "bytes",
+                     outCol: String = "phash"): DataFrame = {
+    val staged = df.withColumn("__luma_grid",
+      imageLumaFeatures(col(payloadCol), grid = 8))
+    withPHashFromFeatures(staged,
+      (0 until 64).map(i => element_at(col("__luma_grid"), i + 1)), outCol)
+      .drop("__luma_grid")
+  }
+
   // ------------------------------------------------ perceptual near-dup
 
   /** Portable 64-bit integer PERCEPTUAL HASH over the (stubbed) decode
@@ -176,18 +248,20 @@ object Multimodal {
     * self-join: each surviving (chunk, value) bucket collects its
     * 2..maxBucketSize (id, hash) members - 16 bytes each - and
     * in-bucket pairs explode from the sorted member array. Bucket
-    * SIZES are counted FIRST (a count aggregate over the same bucket
-    * exchange) and over-cap buckets are dropped by a semi-join BEFORE
-    * any member is collected, so a degenerate hot bucket (one hash
-    * value covering most of a skewed corpus) never builds an
-    * unbounded array in an aggregation buffer - the collect buffer is
-    * bounded by the cap under ANY skew. The chunked frame is
-    * explicitly hash-partitioned on the bucket key once; the count
-    * pass, the semi-join probe, and the collect pass all reuse that
-    * single exchange (ReuseExchange - same canonical subtree), so the
-    * feature scan and md5 pipeline still run exactly once. The
-    * self-join form this replaced evaluated the 64-feature pipeline
-    * THREE times (measured 4.9s -> 2.9s at sf0.1). */
+    * SIZES are counted FIRST by a window over the bucket partition
+    * and over-cap buckets are dropped BEFORE any member reaches the
+    * collect_list buffer, so a degenerate hot bucket (one hash value
+    * covering most of a skewed corpus) can never build an unbounded
+    * array in an aggregation buffer: WindowExec's partition buffer
+    * SPILLS to disk, so the worst case for a hot bucket is one
+    * spilled sort task that then filters to nothing - slow, never
+    * OOM. The window, filter, and collect aggregation all ride the
+    * SAME bucket-key exchange (window partitioning is preserved), so
+    * the feature scan and hash pipeline run exactly once - a
+    * two-subtree count-then-semi-join gate would re-evaluate the
+    * feature pipeline on both join legs (measured 2x on the
+    * real-decode path), and the self-join form this replaced
+    * evaluated it THREE times (measured 4.9s -> 2.9s at sf0.1). */
   def phashNearDupPairs(assets: DataFrame, maxHamming: Int = 2,
                         maxBucketSize: Int = 1000): DataFrame =
     phashPairsFromHashes(
@@ -214,17 +288,15 @@ object Multimodal {
     val chunked = withHash.select(col("asset_id"), col("phash"),
         posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
-      .repartition(col("chunk"), col("chunkVal"))
-    // size gate BEFORE collecting: over-cap (skewed) buckets never
-    // reach the collect_list buffer; both aggregations and the join
-    // probe share chunked's one repartition exchange
-    val keptKeys = chunked
-      .groupBy(col("chunk"), col("chunkVal"))
-      .agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn").between(2, maxBucketSize))
-      .select(col("chunk"), col("chunkVal"))
+    // size gate BEFORE collecting: the window count rides the bucket
+    // exchange (spill-safe partition buffer), so over-cap (skewed)
+    // buckets are dropped before any member reaches the collect_list
+    // aggregation buffer, and the collect reuses the same partitioning
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk"), col("chunkVal"))
     val buckets = chunked
-      .join(keptKeys, Seq("chunk", "chunkVal"), "left_semi")
+      .withColumn("__bn", count(lit(1)).over(wBucket))
+      .filter(col("__bn").between(2, maxBucketSize))
       .groupBy(col("chunk"), col("chunkVal"))
       .agg(collect_list(struct(col("asset_id"), col("phash"))).as("ms"))
     // sorted member array (struct order = asset_id first), so every
