@@ -68,6 +68,41 @@ object SparkEntry {
         phases = OrthologPipeline.BucketedPhases(prefix, base, buckets = 16))
     }
 
+  /** Two-micro-batch file-stream fixture: writes `first` and `second`
+    * as single parquet FILES (a.parquet stamped older than b.parquet)
+    * into a fresh temp dir, so a file stream with maxFilesPerTrigger=1
+    * under Trigger.AvailableNow delivers exactly two data batches in
+    * that order - the cross-batch state-merge path the single-batch
+    * registry queries cannot reach. The dir is session scratch,
+    * removed by a JVM shutdown hook like the flagship state store. */
+  private def twoFileStreamDir(prefix: String, first: DataFrame,
+                               second: DataFrame): String = {
+    val base = java.nio.file.Files.createTempDirectory(prefix).toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(base)
+    }))
+    def writeOne(df: DataFrame, fileName: String, mtime: Long): Unit = {
+      val tmp = new java.io.File(base, fileName + "_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(base, fileName).toPath)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      new java.io.File(base, fileName).setLastModified(mtime): Unit
+    }
+    // 2 min in the past so the stamps are strictly ordered and safely
+    // below "now" (the file source orders batches by mod time)
+    val t0 = System.currentTimeMillis() - 120000L
+    writeOne(first, "a.parquet", t0)
+    writeOne(second, "b.parquet", t0 + 60000L)
+    base.toString
+  }
+
   /** The flagship --agrOrthologs run, memoized the same way. */
   private def agrResult(s: SparkSession, dir: String): graft.pipeline.AgrPipeline.Result =
     graft.pipeline.Memo.once(s, s"agr:$dir") {
@@ -151,6 +186,48 @@ object SparkEntry {
     * for BOTH q_ann_knn_join (batch window-rank plan) and q_stream_ann
     * (stream-static candidates + keyed-state top-k) - the two engines'
     * paths must produce identical ranked rows. */
+  /** Shared DuckDB recomputation of the streaming LSH near-dup flagger
+    * (md5-permutation signatures, rank-capped stored sets, >= 6/16
+    * agreement) - the oracle for BOTH q_stream_neardup (single-batch
+    * delivery) and q_stream_neardup_mb (two doc_id-ordered batches):
+    * a correct cross-batch state merge must reproduce the identical
+    * doc_id-ordered replay. */
+  private val streamNearDupOracleSql: String =
+    """WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               t -> t <> '') AS ws
+           FROM documents),
+         g AS (SELECT doc_id,
+             unnest(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+               ELSE list_distinct(list_transform(
+                 generate_series(1, len(ws) - 2),
+                 i -> array_to_string(ws[i : i + 2], ' '))) END) AS shingle
+           FROM w),
+         shs AS (SELECT doc_id, list(shingle) AS sh FROM g GROUP BY doc_id),
+         sigs AS MATERIALIZED (SELECT doc_id,
+             list_transform(range(1, 17), i ->
+               list_min(list_transform(sh,
+                 s -> substr(md5(i || '|' || s), 1, 16)))) AS sig
+           FROM shs),
+         bnd AS (SELECT doc_id, b,
+             array_to_string(sig[b*2+1 : b*2+2], '#') AS bandval
+           FROM sigs, LATERAL (SELECT unnest(range(0, 8)) AS b)),
+         rnk AS (SELECT doc_id, b, bandval,
+             row_number() OVER (PARTITION BY b, bandval
+               ORDER BY doc_id) AS rk
+           FROM bnd),
+         flg AS (SELECT l.doc_id AS id_b, a.doc_id AS id_a, a.b AS band
+           FROM rnk a JOIN rnk l
+             ON a.b = l.b AND a.bandval = l.bandval
+             AND a.doc_id < l.doc_id AND a.rk <= 1000
+           JOIN sigs sa ON sa.doc_id = a.doc_id
+           JOIN sigs sb ON sb.doc_id = l.doc_id
+           WHERE len(list_filter(range(1, 17),
+             i -> sa.sig[i] = sb.sig[i])) >= 6)
+         SELECT id_b AS doc_id, min(id_a) AS dup_of,
+                count(DISTINCT band) AS n_dup_bands
+         FROM flg GROUP BY id_b"""
+
   private lazy val knnJoinOracleSql: String = {
     val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
     val sims = Ann.unitCentroids(centroids).map(dotSql)
@@ -2897,6 +2974,79 @@ object SparkEntry {
         s"q_stream_ann needs single-batch delivery for exact batch " +
           s"parity with the knnJoin oracle; got $dataBatches data batches")
       s.table(name)
+    }),
+
+    // MULTI-batch streaming near-dup: the same flagger fed the SAME
+    // corpus split into two micro-batches (maxFilesPerTrigger=1 over a
+    // two-file source dir, lower doc_id half first). Because the split
+    // respects doc_id order, "seen before" across batches still means
+    // doc_id-earlier, so the CROSS-BATCH STATE MERGE (bucket signatures
+    // persisted through the state store between batches) must
+    // reproduce the single-batch rows exactly - the oracle is shared
+    // verbatim with q_stream_neardup, and a >= 2-batch delivery is
+    // asserted at run time (this query is the cross-batch complement
+    // of q_stream_neardup's single-batch guard).
+    "q_stream_neardup_mb" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mid = docs.agg(max(col("doc_id"))).first().getLong(0) / 2
+      val sdir = twoFileStreamDir("graft_neardup_mb",
+        docs.filter(col("doc_id") <= mid), docs.filter(col("doc_id") > mid))
+      val name = "stream_neardup_mb_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val src = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+      val banded = graft.streaming.StreamingNearDup.bandedSigs(src)
+      val q = graft.streaming.StreamingNearDup
+        .flagNearDups(banded, estMinAgree = 6, maxBucketDocs = 1000)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 2,
+        s"q_stream_neardup_mb must exercise the cross-batch state merge; " +
+          s"got $dataBatches data batches")
+      import s.implicits._
+      graft.streaming.StreamingNearDup.flagSummary(
+        s.table(name).as[graft.streaming.StreamingNearDup.DupFlag])
+    }),
+
+    // MULTI-batch streaming ANN with AT-LEAST-ONCE redelivery: batch 2
+    // re-delivers batch 1's query vectors verbatim, so every query's
+    // candidates arrive TWICE and the keyed state must dedupe by
+    // neighbor id on merge - without that, a replayed candidate fills
+    // two of the k slots and the re-emission diverges. Correct merge =>
+    // the second emission repeats the first exactly, so the distinct
+    // over the append sink equals the batch knnJoin rows (oracle shared
+    // verbatim); >= 2 data batches asserted at run time.
+    "q_stream_ann_mb" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val sdir = twoFileStreamDir("graft_ann_mb", queries, queries)
+      val name = "stream_ann_mb_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+      val src = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+        .withColumnRenamed("vec_id", "q_id")
+      val cands = graft.streaming.StreamingAnn.candidates(
+        src, emb, centroids, nprobe = 2, excludeSelf = true)
+      val q = graft.streaming.StreamingAnn.topK(cands, k = 5)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 2,
+        s"q_stream_ann_mb must exercise the redelivery merge; " +
+          s"got $dataBatches data batches")
+      s.table(name).distinct()
     }),
 
     "q_stream_windowed" -> ((s, dir) => {
@@ -5774,41 +5924,17 @@ object SparkEntry {
     // 1000 docs of each bucket (rank cap = the state cap), flag when
     // >= 6 of 16 signature positions agree. sigs is MATERIALIZED - it
     // feeds the band explode and both sides of the agreement join.
-    "q_stream_neardup" ->
-      """WITH w AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
-               t -> t <> '') AS ws
-           FROM documents),
-         g AS (SELECT doc_id,
-             unnest(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-               ELSE list_distinct(list_transform(
-                 generate_series(1, len(ws) - 2),
-                 i -> array_to_string(ws[i : i + 2], ' '))) END) AS shingle
-           FROM w),
-         shs AS (SELECT doc_id, list(shingle) AS sh FROM g GROUP BY doc_id),
-         sigs AS MATERIALIZED (SELECT doc_id,
-             list_transform(range(1, 17), i ->
-               list_min(list_transform(sh,
-                 s -> substr(md5(i || '|' || s), 1, 16)))) AS sig
-           FROM shs),
-         bnd AS (SELECT doc_id, b,
-             array_to_string(sig[b*2+1 : b*2+2], '#') AS bandval
-           FROM sigs, LATERAL (SELECT unnest(range(0, 8)) AS b)),
-         rnk AS (SELECT doc_id, b, bandval,
-             row_number() OVER (PARTITION BY b, bandval
-               ORDER BY doc_id) AS rk
-           FROM bnd),
-         flg AS (SELECT l.doc_id AS id_b, a.doc_id AS id_a, a.b AS band
-           FROM rnk a JOIN rnk l
-             ON a.b = l.b AND a.bandval = l.bandval
-             AND a.doc_id < l.doc_id AND a.rk <= 1000
-           JOIN sigs sa ON sa.doc_id = a.doc_id
-           JOIN sigs sb ON sb.doc_id = l.doc_id
-           WHERE len(list_filter(range(1, 17),
-             i -> sa.sig[i] = sb.sig[i])) >= 6)
-         SELECT id_b AS doc_id, min(id_a) AS dup_of,
-                count(DISTINCT band) AS n_dup_bands
-         FROM flg GROUP BY id_b""",
+    "q_stream_neardup" -> streamNearDupOracleSql,
+
+    // the MULTI-batch run must reproduce the identical rows: the
+    // doc_id-ordered two-batch split keeps "seen before" == doc_id-
+    // earlier, so a correct cross-batch state merge is exactly the
+    // single-batch recomputation
+    "q_stream_neardup_mb" -> streamNearDupOracleSql,
+
+    // at-least-once redelivery: a correct dedup-on-merge re-emits the
+    // same ranked rows, so distinct(sink) == the batch kNN join
+    "q_stream_ann_mb" -> knnJoinOracleSql,
 
     // batch recomputation of the watermarked tumbling-window stream
     "q_stream_windowed" ->
