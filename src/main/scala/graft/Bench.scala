@@ -118,8 +118,16 @@ object Bench {
         math.abs(coldTotal - warmTotal) / math.min(coldTotal, warmTotal)
       else 0.0
     def msOpt(v: Option[Double]): String = v.map(ms).getOrElse("null")
+    // quiet-bench validity, stamped IN the record: skew <= 0.25 catches
+    // asymmetric contention (one pass disturbed), but a UNIFORMLY busy
+    // machine slows cold and warm equally and sails through the skew
+    // gate (the r11 driver run: loadavg_start 6.35, skew 0.119, cold
+    // +58% vs the quiet record). The loadavg_start <= 2 ceiling closes
+    // that hole; an unknown loadavg (platform returns -1) is honest
+    // "not validated", recorded false.
+    val valid = skew <= 0.25 && loadStart.exists(_ <= 2.0)
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"loadavg_start":${msOpt(loadStart)},"loadavg_end":${msOpt(loadEnd)},"cold_warm_skew":${ms(skew)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"loadavg_start":${msOpt(loadStart)},"loadavg_end":${msOpt(loadEnd)},"cold_warm_skew":${ms(skew)},"valid":$valid,"sf":"$sfDir"}"""
     if (only.isEmpty) { // a filtered run must not clobber the full record
       try {
         // cwd-relative: lands in whatever checkout ran the bench

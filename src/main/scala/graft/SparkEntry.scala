@@ -75,8 +75,9 @@ object SparkEntry {
     * that order - the cross-batch state-merge path the single-batch
     * registry queries cannot reach. The dir is session scratch,
     * removed by a JVM shutdown hook like the flagship state store. */
-  private def twoFileStreamDir(prefix: String, first: DataFrame,
-                               second: DataFrame): String = {
+  /** Session-scratch temp dir removed by a JVM shutdown hook (the
+    * flagship state-store convention). */
+  private def scratchDir(prefix: String): java.io.File = {
     val base = java.nio.file.Files.createTempDirectory(prefix).toFile
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
@@ -86,6 +87,12 @@ object SparkEntry {
       }
       rm(base)
     }))
+    base
+  }
+
+  private def twoFileStreamDir(prefix: String, first: DataFrame,
+                               second: DataFrame): String = {
+    val base = scratchDir(prefix)
     def writeOne(df: DataFrame, fileName: String, mtime: Long): Unit = {
       val tmp = new java.io.File(base, fileName + "_tmp")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -227,6 +234,34 @@ object SparkEntry {
          SELECT id_b AS doc_id, min(id_a) AS dup_of,
                 count(DISTINCT band) AS n_dup_bands
          FROM flg GROUP BY id_b"""
+
+  /** Shared DuckDB recomputation of the nprobe=2 IVF-PQ ADC top-10 -
+    * the oracle for BOTH q_ann_ivfpq (plan-time-literal index) and
+    * q_ann_ivfpq_artifact (the identical index through the persisted
+    * AnnArtifact round trip). */
+  private lazy val ivfPqOracleSql: String = {
+    val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+    val codebooks = pqCodebooks
+    val subDim = codebooks.head.head.size
+    val query = annQuery
+    val qnorm = math.sqrt(query.map(x => x * x).sum)
+    val tT = codebooks.zipWithIndex.map { case (cb, j) =>
+      cb.map(c => c.zipWithIndex.map { case (x, i) =>
+        x * query(j * subDim + i) }.sum)
+    }
+    val nT = codebooks.map(_.map(c => c.map(x => x * x).sum))
+    val probes = Ann.probeCells(query, centroids, 2).mkString(", ")
+    val dotSum = codebooks.indices
+      .map(j => s"(${sqlVec(tT(j))})[pq_code_$j + 1]").mkString(" + ")
+    val nSum = codebooks.indices
+      .map(j => s"(${sqlVec(nT(j))})[pq_code_$j + 1]").mkString(" + ")
+    s"""SELECT vec_id, ($dotSum) / ($qnorm * sqrt($nSum)) AS adc_cosine
+        FROM ${pqCodesSql(codebooks)} pq
+        WHERE vec_id IN (SELECT vec_id FROM ${ivfCellFromSql(centroids)}
+                         WHERE ivf_cell IN ($probes))
+        ORDER BY adc_cosine DESC NULLS LAST, vec_id ASC
+        LIMIT 10"""
+  }
 
   private lazy val knnJoinOracleSql: String = {
     val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
@@ -2080,6 +2115,22 @@ object SparkEntry {
         scoreCol = "score", tokenCol = "n_tokens")
     }),
 
+    // PER-STRATUM token budgets - the data-mixing recipe ("2000 src0
+    // tokens, 1000 src1, 500 src2, 300 everything else"): one sharded
+    // prefix-sum pass keyed on the source, budget cut by a literal
+    // when-chain; named budgets, the default fallback, and the greedy
+    // straddler rule all under the hash gate
+    "q_sample_budget_stratum" -> ((s, dir) => {
+      val scored = TextAnalysis.withQualityFeatures(t(s, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCountBpeIsh(col("text")).as("n_tokens"),
+          col("stopword_ratio").as("score"))
+      graft.llm.Splitting.tokenBudgetSelectPerStratum(scored,
+        budgets = Map("src0" -> 2000L, "src1" -> 1000L, "src2" -> 500L),
+        scoreCol = "score", tokenCol = "n_tokens", strataCol = "source",
+        defaultBudget = 300L)
+    }),
+
     // explicit target-weight mixture over the same skewed stratum:
     // big targets 30%, small 70%, mid is OUT of the recipe (weight 0 ->
     // dropped) - exercises the keep-all sentinel, a fractional cutoff,
@@ -2819,6 +2870,23 @@ object SparkEntry {
       val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
       Ann.ivfPqTopK(t(s, dir, "embeddings"), annQuery, 10, centroids,
         pqCodebooks)
+    }),
+
+    // the SAME IVF-PQ search through a PERSISTED index artifact: save
+    // centroids + codebooks to parquet, load them back, search under
+    // the LOADED model - the ship-and-serve path (an index trained
+    // once, served by later sessions). Doubles round-trip bit-exact,
+    // so the oracle is q_ann_ivfpq's, shared verbatim: any loss or
+    // reorder in the artifact round trip re-buckets the probe or
+    // shifts an ADC table and fails the hash compare.
+    "q_ann_ivfpq_artifact" -> ((s, dir) => {
+      val adir = scratchDir("graft_ann_artifact").toString
+      graft.llm.AnnArtifact.save(s,
+        Ann.hyperplanes(annDim, 8, seed = 11L), pqCodebooks, adir)
+      val centroids = graft.llm.AnnArtifact.loadCentroids(s, adir)
+      val codebooks = graft.llm.AnnArtifact.loadCodebooks(s, adir)
+      Ann.ivfPqTopK(t(s, dir, "embeddings"), annQuery, 10, centroids,
+        codebooks)
     }),
 
     // SemDeDup semantic dedup: IVF-celled greedy keep-lowest-id over
@@ -3565,6 +3633,33 @@ object SparkEntry {
            FROM s)
          SELECT doc_id, n_tokens, score, cum_before FROM c
          WHERE cum_before < 10000""",
+
+    // per-stratum greedy budgets: the same tokenizer/score columns,
+    // cum_before partitioned by source, cut by the per-source budget
+    // (named budgets + the 300-token default fallback)
+    "q_sample_budget_stratum" ->
+      """WITH s AS (SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                    t -> t <> ''))
+               + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+               AS INT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               w -> list_contains(['the','a','an','and','or','of','to','in','is',
+                 'it','that','for','on','with','as','was','at','by'], w)))
+               AS DOUBLE)
+               / len(string_split_regex(lower(trim(text)), '\s+')) AS score
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens, score,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+           FROM s)
+         SELECT doc_id, source, n_tokens, score, cum_before FROM c
+         WHERE cum_before < CASE source WHEN 'src0' THEN 2000
+                                        WHEN 'src1' THEN 1000
+                                        WHEN 'src2' THEN 500
+                                        ELSE 300 END""",
 
     // target-weight mixture recomputed: same skewed stratum, ratio =
     // CASE-weight / n, rate = round(ratio / max(ratio), 6), the shared
@@ -5446,29 +5541,11 @@ object SparkEntry {
     // then the score is literal-table lookups summed in fixed order -
     // the SAME driver-computed doubles are embedded as literals in both
     // engines, so the sums are bit-identical (no float-scan margins)
-    "q_ann_ivfpq" -> {
-      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
-      val codebooks = pqCodebooks
-      val subDim = codebooks.head.head.size
-      val query = annQuery
-      val qnorm = math.sqrt(query.map(x => x * x).sum)
-      val tT = codebooks.zipWithIndex.map { case (cb, j) =>
-        cb.map(c => c.zipWithIndex.map { case (x, i) =>
-          x * query(j * subDim + i) }.sum)
-      }
-      val nT = codebooks.map(_.map(c => c.map(x => x * x).sum))
-      val probes = Ann.probeCells(query, centroids, 2).mkString(", ")
-      val dotSum = codebooks.indices
-        .map(j => s"(${sqlVec(tT(j))})[pq_code_$j + 1]").mkString(" + ")
-      val nSum = codebooks.indices
-        .map(j => s"(${sqlVec(nT(j))})[pq_code_$j + 1]").mkString(" + ")
-      s"""SELECT vec_id, ($dotSum) / ($qnorm * sqrt($nSum)) AS adc_cosine
-          FROM ${pqCodesSql(codebooks)} pq
-          WHERE vec_id IN (SELECT vec_id FROM ${ivfCellFromSql(centroids)}
-                           WHERE ivf_cell IN ($probes))
-          ORDER BY adc_cosine DESC NULLS LAST, vec_id ASC
-          LIMIT 10"""
-    },
+    "q_ann_ivfpq" -> ivfPqOracleSql,
+
+    // the artifact round trip is bit-exact, so the loaded-model search
+    // must reproduce the plan-time-literal search identically
+    "q_ann_ivfpq_artifact" -> ivfPqOracleSql,
 
     // SemDeDup recomputed: same cell assignment, a row is dropped iff a
     // lower-id same-cell row is cosine-similar >= 0.4 (NOT EXISTS as a

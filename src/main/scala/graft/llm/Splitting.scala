@@ -70,6 +70,51 @@ object Splitting {
       .drop("__tb_neg", "__tb_all")
   }
 
+  /** PER-STRATUM greedy token-budget selection - the real data-mixing
+    * primitive ("30 B code tokens, 20 B web tokens"): within each
+    * stratum, rank by (scoreCol DESC, idCol ASC) and keep the greedy
+    * prefix whose cumulative tokens BEFORE each document stay under
+    * that stratum's budget (the straddler is kept, exactly the
+    * [[tokenBudgetSelect]] rule applied per stratum). Strata missing
+    * from `budgets` fall back to `defaultBudget`; 0 drops them
+    * entirely (out of the recipe, the [[mixtureSample]] convention).
+    *
+    * Scale shape: ONE [[graft.operators.ShardedPrefixSum]] pass keyed
+    * on the stratum - all strata rank and prefix-sum in the same
+    * range-partitioned topology, a hot stratum ("web" = most of the
+    * corpus) splits across shards instead of serializing through one
+    * window task, and the budget cut is a per-row literal when-chain
+    * (budgets are driver-side CONFIGURATION, config-sized). Null
+    * score/tokens FAIL LOUD exactly as in [[tokenBudgetSelect]]. */
+  def tokenBudgetSelectPerStratum(df: DataFrame, budgets: Map[String, Long],
+                                  scoreCol: String, tokenCol: String,
+                                  strataCol: String = "source",
+                                  idCol: String = "doc_id",
+                                  defaultBudget: Long = 0L,
+                                  numShards: Int = 0): DataFrame = {
+    require(budgets.nonEmpty, "per-stratum budgets must name at least one stratum")
+    require(budgets.values.forall(_ > 0),
+      s"every named budget must be positive: $budgets")
+    require(defaultBudget >= 0, s"defaultBudget $defaultBudget must be >= 0")
+    val keyed = df
+      .select(col(idCol), col(strataCol), col(tokenCol), col(scoreCol))
+      .withColumn("__tb_neg", when(
+          col(scoreCol).isNull || col(tokenCol).isNull,
+          raise_error(concat(
+            lit("tokenBudgetSelectPerStratum: null score/tokens at "),
+            lit(s"$idCol="), col(idCol).cast("string"))))
+        .otherwise(negate(col(scoreCol).cast("double"))))
+    val budgetCol = budgets.foldLeft(lit(defaultBudget)) {
+      case (rest, (stratum, b)) =>
+        when(col(strataCol) === stratum, lit(b)).otherwise(rest)
+    }
+    graft.operators.ShardedPrefixSum
+      .cumBefore(keyed, tokenCol, strataCol, Seq("__tb_neg", idCol),
+        numShards, "cum_before")
+      .filter(col("cum_before") < budgetCol)
+      .drop("__tb_neg")
+  }
+
   /** 8-hex-digit (32-bit) cutoff for a keep rate: a row survives when
     * its hash prefix compares below this string. */
   private[llm] def rateCutoffHex(rate: Double): String = {

@@ -39,6 +39,19 @@ object Smoke {
       .count()
     println(s"NON_PRINTABLE_ASCII_DOCS=$nonPrintable")
 
+    // q_stream_ann / q_stream_ann_mb share the batch knnJoin oracle
+    // VERBATIM, which is sound only while their query frame
+    // (vec_id < 5) has no null embeddings: the streaming side DROPS
+    // nulls where knnJoin pads null-cosine rank-last rows
+    // (StreamingAnn.candidates scaladoc). Enforce the fixture property
+    // here so a fixture change fails the smoke run with a named cause,
+    // not a confusing downstream hash mismatch.
+    val nullAnnQueries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(org.apache.spark.sql.functions.col("vec_id") < 5 &&
+        org.apache.spark.sql.functions.col("embedding").isNull)
+      .count()
+    println(s"NULL_EMBEDDING_ANN_QUERIES=$nullAnnQueries")
+
     var failed = 0
     var planBad = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -57,7 +70,8 @@ object Smoke {
     println(s"QUERIES_OK=${graft.SparkEntry.queries.size - failed} FAILED=$failed")
     println(s"PLAN_VIOLATIONS=$planBad")
     spark.stop()
-    if (failed > 0 || planBad > 0 || nonPrintable > 0) sys.exit(1)
+    if (failed > 0 || planBad > 0 || nonPrintable > 0 ||
+      nullAnnQueries > 0) sys.exit(1)
   }
 
   /** Non-scalar BroadcastNestedLoopJoin / CartesianProduct findings in

@@ -1677,6 +1677,43 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("per-stratum token budgets equal naive per-stratum windows; " +
+    "default fallback and zero-default drop hold") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val d = (1L to 300L).map(i =>
+        (i, s"s${rnd.nextInt(4)}", (rnd.nextInt(30) + 1).toLong,
+          rnd.nextInt(5) * 0.25))
+        .toDF("doc_id", "source", "n_tokens", "score")
+      val budgets = Map("s0" -> 400L, "s1" -> 150L)
+      val w = Window.partitionBy($"source")
+        .orderBy($"score".desc, $"doc_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = d
+        .withColumn("cum_before", sum($"n_tokens").over(w) - $"n_tokens")
+        .filter($"cum_before" < when($"source" === "s0", 400L)
+          .when($"source" === "s1", 150L).otherwise(100L))
+        .select("doc_id", "cum_before").as[(Long, Long)].collect().toSet
+      val got = graft.llm.Splitting.tokenBudgetSelectPerStratum(d, budgets,
+          scoreCol = "score", tokenCol = "n_tokens", strataCol = "source",
+          defaultBudget = 100L)
+        .select("doc_id", "cum_before").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"seed=$seed")
+      // defaultBudget = 0: out-of-recipe strata drop entirely
+      val onlyNamed = graft.llm.Splitting.tokenBudgetSelectPerStratum(d,
+          budgets, scoreCol = "score", tokenCol = "n_tokens",
+          strataCol = "source")
+        .select("source").distinct().as[String].collect().toSet
+      assert(onlyNamed.subsetOf(Set("s0", "s1")), s"seed=$seed")
+    }
+    intercept[IllegalArgumentException] {
+      graft.llm.Splitting.tokenBudgetSelectPerStratum(
+        Seq((1L, "a", 1L, 0.5)).toDF("doc_id", "source", "n_tokens", "score"),
+        Map("a" -> 0L), "score", "n_tokens", "source")
+    }
+  }
+
   test("mixture repeat: reference keeps one copy, under-represented repeats") {
     // natural 40/10 vs targets big=0.3, small=0.7: ratio_big = 0.3/40 is
     // the positive minimum -> big is the keep-once reference (rate 1.0
