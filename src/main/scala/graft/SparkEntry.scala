@@ -2758,26 +2758,21 @@ object SparkEntry {
     // decode features, SimHash-style pigeonhole chunk blocking at
     // Hamming <= 2, xor-popcount verify - bucket pairs only, no cross
     // join at any scale. Every 50th document re-enters byte-identical
-    // under asset_id + 1,000,000: the stub features are hash-derived
+    // under asset_id = -doc_id - 1: the stub features are hash-derived
     // (not locality-sensitive), so these planted Hamming-0 duplicates
     // are what keeps the MATCHING path non-vacuous - all corpus texts
     // are distinct and uncorrelated 64-bit hashes land within
     // Hamming <= 2 only with negligible probability (by design).
     "q_mm_phash_pairs" -> ((s, dir) => {
-      // the planted namespace (doc_id + 1,000,000) is provably disjoint
-      // only while every real doc_id stays below 1e6; enforce that
-      // IN-PLAN (any over-range id raises during the scan) so a larger
-      // fixture can never silently alias planted ids with real assets
+      // planted ids live at -doc_id - 1: PROVABLY disjoint from the
+      // non-negative doc_id domain at every scale factor (an additive
+      // offset like +1e6 silently aliases real assets once doc_ids
+      // outgrow it - the ScaleGen 10x/30x corpora already do)
       val docs = t(s, dir, "documents")
-        .withColumn("doc_id", when(col("doc_id") >= 1000000L,
-            raise_error(concat(
-              lit("q_mm_phash_pairs: doc_id "), col("doc_id").cast("string"),
-              lit(" >= 1000000 collides with the planted-duplicate namespace"))))
-          .otherwise(col("doc_id")))
       val base = graft.llm.Multimodal.syntheticAssets(docs, "doc_id", "text")
       val planted = graft.llm.Multimodal.syntheticAssets(
           docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
-        .withColumn("asset_id", col("asset_id") + lit(1000000L))
+        .withColumn("asset_id", -col("asset_id") - 1L)
       graft.llm.Multimodal.phashNearDupPairs(base.unionByName(planted),
         maxHamming = 2)
     }),
@@ -2819,22 +2814,19 @@ object SparkEntry {
     // REAL-DECODE near-dup pairs: block-noise fixtures (diverse 64-bit
     // hashes, unlike the gradient whose pHash collapses to its
     // orientation) rendered as PNG; every 50th doc re-enters as a BMP
-    // re-encode of the SAME pixels under asset_id + 1,000,000. The
+    // re-encode of the SAME pixels under asset_id = -doc_id - 1. The
     // planted cross-CODEC duplicates surface at Hamming 0 only if both
     // decoders recover identical pixels - byte-level the payloads
     // differ entirely. Same pigeonhole blocking as q_mm_phash_pairs.
     "q_mm_image_pairs" -> ((s, dir) => {
+      // planted BMP twins at -doc_id - 1 (disjoint from real ids at
+      // every scale factor; see q_mm_phash_pairs)
       val docs = t(s, dir, "documents")
-        .withColumn("doc_id", when(col("doc_id") >= 1000000L,
-            raise_error(concat(
-              lit("q_mm_image_pairs: doc_id "), col("doc_id").cast("string"),
-              lit(" >= 1000000 collides with the planted-duplicate namespace"))))
-          .otherwise(col("doc_id")))
       val base = docs.select(col("doc_id").cast("long").as("asset_id"),
         graft.llm.Multimodal.blockNoiseImageBytes(
           col("doc_id"), 16, 16, 2, "png").as("bytes"))
       val planted = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 1000000L).cast("long").as("asset_id"),
+        .select((-col("doc_id") - 1L).cast("long").as("asset_id"),
           graft.llm.Multimodal.blockNoiseImageBytes(
             col("doc_id"), 16, 16, 2, "bmp").as("bytes"))
       val hashed = graft.llm.Multimodal
@@ -5754,13 +5746,13 @@ object SparkEntry {
     // goes through HUGEINT so the cast back to BIGINT is exact),
     // 3-chunk (22/21/21) pigeonhole blocking at Hamming <= 2,
     // xor-popcount verify; every 50th document re-enters byte-identical
-    // at doc_id + 1,000,000 (the planted Hamming-0 pairs that keep the
+    // at -doc_id - 1 (the planted Hamming-0 pairs that keep the
     // matching path non-vacuous, mirroring the Spark side)
     "q_mm_phash_pairs" ->
       """WITH d2 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
              FROM documents
            UNION ALL
-           SELECT CAST(doc_id + 1000000 AS BIGINT), text
+           SELECT -CAST(doc_id AS BIGINT) - 1, text
              FROM documents WHERE doc_id % 50 = 0),
          f AS (SELECT doc_id, i,
              ('0x' || substr(md5(text || '|' || CAST(i AS VARCHAR)), 1, 12))
@@ -5847,21 +5839,21 @@ object SparkEntry {
                FROM f)
          GROUP BY doc_id""",
 
-    // real-decode near-dup pairs: block-noise cell luma
-    // (seed*7919 + cell*104729) % 251 replayed arithmetically (cell
-    // size = feature block size, so block mean = cell luma); planted
+    // real-decode near-dup pairs: block-noise cell luma = first md5
+    // byte of "seed|cell", replayed with DuckDB's own md5 (cell size =
+    // feature block size, so block mean = cell luma); planted
     // BMP re-encodes of every 50th doc's PNG pixels at
-    // doc_id + 1,000,000; then the same 3-chunk (22/21/21) pigeonhole
+    // -doc_id - 1; then the same 3-chunk (22/21/21) pigeonhole
     // blocking and xor-popcount verify as q_mm_phash_pairs
     "q_mm_image_pairs" ->
       """WITH d2 AS (SELECT CAST(doc_id AS BIGINT) AS asset_id,
                 CAST(doc_id AS BIGINT) AS seed
              FROM documents
            UNION ALL
-           SELECT CAST(doc_id + 1000000 AS BIGINT), CAST(doc_id AS BIGINT)
+           SELECT -CAST(doc_id AS BIGINT) - 1, CAST(doc_id AS BIGINT)
              FROM documents WHERE doc_id % 50 = 0),
          f AS (SELECT asset_id, i,
-             (seed * 7919 + i * 104729) % 251 AS fv
+             ('0x' || substr(md5(seed || '|' || i), 1, 2))::BIGINT AS fv
            FROM d2, LATERAL (SELECT unnest(range(0, 64)) AS i)),
          p AS (SELECT asset_id,
              CAST(sum(CASE WHEN fv < thr THEN 0

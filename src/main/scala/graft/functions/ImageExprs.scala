@@ -98,16 +98,19 @@ object GrayImageEncode {
 /** Renders a `w` x `h` 8-bit grayscale BLOCK-NOISE image through a real
   * JDK encoder: the pixel grid splits into `block` x `block` cells and
   * every pixel of cell index i (row-major over cells) has
-  * luma = (seed * 7919 + i * 104729) mod 251. Unlike the linear
-  * gradient (whose pHash collapses to ~|orientations| distinct
-  * values - brightness invariance erases the base term), the per-cell
-  * noise gives each seed an effectively random 64-bit pHash, so a
-  * corpus-wide near-dup query stays SPARSE: only planted same-seed
-  * re-encodes land within a small Hamming radius, chance collisions
-  * are negligible - the same diversity contract the md5-stub pairs
-  * query relies on, now through genuine codec bytes. The closed form
-  * is exact for an external oracle: with cell size = feature block
-  * size, block mean = cell luma itself.
+  * luma = the unsigned FIRST MD5 BYTE of "seed|i". Unlike the linear
+  * gradient (whose pHash collapses to ~|orientations| distinct values -
+  * brightness invariance erases the base term) or any low-modulus
+  * arithmetic pattern (an affine (a*seed + b*i) mod m scheme admits
+  * only m distinct images, so a corpus-wide pairs query degenerates
+  * quadratically - measured: 8k chance pairs on 500 docs under
+  * mod-251), the md5 byte gives each seed 64 independent-looking
+  * features and an effectively unique 64-bit pHash. A corpus-wide
+  * near-dup query therefore stays SPARSE: only planted same-seed
+  * re-encodes land within a small Hamming radius - the diversity
+  * contract the md5-stub pairs query relies on, now through genuine
+  * codec bytes, and still exactly replayable by any engine with md5
+  * (block mean = cell luma when cell size = feature block size).
   */
 case class GrayBlockImageEncode(seed: Expression, w: Int, h: Int,
                                 block: Int, format: String)
@@ -138,18 +141,27 @@ case class GrayBlockImageEncode(seed: Expression, w: Int, h: Int,
 object GrayBlockImageEncode {
   def compute(seed: Long, w: Int, h: Int, block: Int,
               format: String): Array[Byte] = {
-    require(seed >= 0, s"gray_block_image_encode: seed $seed must be >= 0 " +
-      "(the mod-251 closed form assumes non-negative arithmetic)")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cellsPerRow = w / block
+    val nCells = cellsPerRow * (h / block)
+    // cell luma = unsigned first md5 byte of "seed|cell" - matches the
+    // external replay ('0x' || substr(md5(seed || '|' || i), 1, 2))
+    val lumas = new Array[Int](nCells)
+    var c = 0
+    while (c < nCells) {
+      md.reset()
+      lumas(c) = md.digest(
+        (seed.toString + "|" + c).getBytes("UTF-8"))(0) & 0xFF
+      c += 1
+    }
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
-    val cellsPerRow = w / block
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val cell = (y / block) * cellsPerRow + (x / block)
         raster.setSample(x, y, 0,
-          ((seed * 7919L + cell * 104729L) % 251L).toInt)
+          lumas((y / block) * cellsPerRow + (x / block)))
         x += 1
       }
       y += 1

@@ -152,11 +152,12 @@ object Multimodal {
         w, h, format))
 
   /** Deterministic grayscale BLOCK-NOISE fixture through a real JDK
-    * encoder: cell i's luma = (seed * 7919 + i * 104729) mod 251. Each
-    * seed gets an effectively random 64-bit pHash (the linear
-    * gradient's hash collapses to its orientation - brightness
-    * invariance erases the base), so corpus-wide near-dup queries stay
-    * sparse; the closed form stays exact for an external oracle. */
+    * encoder: cell i's luma = the first md5 byte of "seed|i". Each
+    * seed gets an effectively unique 64-bit pHash (the linear
+    * gradient's hash collapses to its orientation, and low-modulus
+    * arithmetic patterns admit only |modulus| distinct images), so
+    * corpus-wide near-dup queries stay sparse; any engine with md5
+    * replays the features exactly. */
   def blockNoiseImageBytes(seed: Column, w: Int, h: Int, block: Int,
                            format: String = "png"): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
