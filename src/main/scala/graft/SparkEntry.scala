@@ -2107,7 +2107,14 @@ object SparkEntry {
     // greedy order runs through the sharded prefix sum (no single-task
     // window), the straddling doc is kept (cum_before < budget)
     "q_sample_token_budget" -> ((s, dir) => {
-      val scored = TextAnalysis.withQualityFeatures(t(s, dir, "documents"))
+      // the fixture tables are single-row-group parquet files, so the
+      // scan stage is ONE task no matter the size; the regex-heavy
+      // scoring would serialize through it (measured: the 30x slope
+      // rose to ~0.9 purely from this). Repartition the raw text first
+      // - one cheap shuffle buys full-width parallelism for the map
+      // stage, exactly what multi-split input gives free at real scale
+      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      val scored = TextAnalysis.withQualityFeatures(docs)
         .select(col("doc_id"),
           TextAnalysis.tokenCountBpeIsh(col("text")).as("n_tokens"),
           col("stopword_ratio").as("score"))
@@ -2121,7 +2128,10 @@ object SparkEntry {
     // when-chain; named budgets, the default fallback, and the greedy
     // straddler rule all under the hash gate
     "q_sample_budget_stratum" -> ((s, dir) => {
-      val scored = TextAnalysis.withQualityFeatures(t(s, dir, "documents"))
+      // single-row-group source: parallelize the scoring map stage
+      // explicitly (see q_sample_token_budget)
+      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      val scored = TextAnalysis.withQualityFeatures(docs)
         .select(col("doc_id"), col("source"),
           TextAnalysis.tokenCountBpeIsh(col("text")).as("n_tokens"),
           col("stopword_ratio").as("score"))

