@@ -90,7 +90,9 @@ object PlanAudit {
       "q_t_unigram_train",// distributed-prune EM rounds (r11 seed fix)
       "q_sample_token_budget", // sharded greedy prefix selection (r11)
       "q_mm_image_phash", // real JDK decode -> luma grid -> pHash (r12)
-      "q_mm_image_pairs") // cross-codec planted dups through real decode (r12)
+      "q_mm_image_pairs", // cross-codec planted dups through real decode (r12)
+      "q_sample_budget_stratum", // per-stratum sharded greedy budgets (r12)
+      "q_ann_ivfpq_artifact") // IVF-PQ through the persisted artifact (r12)
 
     // SPARK_GRAFT_ONLY=a,b restricts the audit (same convention as
     // Bench/Verify) for single-query plan iterations
