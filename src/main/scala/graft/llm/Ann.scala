@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * (`array<float>`).
   *
   * Scale design:
-  *  - brute-force top-k is the exact baseline: one map stage (dot
-  *    products via zip_with/aggregate, codegen'd) + a TakeOrdered - no
-  *    shuffle of the full table, no collect.
+  *  - brute-force top-k is the exact baseline: one map stage (cosine
+  *    via the native fused-loop CosineSim expression, whole-stage
+  *    codegen) + a TakeOrdered - no shuffle of the full table, no
+  *    collect.
   *  - the LSH path buckets vectors by random-hyperplane sign bits;
   *    queries only scan their own bucket (plus optional multi-probe
   *    neighbors), so cluster-wide cost drops from O(N) per query to
@@ -20,18 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Double-precision dot product of two array columns (float inputs are
-    * upcast first so accumulation is IEEE-double). */
+  /** Double-precision dot product of two array columns (float inputs
+    * upcast per element so accumulation is IEEE-double) via the native
+    * fused-loop [[graft.functions.DotProduct]] - folds in ascending
+    * index order, bit-identical to the aggregate(zip_with) HOF it
+    * replaces, and usable inside centroid-list lambdas without the
+    * nested interpreted loop. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftSqlBridge.column(graft.functions.DotProduct(
+      org.apache.spark.sql.GraftSqlBridge.expression(a),
+      org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, 0.0).otherwise(dot(a, b) / d)
-  }
+  /** Cosine similarity via the native fused-loop
+    * [[graft.functions.CosineSim]] expression: one pass over both
+    * arrays inside whole-stage codegen. The HOF formulation this
+    * replaces (aggregate + zip_with, three array walks) is
+    * CodegenFallback - interpreted, a lambda call per element - and
+    * the native kernel folds in the same ascending index order, so
+    * every double (and every oracle hash) is bit-identical. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.functions.CosineSim(
+      org.apache.spark.sql.GraftSqlBridge.expression(a),
+      org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
   /** Exact brute-force cosine top-k for one query vector. The plan is a
     * single scan + TakeOrderedAndProject - the right baseline at any
