@@ -2845,6 +2845,67 @@ object SparkEntry {
       graft.llm.Multimodal.phashPairsFromHashes(hashed, maxHamming = 2)
     }),
 
+    // REAL audio codec, feature-verified end to end: render each doc
+    // 1600 PCM16 samples (64 blocks x 25) as a WAV through the JDK
+    // encoder, DECODE it back (javax.sound.sampled), extract the
+    // 64-window mean-|amplitude| grid, threshold into the pHash. Block
+    // amplitude = (md5Byte("seed|i") - 128) * 256, so DuckDB verifies
+    // the codec round trip arithmetically with its own md5.
+    "q_mm_audio_phash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("asset_id"))
+      val staged = docs
+        .withColumn("bytes", graft.llm.Multimodal.blockToneAudioBytes(
+          col("asset_id"), nBlocks = 64, blockLen = 25, "wav"))
+        .withColumn("grid",
+          graft.llm.Multimodal.audioPcmFeatures(col("bytes"),
+            windows = 64, windowLen = 25))
+      graft.llm.Multimodal.withPHashFromFeatures(staged,
+          (0 until 64).map(i => element_at(col("grid"), i + 1)))
+        .withColumn("feat_sum",
+          aggregate(col("grid"), lit(0L), (acc, x) => acc + x))
+        .select(col("asset_id"), col("feat_sum"), col("phash"))
+    }),
+
+    // CROSS-FORMAT audio near-dup pairs: every 50th doc's samples
+    // re-enter as a big-endian AIFF encoding under asset_id =
+    // -doc_id - 1; the planted pairs surface at Hamming 0 only if the
+    // WAV and AIFF decode paths recover identical PCM - byte-level the
+    // two containers differ entirely (endianness included)
+    "q_mm_audio_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id").cast("long").as("asset_id"),
+        graft.llm.Multimodal.blockToneAudioBytes(
+          col("doc_id"), 64, 25, "wav").as("bytes"))
+      val planted = docs.filter(col("doc_id") % 50 === 0)
+        .select((-col("doc_id") - 1L).cast("long").as("asset_id"),
+          graft.llm.Multimodal.blockToneAudioBytes(
+            col("doc_id"), 64, 25, "aiff").as("bytes"))
+      val hashed = graft.llm.Multimodal
+        .withAudioPHash(base.unionByName(planted), windowLen = 25)
+        .select(col("asset_id"), col("phash"))
+      graft.llm.Multimodal.phashPairsFromHashes(hashed, maxHamming = 2)
+    }),
+
+    // REAL video frame pipeline, feature-verified end to end: render
+    // each doc a 4-frame uncompressed AVI (16x16 block-noise DIB
+    // frames), walk the RIFF container, decode every frame through the
+    // JDK's independent BMP codec, SAMPLE every 2nd frame, and emit
+    // the per-frame grid sum + pHash. Frame f cell i luma =
+    // md5Byte("seed|f|i"), so DuckDB replays decode + sampling +
+    // hashing arithmetically.
+    "q_mm_video_frames" -> ((s, dir) => {
+      val assets = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("asset_id"))
+        .withColumn("bytes", graft.llm.Multimodal.blockNoiseAviBytes(
+          col("asset_id"), 16, 16, 2, frames = 4))
+      graft.llm.Multimodal.sampleFramesDecoded(assets, every = 2)
+        .withColumn("feat_sum",
+          aggregate(col("frame_grid"), lit(0L), (acc, x) => acc + x))
+        .select(col("asset_id"), col("frame_idx"), col("feat_sum"),
+          col("frame_phash"))
+    }),
+
     // IVF coarse quantization (rows-only): cell histogram under
     // deterministic centroids
     "q_ann_ivf" -> ((s, dir) => {
@@ -5888,6 +5949,63 @@ object SparkEntry {
            AND a.chunkval = bb.chunkval AND a.asset_id < bb.asset_id
          WHERE bit_count(xor(a.phash, bb.phash)) <= 2""",
 
+    // real-codec AUDIO round trip, closed form: block amplitude =
+    // (md5Byte(seed|i) - 128) * 256; window mean |amplitude| =
+    // abs(amplitude) exactly (windows aligned to blocks), then the
+    // shared pHash threshold/bit machinery
+    "q_mm_audio_phash" ->
+      """WITH f AS (SELECT doc_id, i,
+             abs((('0x' || substr(md5(doc_id || '|' || i), 1, 2))::BIGINT
+               - 128) * 256) AS fv
+           FROM documents, LATERAL (SELECT unnest(range(0, 64)) AS i))
+         SELECT CAST(doc_id AS BIGINT) AS asset_id,
+                CAST(sum(fv) AS BIGINT) AS feat_sum,
+                CAST(sum(CASE WHEN fv < thr THEN 0
+                              WHEN i = 63 THEN (-9223372036854775808)::BIGINT
+                              ELSE 1::BIGINT << i END)
+                  AS BIGINT) AS phash
+         FROM (SELECT doc_id, i, fv,
+                 CAST(sum(fv) OVER (PARTITION BY doc_id) AS BIGINT) >> 6 AS thr
+               FROM f)
+         GROUP BY doc_id""",
+
+    // cross-format audio near-dup pairs: the same amplitude closed
+    // form; planted AIFF re-encodes of every 50th doc's WAV samples at
+    // -doc_id - 1; same 3-chunk pigeonhole blocking
+    "q_mm_audio_pairs" ->
+      """WITH d2 AS (SELECT CAST(doc_id AS BIGINT) AS asset_id,
+                CAST(doc_id AS BIGINT) AS seed
+             FROM documents
+           UNION ALL
+           SELECT -CAST(doc_id AS BIGINT) - 1, CAST(doc_id AS BIGINT)
+             FROM documents WHERE doc_id % 50 = 0),
+         f AS (SELECT asset_id, i,
+             abs((('0x' || substr(md5(seed || '|' || i), 1, 2))::BIGINT
+               - 128) * 256) AS fv
+           FROM d2, LATERAL (SELECT unnest(range(0, 64)) AS i)),
+         p AS (SELECT asset_id,
+             CAST(sum(CASE WHEN fv < thr THEN 0
+                           WHEN i = 63 THEN (-9223372036854775808)::BIGINT
+                           ELSE 1::BIGINT << i END)
+               AS BIGINT) AS phash
+           FROM (SELECT asset_id, i, fv,
+               CAST(sum(fv) OVER (PARTITION BY asset_id) AS BIGINT) >> 6 AS thr
+             FROM f)
+           GROUP BY asset_id),
+         c AS (SELECT asset_id, phash, u.chunk,
+             CASE u.chunk WHEN 0 THEN phash & 4194303
+                          WHEN 1 THEN (phash >> 22) & 2097151
+                          ELSE (phash >> 43) & 2097151 END AS chunkval
+           FROM p, LATERAL (SELECT unnest(range(0, 3)) AS chunk) u),
+         b AS (SELECT * FROM (SELECT *,
+               count(*) OVER (PARTITION BY chunk, chunkval) AS bs FROM c)
+           WHERE bs <= 1000)
+         SELECT DISTINCT a.asset_id AS asset_id_a, bb.asset_id AS asset_id_b,
+                CAST(bit_count(xor(a.phash, bb.phash)) AS INT) AS hamming
+         FROM b a JOIN b bb ON a.chunk = bb.chunk
+           AND a.chunkval = bb.chunkval AND a.asset_id < bb.asset_id
+         WHERE bit_count(xor(a.phash, bb.phash)) <= 2""",
+
     // gap-based sessionization recomputed via lag + running break count;
     // a session breaks only at gap > 900s - Spark session windows merge
     // when they touch, so two events exactly 900s apart share a session
@@ -5996,6 +6114,30 @@ object SparkEntry {
       """SELECT event_id, CAST(event_id % 86400 + 86400 AS BIGINT) AS ts_s,
              user_id, event_type, value
          FROM events""",
+
+    // real video chain, closed form: frame f cell i luma =
+    // md5Byte(seed|f|i); grid cell mean = cell luma (grid aligned to
+    // blocks, BT.601 of r=g=b is the identity); frames 0..3 sampled
+    // every 2nd -> 0 and 2; then the shared pHash machinery per frame
+    "q_mm_video_frames" ->
+      """WITH fr AS (SELECT doc_id, f
+           FROM documents, LATERAL (SELECT unnest([0, 2]) AS f)),
+         g AS (SELECT doc_id, f, i,
+             ('0x' || substr(md5(doc_id || '|' || f || '|' || i), 1, 2))
+               ::BIGINT AS fv
+           FROM fr, LATERAL (SELECT unnest(range(0, 64)) AS i))
+         SELECT CAST(doc_id AS BIGINT) AS asset_id,
+                CAST(f AS INT) AS frame_idx,
+                CAST(sum(fv) AS BIGINT) AS feat_sum,
+                CAST(sum(CASE WHEN fv < thr THEN 0
+                              WHEN i = 63 THEN (-9223372036854775808)::BIGINT
+                              ELSE 1::BIGINT << i END)
+                  AS BIGINT) AS frame_phash
+         FROM (SELECT doc_id, f, i, fv,
+                 CAST(sum(fv) OVER (PARTITION BY doc_id, f) AS BIGINT) >> 6
+                   AS thr
+               FROM g)
+         GROUP BY doc_id, f""",
 
     // batch recomputation of the streaming LSH near-dup flagger: same
     // md5-permutation signatures and band encoding as q_d_minhash_md5's

@@ -1,0 +1,211 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, LongType}
+
+/** Native AUDIO codec expressions over the JDK's own
+  * `javax.sound.sampled` (WAV and AIFF PCM readers/writers ship in
+  * every JRE - zero external dependencies), closing the audio leg of
+  * the multimodal codec the way ImageExprs closed the image leg:
+  * [[PcmAudioGrid]] REALLY decodes the payload (container parse,
+  * endianness, sample width all handled by the real codec) and
+  * extracts the per-window mean-absolute-amplitude grid an audio
+  * fingerprint thresholds, and [[BlockToneAudioEncode]] renders
+  * deterministic PCM fixtures THROUGH a real encoder. WAV is
+  * little-endian PCM, AIFF is big-endian: the same samples encoded
+  * through both exercise two genuinely different on-disk formats that
+  * must decode identically - the audio twin of the PNG-vs-BMP
+  * cross-codec pair test.
+  *
+  * Scale shape: per-row map work inside whole-stage codegen - no
+  * shuffle, no driver state. The video leg remains stubbed (no JRE
+  * video codec); see [[graft.llm.Multimodal]].
+  */
+
+/** Renders mono 16-bit PCM with BLOCK-CONSTANT amplitude through a real
+  * JDK encoder ("wav" or "aiff"): the `nBlocks * blockLen` samples are
+  * split into blocks and every sample of block i has amplitude
+  * (md5Byte("seed|i") - 128) * 256 (md5Byte = the unsigned first md5
+  * byte, so amplitudes span [-32768, 32512) deterministically and each
+  * seed gets an effectively unique fingerprint). With feature windows
+  * aligned to blocks, the per-window mean |amplitude| has an exact
+  * integer closed form any engine with md5 replays:
+  * |(byte - 128) * 256|.
+  */
+case class BlockToneAudioEncode(seed: Expression, nBlocks: Int,
+                                blockLen: Int, format: String)
+    extends UnaryExpression {
+
+  require(nBlocks > 0 && blockLen > 0,
+    s"nBlocks=$nBlocks blockLen=$blockLen must be positive")
+  require(BlockToneAudioEncode.Formats.contains(format),
+    s"format '$format' not in ${BlockToneAudioEncode.Formats}")
+
+  override def child: Expression = seed
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(s: Any): Any =
+    BlockToneAudioEncode.compute(s.asInstanceOf[Long], nBlocks, blockLen,
+      format)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"""graft.functions.BlockToneAudioEncode.compute($s, $nBlocks, $blockLen, "$format")""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(seed = newChild)
+
+  override def prettyName: String = "block_tone_audio_encode"
+}
+
+object BlockToneAudioEncode {
+  val Formats: Set[String] = Set("wav", "aiff")
+
+  def compute(seed: Long, nBlocks: Int, blockLen: Int,
+              format: String): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = nBlocks * blockLen
+    // samples little-endian in the intermediate buffer; the JDK
+    // encoder re-packs per container (AIFF flips to big-endian)
+    val pcm = new Array[Byte](n * 2)
+    var b = 0
+    while (b < nBlocks) {
+      md.reset()
+      val amp = ((md.digest(
+        (seed.toString + "|" + b).getBytes("UTF-8"))(0) & 0xFF) - 128) * 256
+      var j = 0
+      while (j < blockLen) {
+        val k = (b * blockLen + j) * 2
+        pcm(k) = (amp & 0xFF).toByte
+        pcm(k + 1) = ((amp >> 8) & 0xFF).toByte
+        j += 1
+      }
+      b += 1
+    }
+    val fmt = new AudioFormat(16000f, 16, 1, true, false) // PCM16 mono LE
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream(n * 2 + 64)
+    val tpe = if (format == "wav") AudioFileFormat.Type.WAVE
+              else AudioFileFormat.Type.AIFF
+    AudioSystem.write(ais, tpe, out)
+    out.toByteArray
+  }
+}
+
+/** REAL audio decode + feature extraction: reads the payload with
+  * `javax.sound.sampled` (WAV or AIFF - whatever reader the JDK
+  * resolves), converts to signed 16-bit samples (channel 0 of the
+  * first `windows * windowLen` frames), and returns the per-window
+  * mean ABSOLUTE amplitude (floor of integer division) as `windows`
+  * longs - the energy-envelope fingerprint an audio near-dup pass
+  * thresholds, exact-integer so an external oracle can replay it.
+  * Fails loudly on undecodable bytes or audio shorter than the grid;
+  * screen with [[AudioDecodable]] when the corpus may contain junk. */
+case class PcmAudioGrid(child: Expression, windows: Int, windowLen: Int)
+    extends UnaryExpression {
+
+  require(windows >= 1 && windows <= 256, s"windows $windows outside [1, 256]")
+  require(windowLen >= 1, s"windowLen $windowLen must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    PcmAudioGrid.compute(input.asInstanceOf[Array[Byte]], windows, windowLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PcmAudioGrid.compute($c, $windows, $windowLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "pcm_audio_grid"
+}
+
+object PcmAudioGrid {
+
+  def compute(bytes: Array[Byte], windows: Int, windowLen: Int): ArrayData = {
+    val samples = decodeSamples(bytes, windows * windowLen)
+    require(samples != null,
+      "pcm_audio_grid: undecodable audio bytes (no JDK reader matched); " +
+        "screen with audio_decodable first if the corpus may contain junk")
+    require(samples.length >= windows * windowLen,
+      s"pcm_audio_grid: audio has ${samples.length} frames, grid needs " +
+        s"${windows * windowLen}")
+    val out = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      var sum = 0L
+      var j = 0
+      while (j < windowLen) {
+        val s = samples(w * windowLen + j)
+        sum += math.abs(s.toLong)
+        j += 1
+      }
+      out(w) = sum / windowLen
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** First `maxFrames` channel-0 samples as signed 16-bit ints, or null
+    * when no JDK audio reader matches. Sub-16-bit audio upscales
+    * through the codec's own conversion; only PCM_SIGNED/PCM_UNSIGNED
+    * streams are read (compressed encodings have no JRE decoder). */
+  private[functions] def decodeSamples(bytes: Array[Byte],
+                                       maxFrames: Int): Array[Int] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) null
+      else {
+        val big = fmt.isBigEndian
+        val frameBytes = fmt.getFrameSize
+        val want = math.min(maxFrames.toLong,
+          if (ais.getFrameLength >= 0) ais.getFrameLength else maxFrames.toLong).toInt
+        val buf = new Array[Byte](want * frameBytes)
+        var off = 0
+        var r = 0
+        while (off < buf.length && r >= 0) {
+          r = ais.read(buf, off, buf.length - off)
+          if (r > 0) off += r
+        }
+        val frames = off / frameBytes
+        val out = new Array[Int](frames)
+        var i = 0
+        while (i < frames) {
+          val k = i * frameBytes // channel 0 leads each frame
+          val b0 = buf(k) & 0xFF
+          val b1 = buf(k + 1) & 0xFF
+          out(i) = ((if (big) (b0 << 8) | b1 else (b1 << 8) | b0) << 16) >> 16
+          i += 1
+        }
+        out
+      }
+    } catch { case _: Exception => null }
+}
+
+/** True iff the JDK resolves an audio reader for 16-bit signed PCM in
+  * the payload - the quarantine predicate in front of [[PcmAudioGrid]]. */
+case class AudioDecodable(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(input: Any): Any =
+    PcmAudioGrid.decodeSamples(input.asInstanceOf[Array[Byte]], 1) != null
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(graft.functions.PcmAudioGrid.decodeSamples($c, 1) != null)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "audio_decodable"
+}

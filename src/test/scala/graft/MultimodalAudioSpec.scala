@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Multimodal
+
+/** The REAL audio codec leg: javax.sound.sampled WAV/AIFF decode
+  * feeding the per-window mean-|amplitude| grid into the shared pHash
+  * machinery. Pins the cross-format round trip (little-endian WAV vs
+  * big-endian AIFF of the same PCM), the closed-form feature contract
+  * the DuckDB oracle replays, and fail-loud behavior on junk. */
+class MultimodalAudioSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seeds = Seq(3L, 17L, 99L).toDF("asset_id")
+
+  private def withBytes(format: String) = seeds.withColumn("bytes",
+    Multimodal.blockToneAudioBytes($"asset_id", 64, 25, format))
+
+  private def md5Byte(s: String): Int =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))(0) & 0xFF
+
+  test("decoded windows of a real WAV equal the closed form " +
+    "|(md5Byte(seed|i) - 128) * 256|") {
+    val got = withBytes("wav")
+      .select($"asset_id",
+        Multimodal.audioPcmFeatures($"bytes", 64, 25).as("grid"))
+      .as[(Long, Seq[Long])].collect()
+    assert(got.length == 3)
+    got.foreach { case (seed, grid) =>
+      assert(grid.size == 64)
+      for (i <- 0 until 64)
+        assert(grid(i) == math.abs((md5Byte(s"$seed|$i") - 128) * 256L),
+          s"seed=$seed window=$i")
+    }
+  }
+
+  test("cross-format agreement: WAV and AIFF of the same samples " +
+    "decode to identical features and identical pHash, from " +
+    "byte-level different containers") {
+    val wav = Multimodal.withAudioPHash(withBytes("wav"))
+      .select($"asset_id", $"phash").as[(Long, Long)].collect().toMap
+    val aiff = Multimodal.withAudioPHash(withBytes("aiff"))
+      .select($"asset_id", $"phash").as[(Long, Long)].collect().toMap
+    assert(wav == aiff && wav.size == 3)
+    val wb = withBytes("wav").select($"asset_id", $"bytes")
+      .as[(Long, Array[Byte])].collect().toMap
+    val ab = withBytes("aiff").select($"asset_id", $"bytes")
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(wb.keySet.forall(k => !java.util.Arrays.equals(wb(k), ab(k))))
+  }
+
+  test("cross-format near-dup pairs surface at hamming 0 through " +
+    "phashPairsFromHashes; junk fails loudly") {
+    val wavs = withBytes("wav")
+    val aiffTwins = withBytes("aiff")
+      .withColumn("asset_id", -$"asset_id" - 1L)
+    val hashed = Multimodal.withAudioPHash(
+        wavs.unionByName(aiffTwins).select($"asset_id", $"bytes"))
+      .select($"asset_id", $"phash")
+    val pairs = Multimodal.phashPairsFromHashes(hashed, maxHamming = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(Set((-100L, 99L, 0), (-18L, 17L, 0), (-4L, 3L, 0))
+      .subsetOf(pairs))
+    assert(pairs.forall { case (a, b, _) => a == -b - 1L })
+
+    val junk = Seq((1L, "not audio".getBytes("UTF-8")))
+      .toDF("asset_id", "bytes")
+    assert(!junk.select(Multimodal.audioDecodable($"bytes"))
+      .as[Boolean].head())
+    val e = intercept[Exception] {
+      junk.select(Multimodal.audioPcmFeatures($"bytes", 64, 25)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("undecodable audio bytes")), e)
+  }
+}
