@@ -75,6 +75,15 @@ object SparkEntry {
     * that order - the cross-batch state-merge path the single-batch
     * registry queries cannot reach. The dir is session scratch,
     * removed by a JVM shutdown hook like the flagship state store. */
+  /** The session's shuffle parallelism - the explicit partition count
+    * for repartitions that parallelize per-row codec/scoring work past
+    * a single-file scan task. The count MUST be explicit: a bare
+    * repartition(col) is an AQE-coalescable exchange, and at these row
+    * sizes AQE folds it straight back to one partition, silently
+    * re-serializing the map stage it was meant to spread. */
+  private def shufflePartitions(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions").toInt
+
   /** Session-scratch temp dir removed by a JVM shutdown hook (the
     * flagship state-store convention). */
   private def scratchDir(prefix: String): java.io.File = {
@@ -2113,7 +2122,7 @@ object SparkEntry {
       // rose to ~0.9 purely from this). Repartition the raw text first
       // - one cheap shuffle buys full-width parallelism for the map
       // stage, exactly what multi-split input gives free at real scale
-      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      val docs = t(s, dir, "documents").repartition(shufflePartitions(s), col("doc_id"))
       val scored = TextAnalysis.withQualityFeatures(docs)
         .select(col("doc_id"),
           TextAnalysis.tokenCountBpeIsh(col("text")).as("n_tokens"),
@@ -2130,7 +2139,7 @@ object SparkEntry {
     "q_sample_budget_stratum" -> ((s, dir) => {
       // single-row-group source: parallelize the scoring map stage
       // explicitly (see q_sample_token_budget)
-      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      val docs = t(s, dir, "documents").repartition(shufflePartitions(s), col("doc_id"))
       val scored = TextAnalysis.withQualityFeatures(docs)
         .select(col("doc_id"), col("source"),
           TextAnalysis.tokenCountBpeIsh(col("text")).as("n_tokens"),
@@ -2804,7 +2813,9 @@ object SparkEntry {
     // feature extraction + hash arithmetic bit-for-bit without any
     // image library. Per-row map work only - no shuffle, no state.
     "q_mm_image_phash" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(
+      // single-row-group source: repartition before the per-row codec
+      // work so encode/decode parallelizes (see q_sample_token_budget)
+      val docs = t(s, dir, "documents").repartition(shufflePartitions(s), col("doc_id")).select(
         col("doc_id").cast("long").as("asset_id"),
         (col("doc_id") % 64).cast("int").as("c"),
         (col("doc_id") % 7 + 1).cast("int").as("a"),
@@ -2830,8 +2841,9 @@ object SparkEntry {
     // differ entirely. Same pigeonhole blocking as q_mm_phash_pairs.
     "q_mm_image_pairs" -> ((s, dir) => {
       // planted BMP twins at -doc_id - 1 (disjoint from real ids at
-      // every scale factor; see q_mm_phash_pairs)
-      val docs = t(s, dir, "documents")
+      // every scale factor; see q_mm_phash_pairs); repartitioned so the
+      // per-row codec work parallelizes past the single-file scan task
+      val docs = t(s, dir, "documents").repartition(shufflePartitions(s), col("doc_id"))
       val base = docs.select(col("doc_id").cast("long").as("asset_id"),
         graft.llm.Multimodal.blockNoiseImageBytes(
           col("doc_id"), 16, 16, 2, "png").as("bytes"))
@@ -2852,7 +2864,7 @@ object SparkEntry {
     // amplitude = (md5Byte("seed|i") - 128) * 256, so DuckDB verifies
     // the codec round trip arithmetically with its own md5.
     "q_mm_audio_phash" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").repartition(shufflePartitions(s), col("doc_id"))
         .select(col("doc_id").cast("long").as("asset_id"))
       val staged = docs
         .withColumn("bytes", graft.llm.Multimodal.blockToneAudioBytes(
@@ -2873,7 +2885,7 @@ object SparkEntry {
     // WAV and AIFF decode paths recover identical PCM - byte-level the
     // two containers differ entirely (endianness included)
     "q_mm_audio_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").repartition(shufflePartitions(s), col("doc_id"))
       val base = docs.select(col("doc_id").cast("long").as("asset_id"),
         graft.llm.Multimodal.blockToneAudioBytes(
           col("doc_id"), 64, 25, "wav").as("bytes"))
@@ -2895,7 +2907,7 @@ object SparkEntry {
     // md5Byte("seed|f|i"), so DuckDB replays decode + sampling +
     // hashing arithmetically.
     "q_mm_video_frames" -> ((s, dir) => {
-      val assets = t(s, dir, "documents")
+      val assets = t(s, dir, "documents").repartition(shufflePartitions(s), col("doc_id"))
         .select(col("doc_id").cast("long").as("asset_id"))
         .withColumn("bytes", graft.llm.Multimodal.blockNoiseAviBytes(
           col("asset_id"), 16, 16, 2, frames = 4))

@@ -92,8 +92,25 @@ object BlockToneAudioEncode {
     val out = new ByteArrayOutputStream(n * 2 + 64)
     val tpe = if (format == "wav") AudioFileFormat.Type.WAVE
               else AudioFileFormat.Type.AIFF
-    AudioSystem.write(ais, tpe, out)
+    // cached SPI writers: AudioSystem.write goes through the same
+    // synchronized provider registry as the read path (see
+    // PcmAudioGrid.audioReaders)
+    val it = writers.iterator
+    var written = false
+    while (it.hasNext && !written) {
+      val w = it.next()
+      if (w.isFileTypeSupported(tpe, ais)) { w.write(ais, tpe, out); written = true }
+    }
+    require(written, s"block_tone_audio_encode: no JDK writer for '$format'")
     out.toByteArray
+  }
+
+  private lazy val writers: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
   }
 }
 
@@ -129,6 +146,54 @@ case class PcmAudioGrid(child: Expression, windows: Int, windowLen: Int)
 
 object PcmAudioGrid {
 
+  // The JDK's own WAV/AIFF codec providers, resolved ONCE through the
+  // public SPI (the same objects AudioSystem would hand back). Every
+  // AudioSystem.getAudioInputStream call goes through a SYNCHRONIZED
+  // provider registry - a global lock that serializes a 32-thread
+  // decode stage (measured: the parallel audio pass ran 3x slower
+  // than the serial one before this cache).
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  // provider resolution memoized by the container's 4-byte magic
+  // ("RIFF", "FORM", ...): rejecting providers signal "not mine" by
+  // THROWING UnsupportedAudioFileException, and paying a constructed
+  // exception per non-matching provider per row is measurable at
+  // corpus scale - after the first row of a format, its reader is hit
+  // directly
+  private val readerByMagic =
+    new java.util.concurrent.ConcurrentHashMap[Integer,
+      javax.sound.sampled.spi.AudioFileReader]()
+
+  private def magic(bytes: Array[Byte]): Integer =
+    if (bytes.length < 4) Integer.valueOf(0)
+    else Integer.valueOf(((bytes(0) & 0xFF) << 24) | ((bytes(1) & 0xFF) << 16) |
+      ((bytes(2) & 0xFF) << 8) | (bytes(3) & 0xFF))
+
+  private def open(bytes: Array[Byte]): AudioInputStream = {
+    val m = magic(bytes)
+    val hit = readerByMagic.get(m)
+    if (hit != null) {
+      try return hit.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => () } // same magic, different format: rescan
+    }
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try {
+        val ais = r.getAudioInputStream(new ByteArrayInputStream(bytes))
+        readerByMagic.put(m, r)
+        return ais
+      } catch { case _: Exception => () }
+    }
+    null
+  }
+
   def compute(bytes: Array[Byte], windows: Int, windowLen: Int): ArrayData = {
     val samples = decodeSamples(bytes, windows * windowLen)
     require(samples != null,
@@ -160,7 +225,8 @@ object PcmAudioGrid {
   private[functions] def decodeSamples(bytes: Array[Byte],
                                        maxFrames: Int): Array[Int] =
     try {
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val ais = open(bytes)
+      if (ais == null) return null
       val fmt = ais.getFormat
       if (fmt.getSampleSizeInBits != 16 ||
         fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) null

@@ -217,11 +217,24 @@ case class ImageLumaGrid(child: Expression, grid: Int)
 
 object ImageLumaGrid {
 
+  // ImageIO's default ImageInputStream cache is DISK-backed: every
+  // decode call creates (and fsyncs away) a temp cache file, which at
+  // corpus scale turns a CPU-bound map stage into an I/O storm
+  // (measured: the AVI frame pipeline spent most of its time here).
+  // In-memory payloads never need the disk cache.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def compute(bytes: Array[Byte], grid: Int): ArrayData = {
     val img = decode(bytes)
     require(img != null,
       "image_luma_grid: undecodable image bytes (no JDK reader matched); " +
         "screen with image_decodable first if the corpus may contain junk")
+    computeFrom(img, grid)
+  }
+
+  /** The grid math over an already-decoded image (the AVI frame path
+    * decodes through its own cached BMP reader). */
+  private[functions] def computeFrom(img: BufferedImage, grid: Int): ArrayData = {
     val w = img.getWidth
     val h = img.getHeight
     require(w >= grid && h >= grid,

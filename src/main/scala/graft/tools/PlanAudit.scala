@@ -92,7 +92,9 @@ object PlanAudit {
       "q_mm_image_phash", // real JDK decode -> luma grid -> pHash (r12)
       "q_mm_image_pairs", // cross-codec planted dups through real decode (r12)
       "q_sample_budget_stratum", // per-stratum sharded greedy budgets (r12)
-      "q_ann_ivfpq_artifact") // IVF-PQ through the persisted artifact (r12)
+      "q_ann_ivfpq_artifact", // IVF-PQ through the persisted artifact (r12)
+      "q_mm_audio_phash", // real WAV decode -> window grid -> pHash (r12)
+      "q_mm_video_frames") // AVI walk -> BMP frame decode -> sampling (r12)
 
     // SPARK_GRAFT_ONLY=a,b restricts the audit (same convention as
     // Bench/Verify) for single-query plan iterations
