@@ -92,7 +92,27 @@ object Bench {
     def loadAvg(): Option[Double] =
       Some(java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage).filter(_ >= 0)
-    val loadStart = loadAvg()
+    // quiet-retry (driver-visible): if the machine is contended at
+    // start (loadavg > 2, the validity ceiling below), sleep and
+    // re-sample BEFORE running rather than paying two full passes just
+    // to stamp valid:false - the usual cause is the driver starting
+    // bench seconds after its own verify run, and one settle window
+    // self-heals it. Up to SPARK_GRAFT_QUIET_RETRIES extra samples
+    // (default 1) spaced SPARK_GRAFT_QUIET_SLEEP_SEC apart (default
+    // 90 s); the attempt count is stamped into the record so a
+    // retried run is distinguishable from a first-sample-quiet one.
+    val quietRetries = sys.env.getOrElse("SPARK_GRAFT_QUIET_RETRIES", "1").toInt
+    val quietSleepS = sys.env.getOrElse("SPARK_GRAFT_QUIET_SLEEP_SEC", "90").toInt
+    var attempts = 1
+    var loadStart = loadAvg()
+    while (attempts <= quietRetries && loadStart.exists(_ > 2.0)) {
+      System.err.println(s"[bench] loadavg_start ${loadStart.get} > 2 " +
+        s"(contended) - quiet-retry: sleeping ${quietSleepS}s before " +
+        s"re-sampling (attempt ${attempts + 1})")
+      Thread.sleep(quietSleepS * 1000L)
+      loadStart = loadAvg()
+      attempts += 1
+    }
     val passes = (1 to nPasses).map { i =>
       if (i > 1) resetPassState()
       pass()
@@ -127,7 +147,7 @@ object Bench {
     // "not validated", recorded false.
     val valid = skew <= 0.25 && loadStart.exists(_ <= 2.0)
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"loadavg_start":${msOpt(loadStart)},"loadavg_end":${msOpt(loadEnd)},"cold_warm_skew":${ms(skew)},"valid":$valid,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"loadavg_start":${msOpt(loadStart)},"loadavg_end":${msOpt(loadEnd)},"cold_warm_skew":${ms(skew)},"valid":$valid,"attempts":$attempts,"sf":"$sfDir"}"""
     if (only.isEmpty) { // a filtered run must not clobber the full record
       try {
         // cwd-relative: lands in whatever checkout ran the bench

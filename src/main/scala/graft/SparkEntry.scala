@@ -48,20 +48,11 @@ object SparkEntry {
       // store read - so the benched/oracled flagship pays the real
       // state write+read cost, not a localCheckpoint stand-in
       val prefix = "graft_fs_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_flagship_state").toString
-      // state tables are session-lifetime scratch: remove the parquet
-      // tree on JVM exit so repeated bench/test runs don't accumulate
-      // orphaned state dirs (the graft_fs_* catalog entries point here
-      // and die with the in-memory metastore)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(base))
-      }))
+      // state tables are session-lifetime scratch under the shared
+      // scratch root (one JVM shutdown hook removes the whole tree;
+      // the graft_fs_* catalog entries point here and die with the
+      // in-memory metastore)
+      val base = scratchDir("graft_flagship_state").toString
       // 16 buckets at bench/test scale (~60k-row state tables); the
       // bucket count is a per-table scale knob, not a topology property
       OrthologPipeline.runSpecies(rel, st, graft.model.Species.RAT, runTs,
@@ -84,23 +75,60 @@ object SparkEntry {
   private def shufflePartitions(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions").toInt
 
-  /** Session-scratch temp dir removed by a JVM shutdown hook (the
-    * flagship state-store convention). */
-  private def scratchDir(prefix: String): java.io.File = {
-    val base = java.nio.file.Files.createTempDirectory(prefix).toFile
+  /** The ONE scratch root for everything the registry materializes on
+    * local disk (flagship state tables, export round-trips, stream
+    * source dirs, the ANN index artifact), removed by a SINGLE JVM
+    * shutdown hook. Per-use dirs are carved under it by [[scratchDir]];
+    * a long-lived session iterating bench/verify used to register one
+    * hook (and strand one temp tree) per invocation of the dir-creating
+    * queries - now the hook count is one per JVM, and repeat-invocation
+    * disk growth is bounded by the Memo.once guards at the call sites. */
+  private lazy val scratchRoot: java.io.File = {
+    val root = java.nio.file.Files.createTempDirectory("graft_scratch").toFile
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(rm)
         f.delete(): Unit
       }
-      rm(base)
+      rm(root)
     }))
-    base
+    root
   }
 
-  private def twoFileStreamDir(prefix: String, first: DataFrame,
-                               second: DataFrame): String = {
+  /** Fresh temp dir under [[scratchRoot]] (removed with it at JVM
+    * exit; no per-call shutdown hook). */
+  private def scratchDir(prefix: String): java.io.File =
+    java.nio.file.Files.createTempDirectory(scratchRoot.toPath,
+      prefix.replaceAll("[^A-Za-z0-9_.-]", "_")).toFile
+
+  /** The session's persisted ANN index artifact (IVF centroids + PQ
+    * codebooks saved to parquet once, loaded by every serving query).
+    * Memoized per session: its contents depend only on the fixed
+    * hyperplane seed + codebooks, so repeat invocations re-LOAD the
+    * shipped index instead of re-saving a fresh copy - the train ->
+    * ship -> serve topology (q_ann_ivfpq_artifact, q_stream_ann,
+    * q_stream_ann_mb all serve from this one artifact). */
+  private def annArtifactDir(s: SparkSession): String =
+    graft.pipeline.Memo.once(s, "ann_artifact_dir") {
+      val d = scratchDir("graft_ann_artifact").toString
+      graft.llm.AnnArtifact.save(s,
+        Ann.hyperplanes(annDim, 8, seed = 11L), pqCodebooks, d)
+      d
+    }
+
+  /** Built once per (session, key): the source dir contents are a pure
+    * function of the key's inputs, and streaming readers re-scan the
+    * dir per query (each run uses a fresh checkpoint), so rebuilding it
+    * on every invocation only accumulated disk. */
+  private def twoFileStreamDir(key: String, first: DataFrame,
+                               second: DataFrame): String =
+    graft.pipeline.Memo.once(first.sparkSession, s"streamdir:$key") {
+      buildTwoFileStreamDir(key, first, second)
+    }
+
+  private def buildTwoFileStreamDir(prefix: String, first: DataFrame,
+                                    second: DataFrame): String = {
     val base = scratchDir(prefix)
     def writeOne(df: DataFrame, fileName: String, mtime: Long): Unit = {
       val tmp = new java.io.File(base, fileName + "_tmp")
@@ -2540,8 +2568,7 @@ object SparkEntry {
             seqLen = 512)
           .select(col("doc_id"), col("source"), col("chunk_id"),
             col("begin_off"), col("end_off"))
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_pack_export").toString
+        val out = scratchDir("graft_pack_export").toString
         graft.llm.Export.writePartitioned(chunks, out,
           partitionCols = Seq("source"), sortCol = "doc_id",
           targetRowsPerFile = 200L)
@@ -2955,9 +2982,7 @@ object SparkEntry {
     // reorder in the artifact round trip re-buckets the probe or
     // shifts an ADC table and fails the hash compare.
     "q_ann_ivfpq_artifact" -> ((s, dir) => {
-      val adir = scratchDir("graft_ann_artifact").toString
-      graft.llm.AnnArtifact.save(s,
-        Ann.hyperplanes(annDim, 8, seed = 11L), pqCodebooks, adir)
+      val adir = annArtifactDir(s)
       val centroids = graft.llm.AnnArtifact.loadCentroids(s, adir)
       val codebooks = graft.llm.AnnArtifact.loadCodebooks(s, adir)
       Ann.ivfPqTopK(t(s, dir, "embeddings"), annQuery, 10, centroids,
@@ -3088,12 +3113,17 @@ object SparkEntry {
     // STATIC IVF-celled corpus (stateless probe-cell stream-static
     // equi-join, Spark's own cosine scoring), then k-bounded keyed
     // state per query merges candidates into the final ranked top-k.
-    // MUST return exactly the batch knnJoin rows - the oracle IS
-    // q_ann_knn_join's, shared verbatim.
+    // The index is SERVED FROM THE PERSISTED ARTIFACT (centroids
+    // loaded from the parquet index q_ann_ivfpq_artifact ships - the
+    // production serving path, where a streaming retriever loads a
+    // trained index rather than re-deriving it in the plan; doubles
+    // round-trip bit-exact, so parity with the batch oracle is
+    // unchanged). MUST return exactly the batch knnJoin rows - the
+    // oracle IS q_ann_knn_join's, shared verbatim.
     "q_stream_ann" -> ((s, dir) => {
       val name = "stream_ann_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+      val centroids = graft.llm.AnnArtifact.loadCentroids(s, annArtifactDir(s))
       val src = s.readStream
         .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
         .option("pathGlobFilter", "embeddings.parquet")
@@ -3132,7 +3162,7 @@ object SparkEntry {
     "q_stream_neardup_mb" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val mid = docs.agg(max(col("doc_id"))).first().getLong(0) / 2
-      val sdir = twoFileStreamDir("graft_neardup_mb",
+      val sdir = twoFileStreamDir(s"graft_neardup_mb:$dir",
         docs.filter(col("doc_id") <= mid), docs.filter(col("doc_id") > mid))
       val name = "stream_neardup_mb_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
@@ -3168,10 +3198,11 @@ object SparkEntry {
     "q_stream_ann_mb" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
-      val sdir = twoFileStreamDir("graft_ann_mb", queries, queries)
+      val sdir = twoFileStreamDir(s"graft_ann_mb:$dir", queries, queries)
       val name = "stream_ann_mb_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val centroids = Ann.hyperplanes(annDim, 8, seed = 11L)
+      // served from the persisted artifact, like q_stream_ann
+      val centroids = graft.llm.AnnArtifact.loadCentroids(s, annArtifactDir(s))
       val src = s.readStream
         .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
         .option("maxFilesPerTrigger", "1")

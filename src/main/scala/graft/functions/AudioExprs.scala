@@ -23,8 +23,10 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType,
   * cross-codec pair test.
   *
   * Scale shape: per-row map work inside whole-stage codegen - no
-  * shuffle, no driver state. The video leg remains stubbed (no JRE
-  * video codec); see [[graft.llm.Multimodal]].
+  * shuffle, no driver state. The image leg ([[ImageLumaGrid]]) and the
+  * uncompressed RIFF/AVI video leg ([[AviFrameLumaGrids]]) are equally
+  * real; COMPRESSED video is the one remaining stub (no JVM codec in
+  * the toolchain) - the capability map lives in [[graft.llm.Multimodal]].
   */
 
 /** Renders mono 16-bit PCM with BLOCK-CONSTANT amplitude through a real
@@ -220,17 +222,37 @@ object PcmAudioGrid {
 
   /** First `maxFrames` channel-0 samples as signed 16-bit ints, or null
     * when no JDK audio reader matches. Sub-16-bit audio upscales
-    * through the codec's own conversion; only PCM_SIGNED/PCM_UNSIGNED
-    * streams are read (compressed encodings have no JRE decoder). */
+    * through the JDK's own PCM-to-PCM conversion provider
+    * (AudioSystem.getAudioInputStream(target, ais)); PCM_SIGNED and
+    * PCM_UNSIGNED streams of any width are read. Compressed encodings
+    * (ULAW/ALAW aside, which the JRE also converts) return null - no
+    * JRE decoder. The conversion path is COLD (fixture and real-world
+    * corpora are overwhelmingly 16-bit signed, which short-circuits
+    * before the synchronized conversion-provider registry is touched),
+    * so the SPI-lock concern documented on [[audioReaders]] does not
+    * reopen here. */
   private[functions] def decodeSamples(bytes: Array[Byte],
                                        maxFrames: Int): Array[Int] =
     try {
-      val ais = open(bytes)
+      val ais0 = open(bytes)
+      if (ais0 == null) return null
+      val fmt0 = ais0.getFormat
+      val ais =
+        if (fmt0.getSampleSizeInBits == 16 &&
+          fmt0.getEncoding == AudioFormat.Encoding.PCM_SIGNED) ais0
+        else if (fmt0.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+          fmt0.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) {
+          // e.g. 8-bit unsigned WAV: upscale to 16-bit signed LE with
+          // the same rate/channels through the JDK's PCM codec
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            fmt0.getSampleRate, 16, fmt0.getChannels,
+            fmt0.getChannels * 2, fmt0.getSampleRate, false)
+          try AudioSystem.getAudioInputStream(target, ais0)
+          catch { case _: Exception => null }
+        } else null
       if (ais == null) return null
       val fmt = ais.getFormat
-      if (fmt.getSampleSizeInBits != 16 ||
-        fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) null
-      else {
+      locally {
         val big = fmt.isBigEndian
         val frameBytes = fmt.getFrameSize
         val want = math.min(maxFrames.toLong,
@@ -257,8 +279,9 @@ object PcmAudioGrid {
     } catch { case _: Exception => null }
 }
 
-/** True iff the JDK resolves an audio reader for 16-bit signed PCM in
-  * the payload - the quarantine predicate in front of [[PcmAudioGrid]]. */
+/** True iff the JDK resolves an audio reader for PCM in the payload
+  * (16-bit signed directly; other PCM widths/signs via the JDK's own
+  * conversion) - the quarantine predicate in front of [[PcmAudioGrid]]. */
 case class AudioDecodable(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = BooleanType

@@ -20,9 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType,
   *
   * Scale shape: both are per-row map work inside whole-stage codegen -
   * no shuffle, no driver state, embarrassingly parallel across a
-  * 1000-executor scan. The audio/video legs remain stubbed (the
-  * container ships no codecs for them); their hash-derived stand-ins
-  * are documented in [[graft.llm.Multimodal]].
+  * 1000-executor scan. The audio leg is equally real (WAV/AIFF PCM via
+  * `javax.sound`, [[graft.functions.PcmAudioGrid]]) and uncompressed
+  * RIFF/AVI video decodes through [[graft.functions.AviFrameLumaGrids]];
+  * COMPRESSED video is the one remaining stub (no JVM codec in the
+  * toolchain) - the capability map lives in [[graft.llm.Multimodal]].
   */
 
 /** Renders a `w` x `h` 8-bit grayscale image with
@@ -69,10 +71,14 @@ object GrayImageEncode {
 
   def compute(base: Int, xStep: Int, yStep: Int, w: Int, h: Int,
               format: String): Array[Byte] = {
-    val maxLuma = base.toLong + xStep.toLong * (w - 1) + yStep.toLong * (h - 1)
-    val minLuma = math.min(base.toLong,
-      base.toLong + math.min(0, xStep.toLong * (w - 1)) +
-        math.min(0, yStep.toLong * (h - 1)))
+    // extremes are per-axis: a negative step contributes 0 to the max
+    // and its full span to the min (the old base + xSpan + ySpan form
+    // underestimated the max under mixed signs, letting >255 pixels
+    // through to setSample's silent mod-256 truncation)
+    val maxLuma = base.toLong + math.max(0, xStep.toLong * (w - 1)) +
+      math.max(0, yStep.toLong * (h - 1))
+    val minLuma = base.toLong + math.min(0, xStep.toLong * (w - 1)) +
+      math.min(0, yStep.toLong * (h - 1))
     require(minLuma >= 0 && maxLuma <= 255,
       s"gray_image_encode: luma range [$minLuma, $maxLuma] outside [0, 255] " +
         s"for base=$base xStep=$xStep yStep=$yStep ${w}x$h - clamping would " +

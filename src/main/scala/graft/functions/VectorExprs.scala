@@ -1,9 +1,32 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+
+/** Shared input validation for the fused-loop vector kernels: both
+  * children must be arrays of float/double/int/long. Failing here (at
+  * analysis time, via [[Expression.checkInputDataTypes]]) turns a
+  * mistyped column — e.g. array&lt;string&gt; or array&lt;decimal&gt; —
+  * into a clean AnalysisException instead of a raw
+  * IllegalArgumentException thrown mid-execution from eval/codegen. */
+private[functions] trait NumericArrayPairChecks { self: BinaryExpression =>
+
+  private def numericArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = Seq(left, right).map(_.dataType).filterNot(numericArray)
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two arrays of float/double/int/long, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+}
 
 /** Native codegen'd cosine similarity over two numeric array columns -
   * the scoring kernel of the whole ANN family (brute force, IVF,
@@ -26,7 +49,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * and aggregate's null propagation produced).
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with NumericArrayPairChecks {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -75,7 +98,7 @@ case class CosineSim(left: Expression, right: Expression)
   * (centroid-list transforms), where it replaces a nested interpreted
   * aggregate loop per element. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with NumericArrayPairChecks {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

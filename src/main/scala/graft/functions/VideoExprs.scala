@@ -222,13 +222,23 @@ object AviFrameLumaGrids {
   private def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "US-ASCII")
 
-  /** (strf BITMAPINFOHEADER bytes, frame payloads in order), or null
-    * when the payload is not a parseable uncompressed AVI. */
+  /** (video strf BITMAPINFOHEADER bytes, that stream's frame payloads
+    * in order), or null when the payload is not a parseable
+    * uncompressed AVI. Multi-stream safe: the strf is taken from the
+    * FIRST 'strl' whose strh declares fccType 'vids' (an audio strl
+    * listed first - the common mux order - no longer captures the
+    * header slot), and movi chunks are kept only when their two-digit
+    * stream-number prefix ('NNdb'/'NNdc') equals that strl's ordinal,
+    * so audio packets and any second video stream's frames never
+    * interleave into the decoded sequence. */
   private[functions] def parse(b: Array[Byte]): (Array[Byte], Seq[Array[Byte]]) = {
     try {
       if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
         return null
       var strf: Array[Byte] = null
+      var videoStream = -1 // ordinal of the first 'vids' strl in hdrl
+      var strlOrdinal = -1 // ordinal of the strl being walked
+      var curFccType: String = null // fccType from the current strl's strh
       val frames = Seq.newBuilder[Array[Byte]]
       def walk(off0: Int, end: Int): Unit = {
         var off = off0
@@ -237,11 +247,24 @@ object AviFrameLumaGrids {
           val sz = u32(b, off + 4)
           if (sz < 0 || off + 8 + sz > end) return
           if (id == "LIST") {
+            if (sz >= 4 && fourcc(b, off + 8) == "strl") {
+              strlOrdinal += 1; curFccType = null
+            }
             walk(off + 12, off + 8 + sz) // skip the 4-byte list type
-          } else if (id == "strf" && strf == null) {
-            strf = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
+          } else if (id == "strh" && sz >= 4) {
+            curFccType = fourcc(b, off + 8)
+          } else if (id == "strf") {
+            if (videoStream < 0 && curFccType == "vids") {
+              videoStream = strlOrdinal
+              strf = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
+            }
           } else if (id.substring(2) == "db" || id.substring(2) == "dc") {
-            frames += java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
+            // hdrl precedes movi, so videoStream is bound before any
+            // frame chunk; the prefix is the stream number in ASCII
+            val sn = try Integer.parseInt(id.substring(0, 2))
+                     catch { case _: NumberFormatException => -2 }
+            if (sn == videoStream && videoStream >= 0)
+              frames += java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
           }
           off += 8 + sz + (sz & 1) // RIFF even padding
         }

@@ -209,8 +209,9 @@ object Multimodal {
         org.apache.spark.sql.GraftSqlBridge.expression(bytes),
         windows, windowLen))
 
-  /** True iff the JDK resolves a 16-bit signed PCM reader for the
-    * payload - the quarantine predicate for [[audioPcmFeatures]]. */
+  /** True iff the JDK resolves a PCM reader for the payload (16-bit
+    * signed directly; other PCM widths/signs via the JDK's own
+    * conversion) - the quarantine predicate for [[audioPcmFeatures]]. */
   def audioDecodable(bytes: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.AudioDecodable(

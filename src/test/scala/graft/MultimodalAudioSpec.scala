@@ -75,4 +75,38 @@ class MultimodalAudioSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("undecodable audio bytes")), e)
   }
+
+  test("8-bit UNSIGNED PCM decodes through the JDK's own width/sign " +
+    "conversion, with its exact asymmetric upscale") {
+    // hand-written 8-bit unsigned mono WAV: 4 windows x 10 samples,
+    // window w constant at u(w) - the documented sub-16-bit contract,
+    // previously quarantined (decodeSamples returned null for anything
+    // not already 16-bit signed). The JDK converter goes through its
+    // float pipeline, which scales the two half-ranges independently
+    // (negative by 32768/128 = 256, positive by 32767/127, truncated
+    // toward zero) so that both rails map to full scale - probed
+    // empirically, pinned here
+    def up(u: Int): Long =
+      if (u >= 128) (u - 128).toLong * 32767 / 127 else (u - 128).toLong * 256
+    val us = Seq(0, 128, 200, 60)
+    def wav8(vals: Seq[Int]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        16000f, 8, 1, 1, 16000f, false)
+      val data = vals.map(_.toByte).toArray
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, data.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val bytes = wav8(us.flatMap(u => Seq.fill(10)(u)))
+    val df = Seq((1L, bytes)).toDF("asset_id", "bytes")
+    assert(df.select(Multimodal.audioDecodable($"bytes")).as[Boolean].head())
+    val grid = df
+      .select(Multimodal.audioPcmFeatures($"bytes", 4, 10).as("grid"))
+      .as[Seq[Long]].head()
+    assert(grid == us.map(u => math.abs(up(u))), s"got $grid")
+  }
 }

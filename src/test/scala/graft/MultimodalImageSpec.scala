@@ -132,4 +132,26 @@ class MultimodalImageSpec extends SparkSpec {
     // no unrelated cross-pair sneaks in at hamming <= 2
     assert(pairs.forall { case (x, y, _) => y - x == 100L })
   }
+
+  test("range guard is per-axis under mixed-sign steps: a gradient " +
+    "whose true max exceeds 255 fails loudly instead of wrapping") {
+    // base=250, xStep=2, yStep=-3 on 16x16: the naive base+xSpan+ySpan
+    // bound is 250+30-45=235 <= 255, but the true max (at y=0, x=15)
+    // is 280 - setSample would silently truncate mod 256, exactly the
+    // closed-form breakage the guard exists to prevent
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.GrayImageEncode.compute(250, 2, -3, 16, 16, "png")
+    }
+    assert(e.getMessage.contains("outside [0, 255]"), e.getMessage)
+    // and the guard's min side still admits a legal all-negative
+    // gradient, whose decoded grid matches the exact block-mean form
+    val bytes = graft.functions.GrayImageEncode.compute(250, -3, -3, 16, 16, "png")
+    val grid = Seq((1L, bytes)).toDF("asset_id", "bytes")
+      .select(Multimodal.imageLumaFeatures($"bytes").as("grid"))
+      .as[Seq[Long]].head()
+    for (gy <- 0 until 8; gx <- 0 until 8)
+      assert(grid(gy * 8 + gx) ==
+        (4L * 250 + 2L * -3 * (4 * gx + 1) + 2L * -3 * (4 * gy + 1)) / 4,
+        s"block ($gx,$gy)")
+  }
 }

@@ -60,4 +60,54 @@ class MultimodalVideoSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("not a parseable uncompressed AVI")), e)
   }
+
+  test("multi-stream AVI: an audio strl listed FIRST neither captures " +
+    "the strf slot nor interleaves its packets into the frame sequence") {
+    // hand-muxed two-stream AVI in the common mux order (audio strl
+    // before video): stream 00 = 'auds' (strf is a junk WAVEFORMATEX,
+    // chunks '00wb'), stream 01 = 'vids' (strf = BITMAPINFOHEADER,
+    // chunks '01db'). The parser must take the strf from the vids strl
+    // and ONLY that stream's frames - pairing frames with the audio
+    // strf or ingesting '00wb' packets decodes garbage or skews the
+    // frame count.
+    def le32(v: Int): Array[Byte] = Array((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      fcc(id) ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(tpe: String, body: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le32(body.length + 4) ++ fcc(tpe) ++ body
+    val w = 8; val h = 8
+    val frameSize = w * h * 3
+    def grayFrame(v: Int): Array[Byte] = Array.fill(frameSize)(v.toByte)
+    val bih = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(frameSize) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0)
+    val strhAud = fcc("auds") ++ Array.fill(52)(0.toByte)
+    val strhVid = fcc("vids") ++ fcc("DIB ") ++ Array.fill(48)(0.toByte)
+    val hdrl = list("hdrl",
+      chunk("avih", Array.fill(56)(0.toByte)) ++
+        list("strl", chunk("strh", strhAud) ++
+          chunk("strf", Array.fill(16)(7.toByte))) ++
+        list("strl", chunk("strh", strhVid) ++ chunk("strf", bih)))
+    val movi = list("movi",
+      chunk("00wb", Array.fill(64)(99.toByte)) ++
+        chunk("01db", grayFrame(50)) ++
+        chunk("00wb", Array.fill(64)(98.toByte)) ++
+        chunk("01db", grayFrame(200)))
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    val avi = fcc("RIFF") ++ le32(body.length) ++ body
+
+    val df = Seq((1L, avi)).toDF("asset_id", "bytes")
+    assert(df.select(Multimodal.videoDecodable($"bytes")).as[Boolean].head())
+    val grids = df
+      .select(Multimodal.videoFrameFeatures($"bytes", grid = 1).as("g"))
+      .as[Seq[Seq[Long]]].head()
+    // exactly the two video frames, decoded against the VIDEO header
+    assert(grids == Seq(Seq(50L), Seq(200L)), s"got $grids")
+  }
 }

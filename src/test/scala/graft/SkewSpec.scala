@@ -135,4 +135,74 @@ class SkewSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(got == expect)
   }
+
+  test("pHash window gate: a 90%-hot bucket on a 100k corpus SPILLS " +
+    "(never OOMs), emits zero hot pairs, and planted dups survive") {
+    import spark.implicits._
+    // splitmix64: effectively-random 64-bit hashes, so non-planted
+    // rows collide on a chunk only by birthday chance and are then
+    // killed by the hamming verify (random pairs sit near hamming 32)
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val hotHash = 0x5A5A5A5A5A5A5A5AL
+    // 400 planted rows: 200 identical-hash pairs (ids 2i-1, 2i);
+    // 90_000 hot rows (ids >= 1_000_000) all on ONE hash - every one
+    // of its 3 chunk buckets holds 90k members, ~90% of the corpus;
+    // 9_600 unique fillers
+    val rows =
+      (1L to 200L).flatMap(i => Seq((2 * i - 1, mix(i)), (2 * i, mix(i)))) ++
+        (0L until 90000L).map(i => (1000000L + i, hotHash)) ++
+        (0L until 9600L).map(i => (2000000L + i, mix(1000000L + i)))
+    val withHash = rows.toDF("asset_id", "phash")
+
+    // the docstring claims the hot bucket rides WindowExec's SPILLING
+    // partition buffer (90k rows >> the 4096-row in-memory window
+    // threshold) - observe it via task metrics, not by faith
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // force the window buffer onto its spill path at test heap sizes
+    // (in production the 4096-row in-memory threshold hands the buffer
+    // to an UnsafeExternalSorter that spills under memory pressure; a
+    // roomy test JVM may never feel that pressure, so pin the row
+    // threshold to prove the spill path completes, not that the test
+    // heap is big)
+    val spillKey = "spark.sql.windowExec.buffer.spill.threshold"
+    val prevSpill = spark.conf.getOption(spillKey)
+    spark.conf.set(spillKey, "8192")
+    val found =
+      try graft.llm.Multimodal
+        .phashPairsFromHashes(withHash, maxHamming = 2, maxBucketSize = 1000)
+        .select($"asset_id_a", $"asset_id_b").as[(Long, Long)].collect()
+      finally {
+        prevSpill.fold(spark.conf.unset(spillKey))(v =>
+          spark.conf.set(spillKey, v))
+        // listener events are async; give the bus a bounded drain
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (spilled.get() == 0 && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    // zero pairs from the degenerate bucket (90k >> cap 1000)
+    assert(!found.exists { case (a, b) => a >= 1000000L || b >= 1000000L },
+      "hot-bucket pairs leaked past the window gate")
+    // every planted identical-hash pair surfaces exactly
+    val planted = found.filter { case (a, b) => a < 1000L && b < 1000L }.toSet
+    assert(planted == (1L to 200L).map(i => (2 * i - 1, 2 * i)).toSet,
+      s"planted pairs wrong: got ${planted.size}")
+    // completion path was spill, not an in-memory squeeze
+    assert(spilled.get() > 0,
+      "expected the 90k-row hot window partition to spill")
+  }
 }

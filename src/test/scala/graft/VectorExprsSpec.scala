@@ -87,4 +87,22 @@ class VectorExprsSpec extends SparkSpec {
       assert(got(i) == expect, s"id=$i")
     }
   }
+
+  test("mistyped children fail at ANALYSIS time (checkInputDataTypes), " +
+    "not mid-execution from eval/codegen") {
+    val strings = Seq((1L, Seq("a", "b"))).toDF("id", "v")
+    val eCos = intercept[org.apache.spark.sql.AnalysisException] {
+      strings.select(Ann.cosine($"v", $"v")).collect()
+    }
+    assert(eCos.getMessage.contains("cosine_sim"), eCos.getMessage)
+    val eDot = intercept[org.apache.spark.sql.AnalysisException] {
+      strings.select(Ann.dot($"v", $"v")).collect()
+    }
+    assert(eDot.getMessage.contains("dot_product"), eDot.getMessage)
+    // a non-array child fails the same way
+    val scalars = Seq((1L, 2.0)).toDF("id", "v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      scalars.select(Ann.cosine($"v", $"v")).collect()
+    }: Unit
+  }
 }
