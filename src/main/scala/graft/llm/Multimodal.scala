@@ -28,11 +28,14 @@ import org.apache.spark.sql.types._
   * ([[graft.functions.AviFrameLumaGrids]]), and [[sampleFramesDecoded]]
   * is the production frame sampler over those decoded grids.
   * COMPRESSED video codecs (H.264 etc.) have no JRE decoder and remain
-  * the one documented stub, behind `fakeDecodeFeatures` - a
-  * deterministic hash-derived stand-in whose surrounding pipeline
-  * (schema, partitioning, batch shape, pruning-friendly metadata) is
-  * real: swapping it for a JNI/FFI decoder changes one expression, not
-  * the pipeline - exactly the swap the image, audio, and
+  * the one documented stub - PERMANENT BY POLICY in this toolchain
+  * (the offline dependency resolver carries only Spark + test jars, so
+  * no codec library can resolve; decision recorded in PLANS.md
+  * "Round-13"). The stand-in is `fakeDecodeFeatures`, a deterministic
+  * hash-derived feature column whose surrounding pipeline (schema,
+  * partitioning, batch shape, pruning-friendly metadata) is real:
+  * swapping it for a JNI/FFI decoder changes one expression, not the
+  * pipeline - exactly the swap the image, audio, and
   * uncompressed-video legs have now made.
   *
   * Scale notes: binaries stay opaque end-to-end (no decode before

@@ -202,6 +202,7 @@ class SkewSpec extends SparkSpec {
     assert(planted == (1L to 200L).map(i => (2 * i - 1, 2 * i)).toSet,
       s"planted pairs wrong: got ${planted.size}")
     // completion path was spill, not an in-memory squeeze
+    info(s"observed spill: ${spilled.get()} bytes across the job's tasks")
     assert(spilled.get() > 0,
       "expected the 90k-row hot window partition to spill")
   }
