@@ -52,13 +52,28 @@ object ShardedPrefixSum {
     // Contiguous-range sharding: spark_partition_id() after a range
     // repartition on (stratum, ord) is monotone in that order, so each
     // (stratum, shard) cell is a contiguous slice of the stratum's
-    // stream. Both references to `ranged` share one canonical exchange
-    // subtree (ReuseExchange), and the sampler is seeded
-    // deterministically, so the two branches always agree on shard
-    // assignment.
+    // stream.
+    //
+    // The localCheckpoint is CORRECTNESS, not caching: `ranged` feeds
+    // two consumers (the within-shard window and the shard-totals
+    // aggregate). Without pinning one materialization, each consumer
+    // may materialize the range exchange independently, and
+    // RangePartitioner samples its boundaries with an RDD-id-derived
+    // seed - two materializations can draw DIFFERENT boundaries, so
+    // the same row reads a different spark_partition_id() in each
+    // branch and the offset join adds the wrong shard totals.
+    // Exchange reuse usually hides this, but it is an optimization,
+    // never a guarantee: measured at sf0.1 with 4 shards (where the
+    // boundary sample is sparse), the per-stratum budget query drifted
+    // 231..266 rows across 15 identical runs, and pinned to the exact
+    // 261 with the checkpoint. The checkpoint writes the projected
+    // (id, stratum, token, order) frame once - narrow columns, linear,
+    // embarrassingly parallel, the same class of phase-boundary
+    // materialization the flagship pipeline already pays.
     val ranged = df
       .repartitionByRange(shards, (strataCol +: orderCols).map(col): _*)
       .withColumn("__pfx_shard", spark_partition_id())
+      .localCheckpoint(false)
     val wIn = Window
       .partitionBy(col(strataCol), col("__pfx_shard"))
       .orderBy(orderCols.map(col): _*)

@@ -1677,6 +1677,45 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("sharded prefix sum is run-stable in the sparse-boundary-sample " +
+    "regime (many rows per shard, repeated executions)") {
+    // regression for the sf0.1 parity drift: cumBefore's range exchange
+    // feeds TWO consumers, and without the pinned materialization each
+    // could sample different range boundaries (RangePartitioner seeds
+    // by RDD id), mis-joining shard offsets - invisible when the
+    // boundary sample covers the data (small frames / many shards),
+    // near-certain at thousands of rows over few shards (observed:
+    // 231..266 rows across 15 runs of a 261-row result). 5000 rows,
+    // 4 shards, repeated runs, exact agreement with the naive window.
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    val d = (1L to 5000L).map(i =>
+        (i, s"s${rnd.nextInt(20)}", (rnd.nextInt(30) + 1).toLong,
+          rnd.nextInt(50) * 0.02))
+      .toDF("doc_id", "source", "n_tokens", "score")
+    val w = Window.partitionBy($"source")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = d
+      .withColumn("cum_before", sum($"n_tokens").over(w) - $"n_tokens")
+      .filter($"cum_before" < 300L)
+      .select("doc_id", "cum_before").as[(Long, Long)].collect().toSet
+    // the reproducing plan shape is the Verify one: coalesce(1) + a
+    // full-column parquet write (a bare collect planned differently and
+    // never tripped pre-fix)
+    val out = java.nio.file.Files.createTempDirectory("pfx_stable").toString
+    for (run <- 1 to 3) {
+      graft.llm.Splitting.tokenBudgetSelectPerStratum(d,
+          budgets = Map("s0" -> 300L), scoreCol = "score",
+          tokenCol = "n_tokens", strataCol = "source",
+          defaultBudget = 300L, numShards = 4)
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      val got = spark.read.parquet(out)
+        .select("doc_id", "cum_before").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"run $run diverged: ${got.size} vs ${naive.size}")
+    }
+  }
+
   test("per-stratum token budgets equal naive per-stratum windows; " +
     "default fallback and zero-default drop hold") {
     import org.apache.spark.sql.expressions.Window

@@ -57,17 +57,22 @@ class ProfileDistributedSpec extends SparkSpec {
     }
   }
 
-  test("cumBefore's two references to the ranged frame resolve to ONE " +
-    "range exchange (shard boundaries cannot disagree between branches)") {
-    import org.apache.spark.sql.execution.SparkPlan
+  test("cumBefore's two references to the ranged frame read ONE pinned " +
+    "materialization (shard boundaries cannot disagree between branches)") {
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
     // correctness depends on both plan references to `ranged` agreeing
     // on shard assignment: RangePartitioner samples with a per-RDD-id
     // seed, so two INDEPENDENT materializations could place boundaries
-    // differently and corrupt the cumsum. This pins the reuse - a
-    // Spark/AQE change that breaks exchange reuse fails here instead.
+    // differently and corrupt the cumsum. Exchange reuse proved
+    // insufficient (the sf0.1 Verify plan shape materialized the range
+    // exchange twice - see LlmSpec "sharded prefix sum is run-stable"),
+    // so cumBefore now pins ONE materialization via localCheckpoint;
+    // this asserts the pin is in the executed plan: both branches scan
+    // the SAME checkpointed RDD, and no live range exchange remains
+    // above it to re-sample boundaries.
     val d = (1 to 500).map(i => ((i % 5).toString, i.toLong, 1L))
       .toDF("stratum", "ord", "x")
     val out = ShardedPrefixSum.cumBefore(d, "x", "stratum", "ord", 8, "cum")
@@ -82,15 +87,19 @@ class ProfileDistributedSpec extends SparkSpec {
       p +: next.flatMap(flatten)
     }
     val all = flatten(out.queryExecution.executedPlan)
-    val rangeExchanges = all.collect {
-      case s: ShuffleExchangeExec
+    val rddScans = all.collect { case s: RDDScanExec => s }
+    assert(rddScans.nonEmpty, all.map(_.nodeName).mkString("\n"))
+    // every checkpoint-scan reference must read the SAME RDD (one
+    // materialization, one set of boundaries)
+    assert(rddScans.map(s => System.identityHashCode(s.rdd)).distinct.size == 1,
+      out.queryExecution.executedPlan.toString)
+    // and the executed plan carries NO range exchange above the pin -
+    // nothing left that could re-sample boundaries per branch
+    val liveRange = all.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
         if s.outputPartitioning.isInstanceOf[RangePartitioning] => s
     }
-    assert(rangeExchanges.nonEmpty, all.map(_.nodeName).mkString("\n"))
-    // every range-exchange reference must be the SAME physical exchange
-    // (reused stage), never a second independent materialization
-    assert(rangeExchanges.map(System.identityHashCode).distinct.size == 1,
-      out.queryExecution.executedPlan.toString)
+    assert(liveRange.isEmpty, out.queryExecution.executedPlan.toString)
   }
 
   test("summarizeDistributed returns the exact summarize rows " +
