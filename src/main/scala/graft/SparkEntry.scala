@@ -2241,8 +2241,12 @@ object SparkEntry {
 
     // token-budget sequence packing: next-fit bin by cumulative offset
     "q_pack_bins" -> ((s, dir) => {
+      // project BEFORE packing: cumBefore pins one materialization of
+      // its input, so the pinned frame must be the narrow (id, stratum,
+      // tokens) projection, not the full corpus row with text
       val docs = t(s, dir, "documents")
-        .withColumn("n_tokens", TextAnalysis.wordCount(col("text")))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.wordCount(col("text")).as("n_tokens"))
       graft.llm.Packing.assignBins(docs, budgetTokens = 512)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("pack_bin"))
@@ -2251,8 +2255,10 @@ object SparkEntry {
     // concat-and-chunk packing: one (doc, chunk) span row per fixed
     // 256-token training sequence the doc touches; docs straddle cuts
     "q_pack_chunks" -> ((s, dir) => {
+      // narrow projection before packing (see q_pack_bins)
       val docs = t(s, dir, "documents")
-        .withColumn("n_tokens", TextAnalysis.wordCount(col("text")))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.wordCount(col("text")).as("n_tokens"))
       graft.llm.Packing.assignChunks(docs, seqLen = 256)
         .select(col("doc_id"), col("source"), col("chunk_id"),
           col("begin_off"), col("end_off"))

@@ -223,27 +223,31 @@ object PcmAudioGrid {
   /** First `maxFrames` channel-0 samples as signed 16-bit ints, or null
     * when no JDK audio reader matches. Sub-16-bit audio upscales
     * through the JDK's own PCM-to-PCM conversion provider
-    * (AudioSystem.getAudioInputStream(target, ais)); PCM_SIGNED and
-    * PCM_UNSIGNED streams of any width are read. Compressed encodings
-    * (ULAW/ALAW aside, which the JRE also converts) return null - no
-    * JRE decoder. The conversion path is COLD (fixture and real-world
-    * corpora are overwhelmingly 16-bit signed, which short-circuits
-    * before the synchronized conversion-provider registry is touched),
-    * so the SPI-lock concern documented on [[audioReaders]] does not
-    * reopen here. */
+    * (AudioSystem.getAudioInputStream(target, ais)): PCM_SIGNED and
+    * PCM_UNSIGNED streams of any width are read, and the two telephony
+    * companding encodings the JRE ships codecs for (ULAW, ALAW) decode
+    * through the same call. Anything else - MP3, AAC, real compressed
+    * codecs - returns null: no JRE decoder. The conversion path is
+    * COLD (fixture and real-world corpora are overwhelmingly 16-bit
+    * signed, which short-circuits before the synchronized
+    * conversion-provider registry is touched), so the SPI-lock concern
+    * documented on [[audioReaders]] does not reopen here. */
   private[functions] def decodeSamples(bytes: Array[Byte],
                                        maxFrames: Int): Array[Int] =
     try {
       val ais0 = open(bytes)
       if (ais0 == null) return null
       val fmt0 = ais0.getFormat
+      val convertible = Set[AudioFormat.Encoding](
+        AudioFormat.Encoding.PCM_SIGNED, AudioFormat.Encoding.PCM_UNSIGNED,
+        AudioFormat.Encoding.ULAW, AudioFormat.Encoding.ALAW)
       val ais =
         if (fmt0.getSampleSizeInBits == 16 &&
           fmt0.getEncoding == AudioFormat.Encoding.PCM_SIGNED) ais0
-        else if (fmt0.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
-          fmt0.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) {
-          // e.g. 8-bit unsigned WAV: upscale to 16-bit signed LE with
-          // the same rate/channels through the JDK's PCM codec
+        else if (convertible.contains(fmt0.getEncoding)) {
+          // e.g. 8-bit unsigned WAV or a ULAW telephony capture:
+          // decode/upscale to 16-bit signed LE with the same
+          // rate/channels through the JDK's own codec chain
           val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
             fmt0.getSampleRate, 16, fmt0.getChannels,
             fmt0.getChannels * 2, fmt0.getSampleRate, false)

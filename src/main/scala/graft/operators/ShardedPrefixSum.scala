@@ -31,7 +31,12 @@ object ShardedPrefixSum {
     * (RangePartitioner is a function of the key), so the result is
     * well-defined per (stratum, order) group even when individual rows
     * within a tie are otherwise unordered.
-    * `numShards <= 0` defaults to spark.sql.shuffle.partitions. */
+    * `numShards <= 0` defaults to spark.sql.shuffle.partitions.
+    *
+    * The input frame is MATERIALIZED ONCE (persist - see the
+    * correctness note in the body): pass a narrow projection
+    * (id, stratum, token, order), not the full corpus row - every
+    * column in `df` is cached for the duration of the query. */
   def cumBefore(df: DataFrame, tokenCol: String,
                 strataCol: String, orderCol: String,
                 numShards: Int, outCol: String): DataFrame =
@@ -54,26 +59,36 @@ object ShardedPrefixSum {
     // (stratum, shard) cell is a contiguous slice of the stratum's
     // stream.
     //
-    // The localCheckpoint is CORRECTNESS, not caching: `ranged` feeds
-    // two consumers (the within-shard window and the shard-totals
-    // aggregate). Without pinning one materialization, each consumer
-    // may materialize the range exchange independently, and
-    // RangePartitioner samples its boundaries with an RDD-id-derived
-    // seed - two materializations can draw DIFFERENT boundaries, so
-    // the same row reads a different spark_partition_id() in each
-    // branch and the offset join adds the wrong shard totals.
-    // Exchange reuse usually hides this, but it is an optimization,
-    // never a guarantee: measured at sf0.1 with 4 shards (where the
-    // boundary sample is sparse), the per-stratum budget query drifted
-    // 231..266 rows across 15 identical runs, and pinned to the exact
-    // 261 with the checkpoint. The checkpoint writes the projected
-    // (id, stratum, token, order) frame once - narrow columns, linear,
-    // embarrassingly parallel, the same class of phase-boundary
-    // materialization the flagship pipeline already pays.
+    // The persist is CORRECTNESS, not caching: `ranged` feeds two
+    // consumers (the within-shard window and the shard-totals
+    // aggregate), and a logical plan is a TREE - the ranged subtree
+    // appears twice, so without intervention each consumer compiles
+    // its own physical range exchange. RangePartitioner samples its
+    // boundaries with an RDD-id-derived seed, so two independent
+    // materializations can draw DIFFERENT boundaries - the same row
+    // then reads a different spark_partition_id() in each branch and
+    // the offset join adds the wrong shard totals. Exchange reuse
+    // usually hides this, but it is an optimization, never a
+    // guarantee: measured at sf0.1 with 4 shards (sparse boundary
+    // sample), the per-stratum budget query drifted 231..266 rows
+    // across 15 identical runs, and pinned to the exact 261 once one
+    // materialization was shared.
+    //
+    // persist routes both logical references through the cache
+    // manager to ONE InMemoryRelation instance, whose single physical
+    // exchange holds a single lazily-created ShuffleDependency - ONE
+    // sampled partitioner, shared by construction. Unlike a
+    // localCheckpoint pin (which truncates lineage, so an executor
+    // loss or dynamic-allocation decommission after materialization
+    // kills the job), lost cache blocks here recompute through the
+    // SAME dependency and partitioner - cluster-safe. Lifecycle: the
+    // cache entry is consumed within the building query; callers that
+    // sweep caches (Bench's trim) reclaim it afterwards, and a
+    // post-sweep recompilation re-registers it.
     val ranged = df
       .repartitionByRange(shards, (strataCol +: orderCols).map(col): _*)
       .withColumn("__pfx_shard", spark_partition_id())
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = Window
       .partitionBy(col(strataCol), col("__pfx_shard"))
       .orderBy(orderCols.map(col): _*)

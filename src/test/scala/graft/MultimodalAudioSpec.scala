@@ -81,11 +81,14 @@ class MultimodalAudioSpec extends SparkSpec {
     // hand-written 8-bit unsigned mono WAV: 4 windows x 10 samples,
     // window w constant at u(w) - the documented sub-16-bit contract,
     // previously quarantined (decodeSamples returned null for anything
-    // not already 16-bit signed). The JDK converter goes through its
-    // float pipeline, which scales the two half-ranges independently
-    // (negative by 32768/128 = 256, positive by 32767/127, truncated
-    // toward zero) so that both rails map to full scale - probed
-    // empirically, pinned here
+    // not already 16-bit signed). The current JDK converter scales the
+    // two half-ranges independently (negative by 32768/128 = 256,
+    // positive by 32767/127, truncated toward zero) so both rails map
+    // to full scale - probed empirically. That exact rounding is a
+    // vendor internal, so the assert allows +-2 per window mean: wide
+    // enough for any sane 8->16 upscale (<<8 on both rails lands
+    // within 2 of this), narrow enough that a broken decode (wrong
+    // sign handling, wrong byte order) still fails by thousands.
     def up(u: Int): Long =
       if (u >= 128) (u - 128).toLong * 32767 / 127 else (u - 128).toLong * 256
     val us = Seq(0, 128, 200, 60)
@@ -107,6 +110,44 @@ class MultimodalAudioSpec extends SparkSpec {
     val grid = df
       .select(Multimodal.audioPcmFeatures($"bytes", 4, 10).as("grid"))
       .as[Seq[Long]].head()
-    assert(grid == us.map(u => math.abs(up(u))), s"got $grid")
+    val expect = us.map(u => math.abs(up(u)))
+    assert(grid.size == expect.size &&
+      grid.zip(expect).forall { case (g, e) => math.abs(g - e) <= 2 },
+      s"got $grid, want ~$expect")
+  }
+
+  test("ULAW telephony WAV decodes through the JRE's companding codec " +
+    "within mu-law quantization tolerance") {
+    // 4 windows x 10 samples, constant 16-bit amplitude per window,
+    // companded to 8-bit mu-law by the JDK's own codec and wrapped in
+    // a WAV - the telephony-corpus shape. Decode must recover each
+    // window's |amplitude| within mu-law quantization error (log
+    // segments: relative error bounded ~3% plus a small-signal floor).
+    val amps = Seq(8000, -12000, 0, 30000)
+    val pcm = new Array[Byte](amps.length * 10 * 2)
+    amps.zipWithIndex.foreach { case (a, w) =>
+      for (j <- 0 until 10) {
+        val k = (w * 10 + j) * 2
+        pcm(k) = (a & 0xFF).toByte; pcm(k + 1) = ((a >> 8) & 0xFF).toByte
+      }
+    }
+    val pcmFmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val src = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), pcmFmt, amps.length * 10L)
+    val ulawFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, 16000f, 8, 1, 1, 16000f, false)
+    val ulaw = javax.sound.sampled.AudioSystem.getAudioInputStream(ulawFmt, src)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ulaw,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val df = Seq((1L, out.toByteArray)).toDF("asset_id", "bytes")
+    assert(df.select(Multimodal.audioDecodable($"bytes")).as[Boolean].head())
+    val grid = df
+      .select(Multimodal.audioPcmFeatures($"bytes", 4, 10).as("grid"))
+      .as[Seq[Long]].head()
+    val expect = amps.map(a => math.abs(a.toLong))
+    assert(grid.size == 4 && grid.zip(expect).forall { case (g, e) =>
+        math.abs(g - e) <= math.max(64L, (e * 0.04).toLong) },
+      s"got $grid, want ~$expect")
   }
 }

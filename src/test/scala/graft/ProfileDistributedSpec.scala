@@ -59,8 +59,9 @@ class ProfileDistributedSpec extends SparkSpec {
 
   test("cumBefore's two references to the ranged frame read ONE pinned " +
     "materialization (shard boundaries cannot disagree between branches)") {
-    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
     // correctness depends on both plan references to `ranged` agreeing
@@ -69,37 +70,42 @@ class ProfileDistributedSpec extends SparkSpec {
     // differently and corrupt the cumsum. Exchange reuse proved
     // insufficient (the sf0.1 Verify plan shape materialized the range
     // exchange twice - see LlmSpec "sharded prefix sum is run-stable"),
-    // so cumBefore now pins ONE materialization via localCheckpoint;
-    // this asserts the pin is in the executed plan: both branches scan
-    // the SAME checkpointed RDD, and no live range exchange remains
-    // above it to re-sample boundaries.
+    // so cumBefore pins ONE materialization via persist: the cache
+    // manager resolves both logical references to one InMemoryRelation
+    // whose single physical exchange holds a single sampled
+    // partitioner. This asserts the pin is in the executed plan: both
+    // branches are cache scans SHARING one CachedRDDBuilder, and no
+    // live range exchange remains above them to re-sample boundaries.
     val d = (1 to 500).map(i => ((i % 5).toString, i.toLong, 1L))
       .toDF("stratum", "ord", "x")
     val out = ShardedPrefixSum.cumBefore(d, "x", "stratum", "ord", 8, "cum")
-    out.collect() // execute so AQE finalizes the inspected plan
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val next = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case r: ReusedExchangeExec => Seq(r.child)
-        case _ => p.children
+    try {
+      out.collect() // execute so AQE finalizes the inspected plan
+      def flatten(p: SparkPlan): Seq[SparkPlan] = {
+        val next = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case _ => p.children
+        }
+        p +: next.flatMap(flatten)
       }
-      p +: next.flatMap(flatten)
-    }
-    val all = flatten(out.queryExecution.executedPlan)
-    val rddScans = all.collect { case s: RDDScanExec => s }
-    assert(rddScans.nonEmpty, all.map(_.nodeName).mkString("\n"))
-    // every checkpoint-scan reference must read the SAME RDD (one
-    // materialization, one set of boundaries)
-    assert(rddScans.map(s => System.identityHashCode(s.rdd)).distinct.size == 1,
-      out.queryExecution.executedPlan.toString)
-    // and the executed plan carries NO range exchange above the pin -
-    // nothing left that could re-sample boundaries per branch
-    val liveRange = all.collect {
-      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-        if s.outputPartitioning.isInstanceOf[RangePartitioning] => s
-    }
-    assert(liveRange.isEmpty, out.queryExecution.executedPlan.toString)
+      val all = flatten(out.queryExecution.executedPlan)
+      val cacheScans = all.collect { case s: InMemoryTableScanExec => s }
+      assert(cacheScans.nonEmpty, all.map(_.nodeName).mkString("\n"))
+      // every cache-scan reference must share ONE materialization (one
+      // CachedRDDBuilder => one exchange instance => one partitioner)
+      assert(cacheScans.map(s =>
+          System.identityHashCode(s.relation.cacheBuilder)).distinct.size == 1,
+        out.queryExecution.executedPlan.toString)
+      // and the executed plan carries NO range exchange above the pin -
+      // nothing left that could re-sample boundaries per branch
+      val liveRange = all.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if s.outputPartitioning.isInstanceOf[RangePartitioning] => s
+      }
+      assert(liveRange.isEmpty, out.queryExecution.executedPlan.toString)
+    } finally spark.sharedState.cacheManager.clearCache()
   }
 
   test("summarizeDistributed returns the exact summarize rows " +
