@@ -36,6 +36,7 @@ object Bench {
     // costs a recompute, never correctness.
     val trimEvery = sys.env.getOrElse("SPARK_GRAFT_TRIM_EVERY", "16").toInt
     def trimPassState(): Unit = {
+      graft.operators.ShardedPrefixSum.releaseAll() // drop stale pin refs too
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .filterNot(_.isCheckpointed)
@@ -66,6 +67,7 @@ object Bench {
     // the un-cleaned second pass 46% slower than the first).
     def resetPassState(): Unit = {
       graft.pipeline.Memo.clear()
+      graft.operators.ShardedPrefixSum.releaseAll()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -105,6 +107,12 @@ object Bench {
     val quietSleepS = sys.env.getOrElse("SPARK_GRAFT_QUIET_SLEEP_SEC", "90").toInt
     var attempts = 1
     var loadStart = loadAvg()
+    // the FIRST load sample, stamped unconditionally: a quiet-retry
+    // re-samples loadStart after sleeping, so without this the record
+    // of a retried-to-valid run would show only the post-sleep value -
+    // loadavg_first + attempts makes the retry fully auditable from
+    // the JSON alone
+    val loadFirst = loadStart
     while (attempts <= quietRetries && loadStart.exists(_ > 2.0)) {
       System.err.println(s"[bench] loadavg_start ${loadStart.get} > 2 " +
         s"(contended) - quiet-retry: sleeping ${quietSleepS}s before " +
@@ -112,6 +120,31 @@ object Bench {
       Thread.sleep(quietSleepS * 1000L)
       loadStart = loadAvg()
       attempts += 1
+    }
+    // fixed pre-pass IO probe (round-14 instrumentation of the
+    // driver-vs-builder cold-total gap): raw-read every parquet byte in
+    // the SF dir through plain FileInputStream, timed. This measures
+    // the MACHINE's disk/page-cache state at bench start - a cold page
+    // cache shows up as a 10-100x slower probe than a warm one - while
+    // touching no Spark code path, so JVM/codegen warmup (what
+    // cold_total measures) stays comparable with earlier rounds. Side
+    // effect, deliberate: the probe leaves the data files page-warm, so
+    // every run's first pass starts from the same file-cache state and
+    // cross-round cold_total comparisons stop depending on what the
+    // driver ran just before.
+    val (probeIoMb, probeIoSec) = {
+      val files = Option(new java.io.File(sfDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val buf = new Array[Byte](1 << 20)
+      val t0 = System.nanoTime()
+      var bytes = 0L
+      files.foreach { f =>
+        val in = new java.io.FileInputStream(f)
+        try { var r = in.read(buf); while (r >= 0) { bytes += r; r = in.read(buf) } }
+        finally in.close()
+      }
+      (bytes / 1e6, (System.nanoTime() - t0) / 1e9)
     }
     val passes = (1 to nPasses).map { i =>
       if (i > 1) resetPassState()
@@ -147,7 +180,7 @@ object Bench {
     // "not validated", recorded false.
     val valid = skew <= 0.25 && loadStart.exists(_ <= 2.0)
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"loadavg_start":${msOpt(loadStart)},"loadavg_end":${msOpt(loadEnd)},"cold_warm_skew":${ms(skew)},"valid":$valid,"attempts":$attempts,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"loadavg_start":${msOpt(loadStart)},"loadavg_first":${msOpt(loadFirst)},"loadavg_end":${msOpt(loadEnd)},"probe_io_mb":${ms(probeIoMb)},"probe_io_sec":${ms(probeIoSec)},"cold_warm_skew":${ms(skew)},"valid":$valid,"attempts":$attempts,"sf":"$sfDir"}"""
     if (only.isEmpty) { // a filtered run must not clobber the full record
       try {
         // cwd-relative: lands in whatever checkout ran the bench

@@ -25,6 +25,42 @@ import org.apache.spark.sql.functions._
   */
 object ShardedPrefixSum {
 
+  /** Live pinned materializations, oldest first. Every [[cumBefore]]
+    * call persists its ranged frame (the correctness pin - see the
+    * body comment) and registers it here; the registry caps live pins
+    * at `graft.pfx.maxPinned` (default 8) by unpersisting the oldest,
+    * so a long-lived session issuing many distinct packing/profile
+    * queries holds O(1) pinned entries instead of leaking one
+    * session-lifetime cache entry per call. */
+  private val pins = new java.util.ArrayDeque[DataFrame]()
+
+  /** Number of currently registered pins (introspection for specs and
+    * cache-pressure monitoring). */
+  def pinnedCount: Int = pins.synchronized { pins.size }
+
+  /** Unpersist and drop every registered pin. Safe at session
+    * teardown / between bench passes; products compiled while their
+    * pin was live recompute through their already-bound shuffle
+    * dependency, so releasing never changes an in-flight answer. */
+  def releaseAll(): Unit = pins.synchronized {
+    while (!pins.isEmpty) safeUnpersist(pins.pollFirst())
+  }
+
+  private def safeUnpersist(df: DataFrame): Unit =
+    // the frame may belong to a stopped session (test suites) or have
+    // been swept already (Bench's trim) - double-release is a no-op
+    try df.unpersist(blocking = false) catch { case _: Throwable => () }
+
+  private def registerPin(df: DataFrame): Unit = {
+    val cap = math.max(1,
+      try df.sparkSession.conf.get("graft.pfx.maxPinned", "8").toInt
+      catch { case _: Exception => 8 })
+    pins.synchronized {
+      pins.addLast(df)
+      while (pins.size > cap) safeUnpersist(pins.pollFirst())
+    }
+  }
+
   /** Adds `outCol` = sum of `tokenCol` over rows of the same stratum
     * that precede this row in `orderCol` order (exclusive running
     * offset). Ties on (stratum, order) never split across shards
@@ -36,7 +72,19 @@ object ShardedPrefixSum {
     * The input frame is MATERIALIZED ONCE (persist - see the
     * correctness note in the body): pass a narrow projection
     * (id, stratum, token, order), not the full corpus row - every
-    * column in `df` is cached for the duration of the query. */
+    * column in `df` is cached for the duration of the query.
+    *
+    * Pin lifecycle: the persisted frame is registered in a bounded
+    * FIFO ([[pinnedCount]], cap `graft.pfx.maxPinned`, default 8); the
+    * 9th subsequent call unpersists this one. The single-partitioner
+    * guarantee covers every execution COMPILED while the pin is live -
+    * an evicted pin's cached blocks recompute through the same already
+    * -sampled ShuffleDependency, so running plans stay exact - but a
+    * FRESH compilation of a product older than `maxPinned` later calls
+    * would re-plan the exchange per consumer and lose the guarantee.
+    * Consume each product (as every library caller does, immediately)
+    * before issuing `maxPinned` further prefix sums, or raise the cap
+    * for unusual fan-out sessions. [[releaseAll]] drops everything. */
   def cumBefore(df: DataFrame, tokenCol: String,
                 strataCol: String, orderCol: String,
                 numShards: Int, outCol: String): DataFrame =
@@ -82,13 +130,16 @@ object ShardedPrefixSum {
     // loss or dynamic-allocation decommission after materialization
     // kills the job), lost cache blocks here recompute through the
     // SAME dependency and partitioner - cluster-safe. Lifecycle: the
-    // cache entry is consumed within the building query; callers that
-    // sweep caches (Bench's trim) reclaim it afterwards, and a
-    // post-sweep recompilation re-registers it.
+    // cache entry is consumed within the building query and released
+    // by the bounded pin registry (the cap-th subsequent cumBefore
+    // call unpersists it - see the public docstring); sweeps (Bench's
+    // trim, releaseAll) reclaim earlier, and a post-sweep
+    // recompilation re-registers it.
     val ranged = df
       .repartitionByRange(shards, (strataCol +: orderCols).map(col): _*)
       .withColumn("__pfx_shard", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerPin(ranged)
     val wIn = Window
       .partitionBy(col(strataCol), col("__pfx_shard"))
       .orderBy(orderCols.map(col): _*)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * regime - and a coalesce(1) full-column write) and prints each run's
   * row count AND full-content hash. Any drift means the two
   * materializations of the range exchange sampled different boundaries
-  * (the bug the localCheckpoint in cumBefore pins down).
+  * (the bug the persist/InMemoryRelation pin in cumBefore rules out).
   * Usage: runMain graft.tools.PfxProbe2 /root/testdata/sf0.1 15 q_pack_export */
 object PfxProbe2 {
   def main(args: Array[String]): Unit = {

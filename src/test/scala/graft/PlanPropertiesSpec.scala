@@ -280,6 +280,58 @@ class PlanPropertiesSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("registry-wide: partition-id-derived data never sits above a " +
+    "multiply-referenced UNPINNED range exchange (the r13 " +
+    "ShardedPrefixSum bug class, automated over every query)") {
+    // The r13 parity leg caught one instance of a whole bug class: a
+    // range-partitioned frame feeding TWO consumers compiles two
+    // independent exchanges, RangePartitioner samples boundaries with
+    // an RDD-id-derived seed, and anything derived from
+    // spark_partition_id() then disagrees between the branches. The
+    // fix pins ONE materialization (persist -> InMemoryRelation), which
+    // hides both the partition-id projection and the range repartition
+    // from the consumer's optimized logical plan. This automates the
+    // r13 hand audit as a plan invariant over the ENTIRE registry: in
+    // every query's optimized plan, any node computing
+    // spark_partition_id() must not have a range repartition below it
+    // whose canonical form occurs more than once in the tree (a shared
+    // subtree visited through two parents counts twice - exactly the
+    // dual-consumer shape). Removing the persist pin in
+    // ShardedPrefixSum.cumBefore makes this fail on every packing /
+    // budget / profile query (verified when this spec was written).
+    import org.apache.spark.sql.catalyst.expressions.{SortOrder, SparkPartitionID}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, RepartitionByExpression}
+    val dir = "/root/testdata/sf0.001"
+    def rangeReps(p: LogicalPlan): Seq[RepartitionByExpression] = p.collect {
+      case r: RepartitionByExpression
+        if r.partitionExpressions.exists(_.isInstanceOf[SortOrder]) => r
+    }
+    val offenders = Seq.newBuilder[String]
+    try {
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        val plan = fn(spark, dir).queryExecution.optimizedPlan
+        // canonical multiplicity of every range repartition in the tree
+        val mult = rangeReps(plan).map(_.canonicalized)
+          .groupBy(identity).view.mapValues(_.size).toMap
+        // range repartitions sitting BELOW a spark_partition_id() use
+        val underPid = plan.collect {
+          case n if n.expressions.exists(e =>
+            e.collectFirst { case _: SparkPartitionID => () }.isDefined) => n
+        }.flatMap(n => rangeReps(n).map(_.canonicalized))
+        if (underPid.distinct.exists(c => mult.getOrElse(c, 0) >= 2))
+          offenders += name
+      }
+    } finally {
+      graft.operators.ShardedPrefixSum.releaseAll()
+      spark.sharedState.cacheManager.clearCache()
+      graft.pipeline.Memo.clear()
+    }
+    assert(offenders.result().isEmpty,
+      s"unpinned dual-consumer range exchange under spark_partition_id " +
+        s"in: ${offenders.result().mkString(", ")} - the ShardedPrefixSum " +
+        "persist pin (or an equivalent single materialization) is missing")
+  }
+
   test("containment pair stage ships sketches only - no shingle arrays " +
     "past the sketch build, candidates via equi-join") {
     val d = (1L to 60L).map(i =>

@@ -108,6 +108,42 @@ class ProfileDistributedSpec extends SparkSpec {
     } finally spark.sharedState.cacheManager.clearCache()
   }
 
+  test("pin lifecycle: a long session of distinct prefix sums holds at " +
+    "most maxPinned pinned frames, each exact when consumed promptly") {
+    import org.apache.spark.sql.expressions.Window
+    // round-14 hardening of the r13 fix: every cumBefore call persists
+    // its ranged frame (the single-partitioner pin), so without a
+    // lifecycle a session issuing many packing/profile queries would
+    // accumulate one session-lifetime cache entry per call. The FIFO
+    // registry caps live pins at graft.pfx.maxPinned (default 8);
+    // this drives 25 DISTINCT prefix sums - each consumed immediately,
+    // the documented contract - and asserts bounded cache growth with
+    // every answer still exact.
+    spark.sharedState.cacheManager.clearCache()
+    ShardedPrefixSum.releaseAll()
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val w = Window.partitionBy("stratum").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (i <- 1 to 25) {
+      val d = (1 to 200).map(j =>
+        ((j % 3).toString, j.toLong, (j % 7).toLong + i)).toDF("stratum", "ord", "x")
+      val naive = d.withColumn("cum", sum($"x").over(w) - $"x")
+        .select("stratum", "ord", "cum")
+        .as[(String, Long, Long)].collect().toSet
+      val got = ShardedPrefixSum.cumBefore(d, "x", "stratum", "ord", 6, "cum")
+        .select("stratum", "ord", "cum")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == naive, s"call $i")
+    }
+    assert(ShardedPrefixSum.pinnedCount <= 8, ShardedPrefixSum.pinnedCount)
+    // cache growth is bounded by the cap, never by the call count
+    // (unpersist removes the RDD from the context's persistent map)
+    val live = spark.sparkContext.getPersistentRDDs.size - base
+    assert(live <= 8, s"$live persistent RDDs accumulated over 25 calls")
+    ShardedPrefixSum.releaseAll()
+    assert(ShardedPrefixSum.pinnedCount == 0)
+  }
+
   test("summarizeDistributed returns the exact summarize rows " +
     "bit-for-bit on integer columns, nulls and all-null included") {
     val rnd = new scala.util.Random(11)
