@@ -162,27 +162,40 @@ object PcmAudioGrid {
     b.result()
   }
 
-  // provider resolution memoized by the container's 4-byte magic
-  // ("RIFF", "FORM", ...): rejecting providers signal "not mine" by
-  // THROWING UnsupportedAudioFileException, and paying a constructed
-  // exception per non-matching provider per row is measurable at
-  // corpus scale - after the first row of a format, its reader is hit
-  // directly
+  // provider resolution memoized by the container magic PLUS the RIFF
+  // form type (bytes 0-3 and 8-11): rejecting providers signal "not
+  // mine" by THROWING UnsupportedAudioFileException, and paying a
+  // constructed exception per non-matching provider per row is
+  // measurable at corpus scale - after the first row of a format, its
+  // reader is hit directly. The form-type word matters because RIFF is
+  // a family ("RIFF....WAVE" is audio, "RIFF....AVI " is video): keyed
+  // on bytes 0-3 alone, a corpus mixing WAV and AVI payloads through
+  // one column would retry the cached WAV reader on every AVI row -
+  // exactly the exception-per-row cost the cache exists to avoid.
   private val readerByMagic =
-    new java.util.concurrent.ConcurrentHashMap[Integer,
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long,
       javax.sound.sampled.spi.AudioFileReader]()
 
-  private def magic(bytes: Array[Byte]): Integer =
-    if (bytes.length < 4) Integer.valueOf(0)
-    else Integer.valueOf(((bytes(0) & 0xFF) << 24) | ((bytes(1) & 0xFF) << 16) |
-      ((bytes(2) & 0xFF) << 8) | (bytes(3) & 0xFF))
+  // cached reader rejected the payload despite the matching magic key
+  // (then the full provider rescan runs); test-visible so the
+  // WAV/AVI-mix spec can assert the form-type key prevents thrash
+  private[graft] val staleCacheHits =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  private def word(bytes: Array[Byte], off: Int): Long =
+    if (bytes.length < off + 4) 0L
+    else (((bytes(off) & 0xFF) << 24) | ((bytes(off + 1) & 0xFF) << 16) |
+      ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)).toLong & 0xFFFFFFFFL
+
+  private def magic(bytes: Array[Byte]): java.lang.Long =
+    java.lang.Long.valueOf((word(bytes, 0) << 32) | word(bytes, 8))
 
   private def open(bytes: Array[Byte]): AudioInputStream = {
     val m = magic(bytes)
     val hit = readerByMagic.get(m)
     if (hit != null) {
       try return hit.getAudioInputStream(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => () } // same magic, different format: rescan
+      catch { case _: Exception => staleCacheHits.incrementAndGet() } // rescan
     }
     val it = audioReaders.iterator
     while (it.hasNext) {
@@ -232,8 +245,8 @@ object PcmAudioGrid {
     * signed, which short-circuits before the synchronized
     * conversion-provider registry is touched), so the SPI-lock concern
     * documented on [[audioReaders]] does not reopen here. */
-  private[functions] def decodeSamples(bytes: Array[Byte],
-                                       maxFrames: Int): Array[Int] =
+  private[graft] def decodeSamples(bytes: Array[Byte],
+                                   maxFrames: Int): Array[Int] =
     try {
       val ais0 = open(bytes)
       if (ais0 == null) return null

@@ -230,16 +230,26 @@ object AviFrameLumaGrids {
     * header slot), and movi chunks are kept only when their two-digit
     * stream-number prefix ('NNdb'/'NNdc') equals that strl's ordinal,
     * so audio packets and any second video stream's frames never
-    * interleave into the decoded sequence. */
+    * interleave into the decoded sequence.
+    *
+    * Single-stream leniency: a spec-sloppy AVI that writes NO strh
+    * chunk anywhere (so no stream declares a type at all) falls back
+    * to the first strf and accepts every frame chunk - the
+    * pre-stream-binding behavior, safe exactly because with zero strh
+    * chunks nothing could have disambiguated the streams anyway. A
+    * file that DOES declare strh types but none of them 'vids' stays
+    * null: it told us it has no video stream. */
   private[functions] def parse(b: Array[Byte]): (Array[Byte], Seq[Array[Byte]]) = {
     try {
       if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
         return null
       var strf: Array[Byte] = null
+      var firstStrf: Array[Byte] = null // strh-less fallback candidate
+      var sawStrh = false
       var videoStream = -1 // ordinal of the first 'vids' strl in hdrl
       var strlOrdinal = -1 // ordinal of the strl being walked
       var curFccType: String = null // fccType from the current strl's strh
-      val frames = Seq.newBuilder[Array[Byte]]
+      val frames = Seq.newBuilder[(Int, Array[Byte])]
       def walk(off0: Int, end: Int): Unit = {
         var off = off0
         while (off + 8 <= end) {
@@ -252,8 +262,11 @@ object AviFrameLumaGrids {
             }
             walk(off + 12, off + 8 + sz) // skip the 4-byte list type
           } else if (id == "strh" && sz >= 4) {
+            sawStrh = true
             curFccType = fourcc(b, off + 8)
           } else if (id == "strf") {
+            if (firstStrf == null)
+              firstStrf = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
             if (videoStream < 0 && curFccType == "vids") {
               videoStream = strlOrdinal
               strf = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
@@ -263,15 +276,20 @@ object AviFrameLumaGrids {
             // frame chunk; the prefix is the stream number in ASCII
             val sn = try Integer.parseInt(id.substring(0, 2))
                      catch { case _: NumberFormatException => -2 }
-            if (sn == videoStream && videoStream >= 0)
-              frames += java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
+            if (sn >= 0)
+              frames += ((sn, java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)))
           }
           off += 8 + sz + (sz & 1) // RIFF even padding
         }
       }
       walk(12, math.min(b.length, 8 + u32(b, 4)))
-      val fs = frames.result()
-      if (strf == null || fs.isEmpty) null else (strf, fs)
+      val all = frames.result()
+      if (videoStream >= 0) {
+        val fs = all.collect { case (sn, px) if sn == videoStream => px }
+        if (strf == null || fs.isEmpty) null else (strf, fs)
+      } else if (!sawStrh && firstStrf != null && all.nonEmpty) {
+        (firstStrf, all.map(_._2)) // strh-less single-stream leniency
+      } else null
     } catch { case _: Exception => null }
   }
 

@@ -150,4 +150,127 @@ class MultimodalAudioSpec extends SparkSpec {
         math.abs(g - e) <= math.max(64L, (e * 0.04).toLong) },
       s"got $grid, want ~$expect")
   }
+
+  private def sampled[A](gen: org.scalacheck.Gen[A], n: Int,
+                         seed0: Long): Seq[A] = {
+    var s = org.scalacheck.rng.Seed(seed0)
+    (1 to n).map { _ =>
+      val v = gen.pureApply(org.scalacheck.Gen.Parameters.default, s)
+      s = s.next
+      v
+    }
+  }
+
+  test("property: decodeSamples over the random PCM matrix " +
+    "(width x container x sign x channels, 120 cases) recovers " +
+    "channel 0 within one source-quantization step - never garbage") {
+    import org.scalacheck.Gen
+    import javax.sound.sampled._
+    // Random PCM written by the JDK's own container writers: WAV
+    // exercises the little-endian file leg, AIFF the big-endian one;
+    // width 8 rides the unsigned-offset storage, 16 the signed
+    // short-circuit, 24/32 the float-mediated downscale. Channel 1
+    // (when present) carries the NEGATED signal, so any channel mixing
+    // or frame-stride bug lands far outside the tolerance. The JDK
+    // converter is float-mediated with asymmetric positive scaling
+    // (x*32767 up / 2^(W-1) down), so exactness only holds at width
+    // 16; elsewhere the decoded value must sit within one source LSB
+    // of the ideal v<<8.
+    val caseGen = for {
+      container <- Gen.oneOf(AudioFileFormat.Type.WAVE, AudioFileFormat.Type.AIFF)
+      width <- Gen.oneOf(8, 16, 24, 32)
+      // >8-bit unsigned PCM is not representable in either container
+      // (the JDK writers mislabel rather than convert it), and no real
+      // corpus carries it; 8-bit covers both signs
+      signed <- if (width == 8) Gen.oneOf(true, false) else Gen.const(true)
+      bigIn <- Gen.oneOf(true, false) // raw-payload endianness pre-write
+      channels <- Gen.oneOf(1, 2)
+      n <- Gen.choose(3, 40)
+      vs <- Gen.listOfN(n, Gen.choose(-128, 127))
+    } yield (container, width, signed, bigIn, channels, vs)
+
+    def putSample(buf: Array[Byte], off: Int, v: Long, bytes: Int,
+                  big: Boolean): Unit = {
+      var i = 0
+      while (i < bytes) {
+        val sh = if (big) 8 * (bytes - 1 - i) else 8 * i
+        buf(off + i) = ((v >> sh) & 0xFF).toByte
+        i += 1
+      }
+    }
+
+    for ((container, width, signed, bigIn, channels, vs) <-
+           sampled(caseGen, 120, 4242L)) {
+      val bytesPer = width / 8
+      val raw = new Array[Byte](vs.length * channels * bytesPer)
+      vs.zipWithIndex.foreach { case (v, f) =>
+        def store(x: Long): Long =
+          if (signed) x else x + (1L << (width - 1))
+        putSample(raw, f * channels * bytesPer,
+          store(v.toLong << (width - 8)), bytesPer, bigIn)
+        if (channels == 2)
+          putSample(raw, (f * channels + 1) * bytesPer,
+            store(-v.toLong << (width - 8)), bytesPer, bigIn)
+      }
+      val enc = if (signed) AudioFormat.Encoding.PCM_SIGNED
+                else AudioFormat.Encoding.PCM_UNSIGNED
+      val fmt = new AudioFormat(enc, 8000f, width, channels,
+        channels * bytesPer, 8000f, bigIn)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt,
+          vs.length.toLong),
+        container, out)
+      val got = graft.functions.PcmAudioGrid.decodeSamples(
+        out.toByteArray, vs.length)
+      val label = s"$container w=$width signed=$signed bigIn=$bigIn " +
+        s"ch=$channels n=${vs.length}"
+      assert(got != null && got.length == vs.length, label)
+      val tol = if (width == 8) 260 else 4
+      got.toSeq.zip(vs).zipWithIndex.foreach { case ((g, v), i) =>
+        assert(math.abs(g - (v << 8)) <= tol,
+          s"$label frame $i: got $g want ~${v << 8}")
+      }
+    }
+
+    // the null leg: junk that resolves no JDK reader must be null,
+    // never a misdecoded sample array
+    for (junk <- sampled(Gen.listOfN(64, Gen.choose(0, 255)), 8, 7L))
+      assert(graft.functions.PcmAudioGrid.decodeSamples(
+        junk.map(_.toByte).toArray, 4) == null)
+  }
+
+  test("mixed WAV/AVI corpus: the RIFF form-type cache key keeps the " +
+    "reader cache from thrashing (zero stale hits across interleaved rows)") {
+    // WAV and AVI share the 4-byte container magic "RIFF"; keyed on
+    // bytes 0-3 alone, every AVI row would retry the cached WAV reader,
+    // throw, and rescan the provider registry - a constructed exception
+    // per row at corpus scale. The form-type word (bytes 8-11) splits
+    // the keys, so interleaving the two formats causes no stale hits.
+    val pcm = Array.tabulate(40)(i => (i * 1000 - 20000))
+    val raw = new Array[Byte](pcm.length * 2)
+    pcm.zipWithIndex.foreach { case (v, i) =>
+      raw(2 * i) = (v & 0xFF).toByte; raw(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, pcm.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val wav = out.toByteArray
+    // minimal RIFF/AVI shell - enough container to carry the form type
+    val aviBody = "AVI LIST".getBytes("US-ASCII") ++ new Array[Byte](32)
+    val avi = "RIFF".getBytes("US-ASCII") ++ Array[Byte](
+      (aviBody.length & 0xFF).toByte, 0, 0, 0) ++ aviBody
+
+    assert(graft.functions.PcmAudioGrid.decodeSamples(wav, 4) != null)
+    val before = graft.functions.PcmAudioGrid.staleCacheHits.get()
+    (1 to 20).foreach { _ =>
+      assert(graft.functions.PcmAudioGrid.decodeSamples(avi, 1) == null)
+      assert(graft.functions.PcmAudioGrid.decodeSamples(wav, 4) != null)
+    }
+    assert(graft.functions.PcmAudioGrid.staleCacheHits.get() == before,
+      "interleaved WAV/AVI rows must not evict or retry across formats")
+  }
 }

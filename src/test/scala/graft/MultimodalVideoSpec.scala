@@ -61,6 +61,31 @@ class MultimodalVideoSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("not a parseable uncompressed AVI")), e)
   }
 
+  // ---- hand-muxed RIFF/AVI builder helpers (shared by the stream-
+  // binding tests below) ----
+  private def le32(v: Int): Array[Byte] = Array((v & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 24) & 0xFF).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] =
+    fcc(id) ++ le32(body.length) ++ body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+  private def list(tpe: String, body: Array[Byte]): Array[Byte] =
+    fcc("LIST") ++ le32(body.length + 4) ++ fcc(tpe) ++ body
+  private val frameW = 8
+  private val frameSize = frameW * frameW * 3
+  private def grayFrame(v: Int): Array[Byte] = Array.fill(frameSize)(v.toByte)
+  private def bih: Array[Byte] =
+    le32(40) ++ le32(frameW) ++ le32(frameW) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(frameSize) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0)
+  private def riffAvi(body: Array[Byte]): Array[Byte] = {
+    val full = fcc("AVI ") ++ body
+    fcc("RIFF") ++ le32(full.length) ++ full
+  }
+
   test("multi-stream AVI: an audio strl listed FIRST neither captures " +
     "the strf slot nor interleaves its packets into the frame sequence") {
     // hand-muxed two-stream AVI in the common mux order (audio strl
@@ -70,23 +95,6 @@ class MultimodalVideoSpec extends SparkSpec {
     // and ONLY that stream's frames - pairing frames with the audio
     // strf or ingesting '00wb' packets decodes garbage or skews the
     // frame count.
-    def le32(v: Int): Array[Byte] = Array((v & 0xFF).toByte,
-      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
-      ((v >> 24) & 0xFF).toByte)
-    def le16(v: Int): Array[Byte] =
-      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
-    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
-    def chunk(id: String, body: Array[Byte]): Array[Byte] =
-      fcc(id) ++ le32(body.length) ++ body ++
-        (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
-    def list(tpe: String, body: Array[Byte]): Array[Byte] =
-      fcc("LIST") ++ le32(body.length + 4) ++ fcc(tpe) ++ body
-    val w = 8; val h = 8
-    val frameSize = w * h * 3
-    def grayFrame(v: Int): Array[Byte] = Array.fill(frameSize)(v.toByte)
-    val bih = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
-      le32(0) ++ le32(frameSize) ++ le32(2835) ++ le32(2835) ++
-      le32(0) ++ le32(0)
     val strhAud = fcc("auds") ++ Array.fill(52)(0.toByte)
     val strhVid = fcc("vids") ++ fcc("DIB ") ++ Array.fill(48)(0.toByte)
     val hdrl = list("hdrl",
@@ -99,8 +107,7 @@ class MultimodalVideoSpec extends SparkSpec {
         chunk("01db", grayFrame(50)) ++
         chunk("00wb", Array.fill(64)(98.toByte)) ++
         chunk("01db", grayFrame(200)))
-    val body = fcc("AVI ") ++ hdrl ++ movi
-    val avi = fcc("RIFF") ++ le32(body.length) ++ body
+    val avi = riffAvi(hdrl ++ movi)
 
     val df = Seq((1L, avi)).toDF("asset_id", "bytes")
     assert(df.select(Multimodal.videoDecodable($"bytes")).as[Boolean].head())
@@ -109,5 +116,37 @@ class MultimodalVideoSpec extends SparkSpec {
       .as[Seq[Seq[Long]]].head()
     // exactly the two video frames, decoded against the VIDEO header
     assert(grids == Seq(Seq(50L), Seq(200L)), s"got $grids")
+  }
+
+  test("single-stream leniency: an AVI with NO strh anywhere decodes " +
+    "via first-strf; one that declares only non-vids streams stays null") {
+    // spec-sloppy single-stream file: strl holds only a strf (no strh
+    // declares a type). With zero strh chunks nothing disambiguates
+    // the streams, so the parser falls back to first-strf + all
+    // frames - the documented leniency contract.
+    val sloppyHdrl = list("hdrl",
+      chunk("avih", Array.fill(56)(0.toByte)) ++
+        list("strl", chunk("strf", bih)))
+    val sloppyMovi = list("movi",
+      chunk("00db", grayFrame(30)) ++ chunk("00db", grayFrame(170)))
+    val sloppy = riffAvi(sloppyHdrl ++ sloppyMovi)
+    val df = Seq((1L, sloppy)).toDF("asset_id", "bytes")
+    assert(df.select(Multimodal.videoDecodable($"bytes")).as[Boolean].head())
+    val grids = df
+      .select(Multimodal.videoFrameFeatures($"bytes", grid = 1))
+      .as[Seq[Seq[Long]]].head()
+    assert(grids == Seq(Seq(30L), Seq(170L)), s"got $grids")
+
+    // control: a file that DOES declare its streams, all non-video,
+    // told us it has no video - leniency must NOT resurrect it
+    val audioOnlyHdrl = list("hdrl",
+      chunk("avih", Array.fill(56)(0.toByte)) ++
+        list("strl",
+          chunk("strh", fcc("auds") ++ Array.fill(52)(0.toByte)) ++
+            chunk("strf", Array.fill(16)(7.toByte))))
+    val audioOnly = riffAvi(audioOnlyHdrl ++
+      list("movi", chunk("00wb", grayFrame(30))))
+    assert(!Seq((1L, audioOnly)).toDF("asset_id", "bytes")
+      .select(Multimodal.videoDecodable($"bytes")).as[Boolean].head())
   }
 }
