@@ -95,12 +95,21 @@ object Agr {
     * (how='insert'): deterministic surrogate ids above the current max
     * (ref createRgdId sequence, OrthologRelationDao.java:621-642).
     * Returns the resolution table with every resolvable curie bound. */
-  def assignNewGenes(resolved: DataFrame, maxExistingRgdId: Int): DataFrame = {
+  def assignNewGenes(resolved: DataFrame, maxExistingRgdId: Int): DataFrame =
+    assignNewGenes(resolved,
+      resolved.sparkSession.range(1).select(
+        lit(maxExistingRgdId).as("maxRgdId")))
+
+  /** As above with the sequence base read lazily from `maxFrame` (a
+    * one-row frame holding the current max rgd id, e.g.
+    * `genes.agg(max(rgdId))`) - composing the plan triggers no driver
+    * action. */
+  def assignNewGenes(resolved: DataFrame, maxFrame: DataFrame): DataFrame = {
     // distributed sequence assignment - NOT a global-order window, which
     // would single-partition the insert set (see operators.Keys)
-    val inserts = Keys.assignSequential(
+    val inserts = Keys.assignSequentialFrom(
       resolved.filter(col("how") === "insert").drop("rgdId"),
-      "rgdIdSeq", maxExistingRgdId, Seq(col("curie")))
+      "rgdIdSeq", maxFrame, Seq(col("curie")))
       .withColumn("rgdId", col("rgdIdSeq").cast("int")).drop("rgdIdSeq")
     resolved.filter(col("how") =!= "insert" || col("how").isNull)
       .unionByName(inserts)

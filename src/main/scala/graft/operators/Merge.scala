@@ -137,9 +137,11 @@ object Merge {
     // assign surrogate keys to inserts: max existing key + a distributed
     // sequence over a stable unique sort (deterministic; tests never
     // depend on absolute ids). NOT a global-order window - that would
-    // single-partition the insert set (see operators.Keys).
-    val maxKey = state.agg(coalesce(max(col("key")), lit(0L))).first().getLong(0)
-    val insertedFilled0 = Keys.assignSequential(insertedRaw, "key", maxKey,
+    // single-partition the insert set (see operators.Keys) - and the
+    // max-key base attaches lazily as a broadcast scalar, so composing
+    // this plan triggers no driver action.
+    val maxKey = state.agg(coalesce(max(col("key")), lit(0L)))
+    val insertedFilled0 = Keys.assignSequentialFrom(insertedRaw, "key", maxKey,
       Seq(col("srcRgdId"), col("destSpeciesTypeKey"), col("destRgdId")))
       .withColumn("orthologTypeKey",
         Exprs.orthologTypeKey(col("srcSpeciesTypeKey"), col("destSpeciesTypeKey")))
@@ -160,8 +162,9 @@ object Merge {
         f.withColumn(c, lit(null).cast(state.schema(c).dataType))
       }
       .select(state.columns.toIndexedSeq.map(col): _*)
-      .persist() // assignSequential leaves SQL-plan land (RDD zipWithIndex);
-                 // without this every consumer re-runs its count job + sort
+      .persist() // the insert set feeds newState AND the audit streams;
+                 // one materialization instead of a per-consumer recompute
+                 // of the resolve->merge chain (swept by Bench's trim)
 
     // state after match/insert/replace/dup-cleanup
     val deletes0 = dupDeletes.select(col("key"))

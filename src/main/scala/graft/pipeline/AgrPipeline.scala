@@ -40,11 +40,14 @@ object AgrPipeline {
         col("speciesTypeKey2").as("speciesTypeKey")))
       .distinct()
 
-    val maxRgd =
-      if (maxExistingRgdId > 0) maxExistingRgdId
-      else genes.agg(coalesce(max(col("rgdId")), lit(0))).first().getInt(0)
+    // lazy scalar: the max-rgd-id base folds into the checkpoint job
+    // below instead of running as its own blocking driver action
+    val maxFrame =
+      if (maxExistingRgdId > 0)
+        genes.sparkSession.range(1).select(lit(maxExistingRgdId).as("maxRgdId"))
+      else genes.agg(coalesce(max(col("rgdId")), lit(0)).as("maxRgdId"))
     val resolved = Agr.assignNewGenes(
-      Agr.resolveCuries(curies, xrefs, genes, rgdIds), maxRgd)
+      Agr.resolveCuries(curies, xrefs, genes, rgdIds), maxFrame)
       .localCheckpoint() // phase boundary (see OrthologPipeline.phase)
 
     val unresolved = resolved.filter(col("rgdId").isNull)

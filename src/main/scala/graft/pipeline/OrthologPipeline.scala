@@ -42,7 +42,7 @@ object OrthologPipeline {
     * [[InProcessPhases]] (localCheckpoint) is the in-process stand-in
     * for callers without a writable warehouse (unit fixtures, CLI dry
     * runs). */
-  sealed trait PhaseStore {
+  trait PhaseStore {
     def apply(name: String, keys: Seq[String], df: DataFrame): DataFrame
   }
   case object InProcessPhases extends PhaseStore {
@@ -150,13 +150,15 @@ object OrthologPipeline {
   }
 
   /** Deterministic surrogate assoc keys above the current max -
-    * distributed sequence, not a single-partition global window
-    * (see operators.Keys). */
+    * distributed sequence, not a single-partition global window (see
+    * operators.Keys). The max-key base attaches lazily as a broadcast
+    * scalar: a caller that never consumes the association state (the
+    * picks-only flagship queries) never pays for this branch. */
   private def assignAssocKeys(inserts: DataFrame, state: DataFrame): DataFrame = {
-    val maxKey = state.agg(coalesce(max(col("assocKey")), lit(0L))).first().getLong(0)
+    val maxKey = state.agg(coalesce(max(col("assocKey")), lit(0L)))
     val base = if (inserts.columns.contains("assocKey"))
       inserts.drop("assocKey") else inserts
-    Keys.assignSequential(base, "assocKey", maxKey,
+    Keys.assignSequentialFrom(base, "assocKey", maxKey,
       Seq(col("masterRgdId"), col("detailRgdId"), col("srcPipeline"),
         col("assocSubType")))
   }
