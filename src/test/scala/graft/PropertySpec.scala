@@ -86,6 +86,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: assignSequential keys equal the brute-force rank over " +
+    "random frames, orders, and bases - and compose with zero eager jobs") {
+    import graft.operators.Keys
+    import org.apache.spark.sql.functions.col
+    val frameGen = for {
+      n <- Gen.choose(1, 120)
+      startAt <- Gen.choose(0L, 5000000L)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.choose(-500, 500)
+        b <- Gen.alphaLowerStr.map(_.take(4))
+      } yield (a, b))
+    } yield (startAt, rows.distinct) // unique (a, b) = unique total order
+
+    for ((startAt, rows) <- samples(frameGen, 6, 1414L)) {
+      val df = rows.toDF("a", "b")
+      // composing the plan must trigger NO Spark job (the zipWithIndex
+      // formulation ran its partition-size count at construction; the
+      // declarative rank must stay lazy until an action)
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val keyed = Keys.assignSequential(df, "key", startAt,
+        Seq(col("a"), col("b")))
+      assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length ==
+        jobsBefore, "assignSequential must not run jobs at plan-composition time")
+      val got = keyed.select("a", "b", "key")
+        .as[(Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+      val want = rows.sorted.zipWithIndex.map { case ((a, b), i) =>
+        (a, b, startAt + i + 1L) }
+      assert(got.toSeq == want, s"n=${rows.size} startAt=$startAt")
+    }
+  }
+
   test("property: stratified sampling is nested across rates") {
     val docGen = for {
       n <- Gen.choose(20, 60)
