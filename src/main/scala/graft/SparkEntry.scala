@@ -163,9 +163,16 @@ object SparkEntry {
       val st = Fixtures.state(s, dir)
       val runTs = java.sql.Timestamp.valueOf("2026-08-01 12:00:00")
       val cutoff = java.sql.Timestamp.valueOf("2026-08-01 11:00:00")
+      // production phase persistence, same contract as pipelineResult:
+      // the benched AGR flagship pays the real bucketed write+read at
+      // its two phase boundaries (recoverable on process loss, unlike
+      // the localCheckpoint stand-in)
+      val prefix = "graft_agr_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = scratchDir("graft_agr_state").toString
       graft.pipeline.AgrPipeline.run(
         Fixtures.allianceLines(s, dir), st.agrOrthologs, st.xrefs,
-        st.genes, st.rgdIds, runTs, cutoff)
+        st.genes, st.rgdIds, runTs, cutoff,
+        phases = OrthologPipeline.BucketedPhases(prefix, base, buckets = 16))
     }
 
   /** md5-permutation minhash pairs over `documents`, computed once per

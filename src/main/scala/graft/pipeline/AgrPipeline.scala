@@ -22,12 +22,21 @@ object AgrPipeline {
   /** @param lines   Readers.readAlliance output
     * @param cutoff  stale cutoff = runTs - 1h in the reference (X9 clock
     *                skew guard, AgrTsvLoader.java:51)
+    * @param phases  phase-boundary persistence (see
+    *                [[OrthologPipeline.PhaseStore]]): the production /
+    *                benched flagship passes the bucketed state store so
+    *                a run survives process loss between resolve and
+    *                upsert and the keyed merges read co-located buckets;
+    *                the default localCheckpoint stand-in serves callers
+    *                without a writable warehouse
     */
   def run(lines: DataFrame, agrState: DataFrame, xrefs: DataFrame,
           genes: DataFrame, rgdIds: DataFrame,
           runTs: java.sql.Timestamp, cutoff: java.sql.Timestamp,
           deleteThreshold: String = "10%",
-          maxExistingRgdId: Int = 0): Result = {
+          maxExistingRgdId: Int = 0,
+          phases: OrthologPipeline.PhaseStore =
+            OrthologPipeline.InProcessPhases): Result = {
 
     val initialCount = agrState.count()
 
@@ -46,9 +55,9 @@ object AgrPipeline {
       if (maxExistingRgdId > 0)
         genes.sparkSession.range(1).select(lit(maxExistingRgdId).as("maxRgdId"))
       else genes.agg(coalesce(max(col("rgdId")), lit(0)).as("maxRgdId"))
-    val resolved = Agr.assignNewGenes(
-      Agr.resolveCuries(curies, xrefs, genes, rgdIds), maxFrame)
-      .localCheckpoint() // phase boundary (see OrthologPipeline.phase)
+    val resolved = phases("agr_resolved", Seq("curie"),
+      Agr.assignNewGenes(
+        Agr.resolveCuries(curies, xrefs, genes, rgdIds), maxFrame))
 
     val unresolved = resolved.filter(col("rgdId").isNull)
     val stats = resolved.groupBy(col("how")).count()
@@ -69,8 +78,8 @@ object AgrPipeline {
       when(col("isBestRevScore"), "Y").otherwise("N").as("isBestRevScore"),
       col("algorithms").as("methodsMatched"))
 
-    val upserted = Agr.upsertAgrOrthologs(incoming, agrState, runTs)
-      .localCheckpoint()
+    val upserted = phases("agr_upserted", Seq("geneRgdId1"),
+      Agr.upsertAgrOrthologs(incoming, agrState, runTs))
 
     // A8: stale delete behind the circuit breaker
     val (finalState, guardOk) =
