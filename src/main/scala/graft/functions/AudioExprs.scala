@@ -182,13 +182,29 @@ object PcmAudioGrid {
   private[graft] val staleCacheHits =
     new java.util.concurrent.atomic.AtomicLong()
 
+  // full provider iterations (cache misses); test-visible so the
+  // AU-of-varying-size spec can assert the key ignores non-form bytes
+  private[graft] val fullScans =
+    new java.util.concurrent.atomic.AtomicLong()
+
   private def word(bytes: Array[Byte], off: Int): Long =
     if (bytes.length < off + 4) 0L
     else (((bytes(off) & 0xFF) << 24) | ((bytes(off + 1) & 0xFF) << 16) |
       ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)).toLong & 0xFFFFFFFFL
 
-  private def magic(bytes: Array[Byte]): java.lang.Long =
-    java.lang.Long.valueOf((word(bytes, 0) << 32) | word(bytes, 8))
+  private val RIFF = 0x52494646L // "RIFF"
+  private val FORM = 0x464F524DL // "FORM" (IFF family: AIFF/AIFC)
+
+  private def magic(bytes: Array[Byte]): java.lang.Long = {
+    val w0 = word(bytes, 0)
+    // bytes 8-11 disambiguate only the container FAMILIES that put a
+    // form type there (RIFF -> WAVE/AVI, FORM -> AIFF/AIFC). For other
+    // formats those bytes are per-file payload - AU stores the data
+    // size at offset 8 - and keying on them would turn the cache into
+    // a per-file miss with unbounded entries.
+    val w8 = if (w0 == RIFF || w0 == FORM) word(bytes, 8) else 0L
+    java.lang.Long.valueOf((w0 << 32) | w8)
+  }
 
   private def open(bytes: Array[Byte]): AudioInputStream = {
     val m = magic(bytes)
@@ -197,6 +213,7 @@ object PcmAudioGrid {
       try return hit.getAudioInputStream(new ByteArrayInputStream(bytes))
       catch { case _: Exception => staleCacheHits.incrementAndGet() } // rescan
     }
+    fullScans.incrementAndGet()
     val it = audioReaders.iterator
     while (it.hasNext) {
       val r = it.next()

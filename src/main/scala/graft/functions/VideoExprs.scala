@@ -249,7 +249,7 @@ object AviFrameLumaGrids {
       var videoStream = -1 // ordinal of the first 'vids' strl in hdrl
       var strlOrdinal = -1 // ordinal of the strl being walked
       var curFccType: String = null // fccType from the current strl's strh
-      val frames = Seq.newBuilder[(Int, Array[Byte])]
+      val frames = Seq.newBuilder[Array[Byte]]
       def walk(off0: Int, end: Int): Unit = {
         var off = off0
         while (off + 8 <= end) {
@@ -272,23 +272,27 @@ object AviFrameLumaGrids {
               strf = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
             }
           } else if (id.substring(2) == "db" || id.substring(2) == "dc") {
-            // hdrl precedes movi, so videoStream is bound before any
-            // frame chunk; the prefix is the stream number in ASCII
+            // hdrl precedes movi, so videoStream (and sawStrh) are
+            // final before any frame chunk; the prefix is the stream
+            // number in ASCII. Keep only the bound video stream's
+            // frames - or, strh-less leniency, every frame when no
+            // stream declared a type - so a losing stream's payloads
+            // are never copied just to be discarded post-walk.
             val sn = try Integer.parseInt(id.substring(0, 2))
                      catch { case _: NumberFormatException => -2 }
-            if (sn >= 0)
-              frames += ((sn, java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)))
+            if (sn >= 0 &&
+                (if (videoStream >= 0) sn == videoStream else !sawStrh))
+              frames += java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
           }
           off += 8 + sz + (sz & 1) // RIFF even padding
         }
       }
       walk(12, math.min(b.length, 8 + u32(b, 4)))
-      val all = frames.result()
+      val fs = frames.result()
       if (videoStream >= 0) {
-        val fs = all.collect { case (sn, px) if sn == videoStream => px }
         if (strf == null || fs.isEmpty) null else (strf, fs)
-      } else if (!sawStrh && firstStrf != null && all.nonEmpty) {
-        (firstStrf, all.map(_._2)) // strh-less single-stream leniency
+      } else if (!sawStrh && firstStrf != null && fs.nonEmpty) {
+        (firstStrf, fs) // strh-less single-stream leniency
       } else null
     } catch { case _: Exception => null }
   }

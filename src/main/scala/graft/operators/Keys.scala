@@ -23,8 +23,21 @@ import org.apache.spark.sql.functions._
   * codegen, and exchange reuse.
   *
   * `order` must be a UNIQUE total order over `df` of plain ASCENDING
-  * column expressions for the assignment to be deterministic (rows tied
-  * on every order column would share a rank).
+  * column expressions for the assignment to be deterministic: rows tied
+  * on every order column get DISTINCT keys in arbitrary,
+  * run-to-run-unstable within-tie order (the running sum is a ROWS
+  * frame - same undefined-under-ties behavior as the zipWithIndex
+  * formulation this replaced).
+  *
+  * Pin lifecycle: the prefix sum pins the FULL input frame
+  * (MEMORY_AND_DISK; project before calling when the row is wide) as a
+  * CAP-EXEMPT entry in the ShardedPrefixSum registry - key products
+  * are routinely handed to callers for arbitrarily late compilation
+  * (a pipeline Result's association branch), and a FIFO-evicted pin
+  * would silently re-open the dual-range-exchange nondeterminism for
+  * plans compiled after eviction. Exempt pins are released by
+  * ShardedPrefixSum.releaseAll() (do not sweep between composing a
+  * key-bearing plan and consuming it) or when their session stops.
   */
 object Keys {
 
@@ -59,7 +72,7 @@ object Keys {
     }.withColumn("__seq_tok", lit(1L)).withColumn("__seq_strat", lit(1))
     ShardedPrefixSum
       .cumBefore(withOrd, "__seq_tok", "__seq_strat", ordNames,
-        numShards = 0, "__seq_rank")
+        numShards = 0, "__seq_rank", capExemptPin = true)
       .withColumn(keyCol, base + col("__seq_rank") + lit(1L))
       .drop("__seq_tok" +: "__seq_strat" +: "__seq_rank" +: ordNames: _*)
   }

@@ -162,9 +162,11 @@ object Merge {
         f.withColumn(c, lit(null).cast(state.schema(c).dataType))
       }
       .select(state.columns.toIndexedSeq.map(col): _*)
-      .persist() // the insert set feeds newState AND the audit streams;
-                 // one materialization instead of a per-consumer recompute
-                 // of the resolve->merge chain (swept by Bench's trim)
+    // no persist here: the key assignment above already pins the full
+    // insert frame (Keys -> ShardedPrefixSum cap-exempt pin), so both
+    // consumers (newState union + the inserted audit) recompute only
+    // the cheap post-pin window/offset join - a second cache entry
+    // would hold the same rows twice
 
     // state after match/insert/replace/dup-cleanup
     val deletes0 = dupDeletes.select(col("key"))

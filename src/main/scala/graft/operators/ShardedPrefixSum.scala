@@ -27,23 +27,39 @@ object ShardedPrefixSum {
 
   /** Live pinned materializations, oldest first. Every [[cumBefore]]
     * call persists its ranged frame (the correctness pin - see the
-    * body comment) and registers it here; the registry caps live pins
-    * at `graft.pfx.maxPinned` (default 8) by unpersisting the oldest,
-    * so a long-lived session issuing many distinct packing/profile
-    * queries holds O(1) pinned entries instead of leaking one
-    * session-lifetime cache entry per call. */
+    * body comment) and registers it here; the registry caps live
+    * CAP-COUNTED pins at `graft.pfx.maxPinned` (default 8) by
+    * unpersisting the oldest, so a long-lived session issuing many
+    * distinct packing/profile queries holds O(1) pinned entries
+    * instead of leaking one session-lifetime cache entry per call.
+    *
+    * CAP-EXEMPT pins (capExemptPin = true) are never FIFO-evicted:
+    * a pin evicted BEFORE a downstream plan is compiled removes the
+    * CacheManager entry, so that later compilation plans the ranged
+    * subtree twice and loses the single-sampled-partitioner guarantee
+    * - the r13 bug reopened by lifecycle. Callers that hand their
+    * product to third parties for ARBITRARILY LATE compilation
+    * (Keys.assignSequential inside a lazily-consumed pipeline Result)
+    * register exempt; they are released only by [[releaseAll]] (or
+    * when their session stops - see the cleanup in registerPin), so
+    * sweeps must not run between composing such a plan and consuming
+    * it. Exempt-pin growth is bounded by call topology: one per key
+    * assignment per run, not one per query. */
   private val pins = new java.util.ArrayDeque[DataFrame]()
+  private val exemptPins = new java.util.ArrayDeque[DataFrame]()
 
-  /** Number of currently registered pins (introspection for specs and
-    * cache-pressure monitoring). */
-  def pinnedCount: Int = pins.synchronized { pins.size }
+  /** Number of currently registered pins, cap-counted + exempt
+    * (introspection for specs and cache-pressure monitoring). */
+  def pinnedCount: Int = pins.synchronized { pins.size + exemptPins.size }
 
-  /** Unpersist and drop every registered pin. Safe at session
-    * teardown / between bench passes; products compiled while their
-    * pin was live recompute through their already-bound shuffle
-    * dependency, so releasing never changes an in-flight answer. */
+  /** Unpersist and drop every registered pin, exempt ones included.
+    * Safe at session teardown / between bench passes for EXECUTED
+    * products (cached blocks recompute through their already-bound
+    * shuffle dependency); plans first COMPILED after a release re-plan
+    * the exchange per consumer - see the exempt-pin note above. */
   def releaseAll(): Unit = pins.synchronized {
     while (!pins.isEmpty) safeUnpersist(pins.pollFirst())
+    while (!exemptPins.isEmpty) safeUnpersist(exemptPins.pollFirst())
   }
 
   private def safeUnpersist(df: DataFrame): Unit =
@@ -51,13 +67,24 @@ object ShardedPrefixSum {
     // been swept already (Bench's trim) - double-release is a no-op
     try df.unpersist(blocking = false) catch { case _: Throwable => () }
 
-  private def registerPin(df: DataFrame): Unit = {
+  private def sessionStopped(df: DataFrame): Boolean =
+    try df.sparkSession.sparkContext.isStopped catch { case _: Throwable => true }
+
+  private def registerPin(df: DataFrame, capExempt: Boolean): Unit = {
     val cap = math.max(1,
       try df.sparkSession.conf.get("graft.pfx.maxPinned", "8").toInt
       catch { case _: Exception => 8 })
     pins.synchronized {
-      pins.addLast(df)
-      while (pins.size > cap) safeUnpersist(pins.pollFirst())
+      // drop pins stranded by stopped sessions (sequential test
+      // suites): they hold the dead session's plans and state
+      // reachable from this JVM-global registry otherwise
+      pins.removeIf(d => { val s = sessionStopped(d); if (s) safeUnpersist(d); s })
+      exemptPins.removeIf(d => { val s = sessionStopped(d); if (s) safeUnpersist(d); s })
+      if (capExempt) exemptPins.addLast(df)
+      else {
+        pins.addLast(df)
+        while (pins.size > cap) safeUnpersist(pins.pollFirst())
+      }
     }
   }
 
@@ -97,7 +124,8 @@ object ShardedPrefixSum {
     * descending component (keeps the single code path). */
   def cumBefore(df: DataFrame, tokenCol: String,
                 strataCol: String, orderCols: Seq[String],
-                numShards: Int, outCol: String): DataFrame = {
+                numShards: Int, outCol: String,
+                capExemptPin: Boolean = false): DataFrame = {
     require(orderCols.nonEmpty, "cumBefore needs at least one order column")
     val shards =
       if (numShards > 0) numShards
@@ -139,7 +167,7 @@ object ShardedPrefixSum {
       .repartitionByRange(shards, (strataCol +: orderCols).map(col): _*)
       .withColumn("__pfx_shard", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    registerPin(ranged)
+    registerPin(ranged, capExemptPin)
     val wIn = Window
       .partitionBy(col(strataCol), col("__pfx_shard"))
       .orderBy(orderCols.map(col): _*)

@@ -49,15 +49,15 @@ object AgrPipeline {
         col("speciesTypeKey2").as("speciesTypeKey")))
       .distinct()
 
-    // lazy scalar: the max-rgd-id base folds into the checkpoint job
-    // below instead of running as its own blocking driver action
-    val maxFrame =
-      if (maxExistingRgdId > 0)
-        genes.sparkSession.range(1).select(lit(maxExistingRgdId).as("maxRgdId"))
-      else genes.agg(coalesce(max(col("rgdId")), lit(0)).as("maxRgdId"))
+    // lazy scalar: the max-rgd-id base folds into the phase-boundary
+    // materialization below instead of running as its own blocking
+    // driver action; a caller-supplied max rides the Int overload's
+    // literal frame (one place builds that frame)
+    val resolved0 = Agr.resolveCuries(curies, xrefs, genes, rgdIds)
     val resolved = phases("agr_resolved", Seq("curie"),
-      Agr.assignNewGenes(
-        Agr.resolveCuries(curies, xrefs, genes, rgdIds), maxFrame))
+      if (maxExistingRgdId > 0) Agr.assignNewGenes(resolved0, maxExistingRgdId)
+      else Agr.assignNewGenes(resolved0,
+        genes.agg(coalesce(max(col("rgdId")), lit(0)).as("maxRgdId"))))
 
     val unresolved = resolved.filter(col("rgdId").isNull)
     val stats = resolved.groupBy(col("how")).count()

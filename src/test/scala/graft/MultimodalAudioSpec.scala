@@ -273,4 +273,37 @@ class MultimodalAudioSpec extends SparkSpec {
     assert(graft.functions.PcmAudioGrid.staleCacheHits.get() == before,
       "interleaved WAV/AVI rows must not evict or retry across formats")
   }
+
+  test("AU corpus: varying payload size does not defeat the reader " +
+    "cache (bytes 8-11 are the AU data size, excluded from the key)") {
+    // AU (.snd) stores the DATA SIZE at offset 8 - keying the reader
+    // cache on bytes 8-11 for every container would give each
+    // distinct-length AU file its own key: a full provider rescan per
+    // row and unbounded cache entries. The second key word applies to
+    // the RIFF/FORM container families only.
+    def au(n: Int): Array[Byte] = {
+      val raw = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val v = i * 300 - 5000
+        raw(2 * i) = ((v >> 8) & 0xFF).toByte; raw(2 * i + 1) = (v & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.AU, out)
+      out.toByteArray
+    }
+    val a1 = au(30)
+    val a2 = au(77) // different data size -> different bytes 8-11
+    assert(graft.functions.PcmAudioGrid.decodeSamples(a1, 4) != null)
+    val scans = graft.functions.PcmAudioGrid.fullScans.get()
+    (1 to 5).foreach { _ =>
+      assert(graft.functions.PcmAudioGrid.decodeSamples(a2, 4) != null)
+      assert(graft.functions.PcmAudioGrid.decodeSamples(a1, 4) != null)
+    }
+    assert(graft.functions.PcmAudioGrid.fullScans.get() == scans,
+      "every AU row after the first must be a reader-cache hit")
+  }
 }

@@ -144,6 +144,44 @@ class ProfileDistributedSpec extends SparkSpec {
     assert(ShardedPrefixSum.pinnedCount == 0)
   }
 
+  test("cap-exempt key pins survive FIFO pressure (a key product " +
+    "compiled after heavy packing traffic still reads its pin) and " +
+    "release on releaseAll") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.col
+    // Keys registers its prefix-sum pin CAP-EXEMPT: key products are
+    // handed to callers for arbitrarily late compilation (a pipeline
+    // Result's association branch), and FIFO-evicting the pin before
+    // that compilation would re-open the dual-range-exchange
+    // nondeterminism for the late plan. This composes a key plan,
+    // floods the registry past the cap with ordinary prefix sums, and
+    // only THEN compiles/consumes the key product - the exempt pin
+    // must still be live (counted above the cap) and the keys exact.
+    spark.sharedState.cacheManager.clearCache()
+    ShardedPrefixSum.releaseAll()
+    val rows = (1 to 300).map(i => (i * 7 % 1000, s"v$i")).distinct
+    val keyed = graft.operators.Keys.assignSequential(
+      rows.toDF("a", "b"), "key", 500L, Seq(col("a"), col("b")))
+    assert(ShardedPrefixSum.pinnedCount == 1)
+    val w = Window.partitionBy("stratum").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (i <- 1 to 10) { // > maxPinned(8) ordinary pins
+      val d = (1 to 100).map(j =>
+        ((j % 3).toString, j.toLong, (j % 5).toLong + i)).toDF("stratum", "ord", "x")
+      ShardedPrefixSum.cumBefore(d, "x", "stratum", "ord", 4, "cum").collect()
+    }
+    // 8 surviving ordinary pins + the exempt key pin
+    assert(ShardedPrefixSum.pinnedCount == 9, ShardedPrefixSum.pinnedCount)
+    val got = keyed.select("a", "b", "key")
+      .as[(Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    val want = rows.sorted.zipWithIndex.map { case ((a, b), i) =>
+      (a, b, 500L + i + 1) }
+    assert(got.toSeq == want)
+    ShardedPrefixSum.releaseAll()
+    assert(ShardedPrefixSum.pinnedCount == 0)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("summarizeDistributed returns the exact summarize rows " +
     "bit-for-bit on integer columns, nulls and all-null included") {
     val rnd = new scala.util.Random(11)
