@@ -32,8 +32,13 @@ object Bench {
     // localCheckpoint RDDs, which cannot recompute once unpersisted, and
     // memo consumers are not adjacent in pass order (q_split_leakage_safe
     // reads the minhash memo built ~40 queries earlier). Plain persists
-    // are recomputable by plan, so dropping them mid-pass only ever
-    // costs a recompute, never correctness.
+    // are recomputable by plan, so dropping them costs a recompute for
+    // every plan already compiled; the one correctness-sensitive class
+    // is a prefix-sum PIN under a memoized product whose consumer plan
+    // is first COMPILED after the sweep (see ShardedPrefixSum's
+    // exempt-pin note) - no registry query does that (each key/packing
+    // query issues its own fresh cumBefore; the memoized pipeline's
+    // association branch is never consumed here).
     val trimEvery = sys.env.getOrElse("SPARK_GRAFT_TRIM_EVERY", "16").toInt
     def trimPassState(): Unit = {
       graft.operators.ShardedPrefixSum.releaseAll() // drop stale pin refs too
