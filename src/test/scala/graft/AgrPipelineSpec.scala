@@ -86,4 +86,34 @@ class AgrPipelineSpec extends SparkSpec {
     // stale row survives the refused sweep
     assert(r.agrOrthologs.filter($"geneRgdId1" === 300).count() == 1)
   }
+
+  test("phase-store independence: InProcessPhases and BucketedPhases " +
+    "produce identical AGR results (persistence never changes answers)") {
+    import graft.pipeline.OrthologPipeline
+    // the production path writes bucketed state tables at the two
+    // phase boundaries; the in-process path localCheckpoints. The
+    // store is a durability/topology choice - the upserted state, QC'd
+    // xrefs, and guard decision must be byte-for-byte the same either
+    // way (this is what lets the benched bucketed flagship stand in
+    // for every library caller's store choice).
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_agr_store_spec").toString
+    val inProc = AgrPipeline.run(lines, agrState, xrefs, genes, rgdIds,
+      runTs, cutoff, deleteThreshold = "500")
+    val bucketed = AgrPipeline.run(lines, agrState, xrefs, genes, rgdIds,
+      runTs, cutoff, deleteThreshold = "500",
+      phases = OrthologPipeline.BucketedPhases("agr_store_spec", base,
+        buckets = 4))
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(bucketed.agrOrthologs
+        .select("geneRgdId1", "geneRgdId2", "confidence", "isBestScore",
+          "isBestRevScore", "methodsMatched")) ==
+      rows(inProc.agrOrthologs
+        .select("geneRgdId1", "geneRgdId2", "confidence", "isBestScore",
+          "isBestRevScore", "methodsMatched")))
+    assert(rows(bucketed.xrefs) == rows(inProc.xrefs))
+    assert(rows(bucketed.unresolved.select("curie")) ==
+      rows(inProc.unresolved.select("curie")))
+    assert(bucketed.guardOk == inProc.guardOk)
+  }
 }
