@@ -129,4 +129,39 @@ class PipelineSpec extends SparkSpec {
     assert(got.length == expected.length)
     got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
   }
+
+  test("phase-store independence: InProcessPhases and BucketedPhases " +
+    "produce identical flagship results (persistence never changes answers)") {
+    // the benched/oracled flagship runs BucketedPhases; library callers
+    // without a warehouse run the localCheckpoint stand-in. The store
+    // is a durability/topology choice: picks, final ortholog state, and
+    // final association state must be set-identical either way. This is
+    // the invariant that makes the bucketed bench representative - and
+    // it exercises the lazily-consumed association branch (surrogate
+    // keys ride the cap-exempt prefix-sum pin) through BOTH stores.
+    val inProc = OrthologPipeline.runSpecies(relations, state, Species.RAT,
+      runTs, phases = OrthologPipeline.InProcessPhases)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pipe_store_spec").toString
+    val bucketed = OrthologPipeline.runSpecies(relations, state, Species.RAT,
+      runTs, phases = OrthologPipeline.BucketedPhases("pipe_store_spec", base,
+        buckets = 4))
+    def rows(df: DataFrame, cols: String*) =
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq).toSet
+    val pickCols = Seq("groupId", "srcRgdId", "destRgdId", "xrefDataSrc",
+      "xrefDataSet", "tier", "method")
+    assert(rows(bucketed.strongPicks, pickCols: _*) ==
+      rows(inProc.strongPicks, pickCols: _*))
+    val orthCols = Seq("srcRgdId", "destRgdId", "srcSpeciesTypeKey",
+      "destSpeciesTypeKey", "xrefDataSrc", "xrefDataSet", "orthologTypeKey")
+    assert(rows(bucketed.orthologs, orthCols: _*) ==
+      rows(inProc.orthologs, orthCols: _*))
+    // association state incl. the surrogate keys themselves: both
+    // stores must assign the SAME keys (same max base + same rank)
+    val assocCols = Seq("assocKey", "assocType", "assocSubType",
+      "masterRgdId", "detailRgdId", "srcPipeline")
+    assert(rows(bucketed.associations, assocCols: _*) ==
+      rows(inProc.associations, assocCols: _*))
+  }
 }
