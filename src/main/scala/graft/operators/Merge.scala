@@ -68,10 +68,23 @@ object Merge {
     *
     * `speciesPair` filters which state rows participate in the stale sweep
     * (both directions of human<->species).
-    */
+    *
+    * `materializeInserts` is the keyed-insert consumption hook: the
+    * freshly keyed insert frame passes through it before anything else
+    * references it. The pipeline passes its phase-boundary store here
+    * (one bucketed write of a DELTA-sized frame), which (a) makes the
+    * inserted audit and the post-merge state read the SAME materialized
+    * keys instead of each recomputing the key join, and (b) CONSUMES
+    * the surrogate-key pin (see operators.Keys) inside the run, so the
+    * caller's exempt-pin scope can release it on return. The default
+    * identity keeps the fully lazy operator semantics for direct
+    * callers (specs, the registry's q_m1_reconcile) - their pin lives
+    * until a sweep, consumed within the same query by construction. */
   def reconcile(incoming: DataFrame, state: DataFrame, genes: DataFrame,
                 runTs: java.sql.Timestamp, speciesTypeKey: Int,
-                pipelineUserId: Int = 70): MergeResult = {
+                pipelineUserId: Int = 70,
+                materializeInserts: DataFrame => DataFrame = identity)
+      : MergeResult = {
 
     val human = graft.model.Species.HUMAN
     val key = Seq("srcRgdId", "destSpeciesTypeKey")
@@ -155,18 +168,20 @@ object Merge {
     // state column missing from the insert path still fails fast at the
     // select below - schema drift must not silently null into state
     val passthroughs = Seq("percentHomology", "groupId")
-    val inserted = passthroughs
+    val inserted = materializeInserts(passthroughs
       .filter(c => state.columns.contains(c) &&
         !insertedFilled0.columns.contains(c))
       .foldLeft(insertedFilled0) { (f, c) =>
         f.withColumn(c, lit(null).cast(state.schema(c).dataType))
       }
-      .select(state.columns.toIndexedSeq.map(col): _*)
-    // no persist here: the key assignment above already pins the full
-    // insert frame (Keys -> ShardedPrefixSum cap-exempt pin), so both
-    // consumers (newState union + the inserted audit) recompute only
-    // the cheap post-pin window/offset join - a second cache entry
-    // would hold the same rows twice
+      .select(state.columns.toIndexedSeq.map(col): _*))
+    // no persist here: under the identity hook the key assignment above
+    // already pins the full insert frame (Keys -> ShardedPrefixSum
+    // cap-exempt pin), so both consumers (newState union + the inserted
+    // audit) recompute only the cheap post-pin window/offset join - a
+    // second cache entry would hold the same rows twice. Under a
+    // materializing hook both consumers read the written delta and the
+    // pin's job is already done.
 
     // state after match/insert/replace/dup-cleanup
     val deletes0 = dupDeletes.select(col("key"))

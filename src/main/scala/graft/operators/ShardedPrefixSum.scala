@@ -40,17 +40,34 @@ object ShardedPrefixSum {
     * - the r13 bug reopened by lifecycle. Callers that hand their
     * product to third parties for ARBITRARILY LATE compilation
     * (Keys.assignSequential inside a lazily-consumed pipeline Result)
-    * register exempt; they are released only by [[releaseAll]] (or
-    * when their session stops - see the cleanup in registerPin), so
-    * sweeps must not run between composing such a plan and consuming
-    * it. Exempt-pin growth is bounded by call topology: one per key
-    * assignment per run, not one per query. */
-  private val pins = new java.util.ArrayDeque[DataFrame]()
-  private val exemptPins = new java.util.ArrayDeque[DataFrame]()
+    * register exempt. Exempt pins are released by
+    *  - [[withExemptScope]] - the pipeline runs wrap each unit of work
+    *    that CONSUMES its key products in-scope (a phase-boundary
+    *    write), so sequential runs hold O(1) live pins;
+    *  - [[releaseAll]] (sweeps) or session stop (registerPin cleanup).
+    * Releasing an exempt pin whose product was never materialized
+    * re-opens the dual-range-exchange nondeterminism for plans compiled
+    * later; every release path checks the CacheManager's loaded flag
+    * and counts + warns on such drops ([[unmaterializedReleases]]) so
+    * a sweep running between plan composition and consumption is a
+    * loud, machine-visible event instead of a prose caveat. */
+  private final class Pin(val df: DataFrame, val owner: Thread)
+  private val pins = new java.util.ArrayDeque[Pin]()
+  private val exemptPins = new java.util.ArrayDeque[Pin]()
 
   /** Number of currently registered pins, cap-counted + exempt
     * (introspection for specs and cache-pressure monitoring). */
   def pinnedCount: Int = pins.synchronized { pins.size + exemptPins.size }
+
+  /** Exempt pins released before their product was ever materialized
+    * (cumulative, JVM-wide). A nonzero delta across a sweep means some
+    * plan composed against a pinned single-partitioner exchange will
+    * compile WITHOUT the pin - the r13 nondeterminism reopened by
+    * lifecycle. Specs assert this stays flat across the pipeline
+    * flows; operators keep it flat by consuming key products (a phase
+    * write) inside the scope that releases them. */
+  private val unmatReleases = new java.util.concurrent.atomic.AtomicInteger(0)
+  def unmaterializedReleases: Int = unmatReleases.get
 
   /** Unpersist and drop every registered pin, exempt ones included.
     * Safe at session teardown / between bench passes for EXECUTED
@@ -58,9 +75,64 @@ object ShardedPrefixSum {
     * shuffle dependency); plans first COMPILED after a release re-plan
     * the exchange per consumer - see the exempt-pin note above. */
   def releaseAll(): Unit = pins.synchronized {
-    while (!pins.isEmpty) safeUnpersist(pins.pollFirst())
-    while (!exemptPins.isEmpty) safeUnpersist(exemptPins.pollFirst())
+    while (!pins.isEmpty) safeUnpersist(pins.pollFirst().df)
+    while (!exemptPins.isEmpty) releaseExempt(exemptPins.pollFirst())
   }
+
+  /** Run `body`; afterwards release every CAP-EXEMPT pin the CURRENT
+    * thread registered during it. The contract callers must uphold:
+    * everything compiled against those pins is EXECUTED inside the
+    * scope (the pipeline runs materialize each key product at a phase
+    * boundary before returning), so by scope exit the pin has done its
+    * single-partitioner job and the cache entry can go. A pin released
+    * here that was never materialized trips the
+    * [[unmaterializedReleases]] counter + stderr warning - the signal
+    * that a composed-but-unconsumed key product just lost its
+    * guarantee. Thread-scoped on purpose: concurrent sessions (or a
+    * streaming query thread) cannot have their pins swept by another
+    * thread's scope. Nests safely - an inner scope releases only its
+    * own additions. */
+  def withExemptScope[T](body: => T): T = {
+    val me = Thread.currentThread()
+    val before = pins.synchronized {
+      val s = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[Pin, java.lang.Boolean]())
+      exemptPins.forEach { p => if (p.owner eq me) { s.add(p); () } }
+      s
+    }
+    try body
+    finally pins.synchronized {
+      exemptPins.removeIf { p =>
+        val mine = (p.owner eq me) && !before.contains(p)
+        if (mine) releaseExempt(p)
+        mine
+      }
+    }
+  }
+
+  private def releaseExempt(p: Pin): Unit = {
+    if (!sessionStopped(p.df) && !materialized(p.df)) {
+      unmatReleases.incrementAndGet()
+      System.err.println("[graft.pfx] WARN: cap-exempt pin released " +
+        "before its key product was ever materialized - downstream " +
+        "plans compiled from here lose the single-partitioner " +
+        "guarantee (consume the product before the sweep/scope exit)")
+    }
+    safeUnpersist(p.df)
+  }
+
+  /** Whether the pinned frame's cached column buffers were ever built,
+    * i.e. some consumer executed through the pin. Reads the session
+    * CacheManager's loaded flag; a missing entry (already unpersisted,
+    * stopped session) reports false. */
+  private def materialized(df: DataFrame): Boolean =
+    try {
+      val session = df.sparkSession
+        .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      session.sharedState.cacheManager
+        .lookupCachedData(session, df.queryExecution.analyzed)
+        .exists(_.cachedRepresentation.cacheBuilder.isCachedColumnBuffersLoaded)
+    } catch { case _: Throwable => false }
 
   private def safeUnpersist(df: DataFrame): Unit =
     // the frame may belong to a stopped session (test suites) or have
@@ -78,12 +150,13 @@ object ShardedPrefixSum {
       // drop pins stranded by stopped sessions (sequential test
       // suites): they hold the dead session's plans and state
       // reachable from this JVM-global registry otherwise
-      pins.removeIf(d => { val s = sessionStopped(d); if (s) safeUnpersist(d); s })
-      exemptPins.removeIf(d => { val s = sessionStopped(d); if (s) safeUnpersist(d); s })
-      if (capExempt) exemptPins.addLast(df)
+      pins.removeIf(p => { val s = sessionStopped(p.df); if (s) safeUnpersist(p.df); s })
+      exemptPins.removeIf(p => { val s = sessionStopped(p.df); if (s) safeUnpersist(p.df); s })
+      val pin = new Pin(df, Thread.currentThread())
+      if (capExempt) exemptPins.addLast(pin)
       else {
-        pins.addLast(df)
-        while (pins.size > cap) safeUnpersist(pins.pollFirst())
+        pins.addLast(pin)
+        while (pins.size > cap) safeUnpersist(pins.pollFirst().df)
       }
     }
   }

@@ -36,7 +36,20 @@ object AgrPipeline {
           deleteThreshold: String = "10%",
           maxExistingRgdId: Int = 0,
           phases: OrthologPipeline.PhaseStore =
-            OrthologPipeline.InProcessPhases): Result = {
+            OrthologPipeline.InProcessPhases): Result =
+    // the new-gene rgd-id keys pin a shared exchange until the
+    // agr_resolved phase write below consumes them; the scope releases
+    // the pin on return (O(1) live pins across sequential runs)
+    graft.operators.ShardedPrefixSum.withExemptScope {
+      runBody(lines, agrState, xrefs, genes, rgdIds, runTs, cutoff,
+        deleteThreshold, maxExistingRgdId, phases)
+    }
+
+  private def runBody(lines: DataFrame, agrState: DataFrame, xrefs: DataFrame,
+                      genes: DataFrame, rgdIds: DataFrame,
+                      runTs: java.sql.Timestamp, cutoff: java.sql.Timestamp,
+                      deleteThreshold: String, maxExistingRgdId: Int,
+                      phases: OrthologPipeline.PhaseStore): Result = {
 
     val initialCount = agrState.count()
 

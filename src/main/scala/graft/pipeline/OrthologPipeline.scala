@@ -23,9 +23,29 @@ object OrthologPipeline {
                    agrOrthologs: DataFrame, xrefs: DataFrame, genes: DataFrame,
                    rgdIds: DataFrame, history: DataFrame)
 
-  case class Result(orthologs: DataFrame, associations: DataFrame,
-                    resolutionAudit: DataFrame, strongPicks: DataFrame,
-                    mergeAudit: Map[String, DataFrame])
+  /** Pipeline products. Everything except [[associations]] is a plain
+    * lazily-planned frame over phase-store-backed inputs - safe to
+    * compile and execute at any later time, with no dependence on the
+    * run's transient cache state.
+    *
+    * [[associations]] is computed ON FIRST ACCESS: the final
+    * association state needs surrogate keys for the insert delta, and
+    * the key assignment pins a shared range exchange for the duration
+    * of its first materialization (see [[graft.operators.Keys]]). The
+    * accessor materializes the state through the run's PhaseStore (in
+    * production the new association state is a state table anyway) and
+    * releases the pin before returning, so callers get a store-backed
+    * frame and the session holds no association pin afterwards. A
+    * picks-only caller (the benched flagship) never pays for the
+    * branch. */
+  final class Result(val orthologs: DataFrame,
+                     associationsThunk: () => DataFrame,
+                     val resolutionAudit: DataFrame,
+                     val strongPicks: DataFrame,
+                     val mergeAudit: Map[String, DataFrame]) {
+    /** Final association state, phase-materialized at first access. */
+    lazy val associations: DataFrame = associationsThunk()
+  }
 
   /** How a phase boundary materializes. The pipeline is a chain of
     * phases that each read the previous phase's full output (and the
@@ -67,7 +87,20 @@ object OrthologPipeline {
     * relations (output shape of Readers.readHcopPlusNcbi / readNcbi). */
   def runSpecies(relations: DataFrame, state: State, speciesTypeKey: Int,
                  runTs: java.sql.Timestamp, pipelineUserId: Int = 70,
-                 phases: PhaseStore = InProcessPhases): Result = {
+                 phases: PhaseStore = InProcessPhases): Result =
+    // surrogate-key pins created by this run are consumed by its own
+    // phase-boundary writes (the reconcile insert delta below); the
+    // scope releases them on return, so N sequential runs hold O(1)
+    // live pins with no caller sweeps (ShardedPrefixSum scaladoc)
+    graft.operators.ShardedPrefixSum.withExemptScope {
+      runSpeciesBody(relations, state, speciesTypeKey, runTs,
+        pipelineUserId, phases)
+    }
+
+  private def runSpeciesBody(relations: DataFrame, state: State,
+                             speciesTypeKey: Int, runTs: java.sql.Timestamp,
+                             pipelineUserId: Int,
+                             phases: PhaseStore): Result = {
 
     // J1/J2 bulk resolution + audit streams (matched/unmatched/...)
     val (resolved, audit) = Resolve.resolveRelations(
@@ -92,8 +125,13 @@ object OrthologPipeline {
       col("srcRgdId"), col("destRgdId"),
       col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
       col("xrefDataSrc"), col("xrefDataSet"), col("groupId"))
+    // the insert delta materializes at its own phase boundary (the
+    // hook): the inserted audit and merged state then read the SAME
+    // stored keys, and the surrogate-key pin is consumed inside this
+    // run's exempt-pin scope (released on return)
     val m0 = Merge.reconcile(incoming, state.orthologs, state.genes,
-      runTs, speciesTypeKey, pipelineUserId)
+      runTs, speciesTypeKey, pipelineUserId,
+      materializeInserts = df => phases("inserted", Seq("key"), df))
     val m = m0.copy(
       newState = phases("merged_state", Seq("key"), m0.newState),
       downgraded = phases("downgraded", Seq("srcRgdId"), m0.downgraded))
@@ -121,24 +159,33 @@ object OrthologPipeline {
       state.rgdIds, deletesAfterOrthoRepair, speciesTypeKey, runTs)
     val finalDeletes = WeakSync.detach(deletesAfterOrthoRepair, rep3.detachKeys)
 
-    // final association state = state - deletes + updates + inserts (+ repairs)
+    // final association state = state - deletes + updates + inserts (+ repairs).
+    // Deferred to first access (Result scaladoc): the insert keys pin a
+    // shared exchange during materialization, so the accessor phase-
+    // writes the new state in its own exempt-pin scope and hands back
+    // the store-backed read - no pin outlives the access, and callers
+    // that never read associations never build this branch.
     val repairInserts = rep1.assocInserts
       .unionByName(rep2.assocInserts).unionByName(rep3.assocInserts)
     val untouchedAssocs = state.associations
       .join(finalDeletes.select(col("assocKey")), Seq("assocKey"), "left_anti")
       .join(sync.updates.select(col("assocKey")), Seq("assocKey"), "left_anti")
-    val newAssociations = untouchedAssocs
-      .unionByName(sync.updates.select(untouchedAssocs.columns.toIndexedSeq.map(col): _*))
-      .unionByName(assignAssocKeys(
-        sync.inserts.unionByName(repairInserts), state.associations))
+    def newAssociations(): DataFrame =
+      graft.operators.ShardedPrefixSum.withExemptScope {
+        phases("associations", Seq("assocKey"), untouchedAssocs
+          .unionByName(
+            sync.updates.select(untouchedAssocs.columns.toIndexedSeq.map(col): _*))
+          .unionByName(assignAssocKeys(
+            sync.inserts.unionByName(repairInserts), state.associations)))
+      }
 
     // repair ortholog deletes (D1 downgrades) leave the ortholog state
     val finalOrthologs = dedupedState.join(
       rep1.orthologDeletes.unionByName(rep2.orthologDeletes), Seq("key"), "left_anti")
 
-    Result(
+    new Result(
       orthologs = finalOrthologs,
-      associations = newAssociations,
+      associationsThunk = () => newAssociations(),
       resolutionAudit = audit,
       strongPicks = picks,
       mergeAudit = Map(
