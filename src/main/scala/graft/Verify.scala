@@ -23,7 +23,23 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
+    // periodic trim, same shape as Bench's within-pass sweep: several
+    // operators persist internal frames whose lifecycle is the
+    // caller's, so a full 170-query dump used to accumulate every
+    // query's cached blocks and prefix-sum pins for the session's
+    // lifetime. Checkpointed RDDs stay (the pipeline memo roots there);
+    // releaseAll is sweep-safe - pipeline products are store-backed and
+    // an exempt pin dropped before its product materialized warns and
+    // counts (ShardedPrefixSum.unmaterializedReleases).
+    val trimEvery = sys.env.getOrElse("SPARK_GRAFT_TRIM_EVERY", "16").toInt
+    selected.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((name, fn), i) =>
+      if (trimEvery > 0 && i > 0 && i % trimEvery == 0) {
+        graft.operators.ShardedPrefixSum.releaseAll()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .filterNot(_.isCheckpointed)
+          .foreach(_.unpersist(blocking = false))
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
