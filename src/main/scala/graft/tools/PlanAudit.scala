@@ -107,35 +107,29 @@ object PlanAudit {
       // execute THIS QueryExecution (df.write would clone it), so AQE
       // finalizes the plan we inspect
       df.queryExecution.toRdd.count()
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // counts come from the executed plan TREE (PlanCounts), not a
+      // grep over the formatted string: string counts multiply by the
+      // reference count of any persisted shared frame (each cache scan
+      // reprints its build plan), which made the r14 numbers swing 30x
+      // on a pure representation change
+      val c = PlanCounts.of(df.queryExecution.executedPlan)
       println(s"\n===== $name =====")
-      println("PushedFilters : " + occurrences(plan, "PushedFilters: \\[[^\\]]*[A-Za-z][^\\]]*\\]"))
-      println("ReadSchema    : " + firstMatch(plan, "ReadSchema: [^\\n]*"))
-      println("BroadcastHash : " + count(plan, "BroadcastHashJoin"))
-      println("SortMergeJoin : " + count(plan, "SortMergeJoin"))
-      println("ShuffleHash   : " + count(plan, "ShuffledHashJoin"))
-      println("Exchanges     : " + count(plan, "Exchange"))
-      // formatted mode annotates codegen'd operators with "[codegen id : n]"
-      println("CodegenOps    : " + count(plan, "codegen id"))
-      println("PartialAggs   : " + count(plan, "partial_"))
-      println("FinalPlan     : " + count(plan, "isFinalPlan=true"))
-      println("Cartesian     : " + count(plan, "CartesianProduct"))
-      println("BNLJ          : " + count(plan, "BroadcastNestedLoop"))
+      println("PushedFilters : " + (c.pushedFilters.take(3).mkString(" | ") match {
+        case "" => "(none)"; case x => x }))
+      println("ReadSchema    : " + c.readSchemas.headOption.getOrElse("(none)"))
+      println("BroadcastHash : " + c.broadcastHash)
+      println("SortMergeJoin : " + c.sortMerge)
+      println("ShuffleHash   : " + c.shuffledHash)
+      println("Exchanges     : " + c.exchanges)
+      println("ReusedExch    : " + c.reusedExchanges)
+      println("CacheScans    : " + c.cacheScans)
+      println("CodegenOps    : " + c.codegenOps)
+      println("PartialAggs   : " + c.partialAggs)
+      println("FinalPlan     : " + c.adaptiveRoots)
+      println("Cartesian     : " + c.cartesian)
+      println("BNLJ          : " + c.bnlj)
       if (args.length > 1 && args(1) == "-v") df.explain("formatted")
     }
     spark.stop()
   }
-
-  private def count(s: String, needle: String): Int =
-    needle.r.findAllIn(s).size
-
-  private def occurrences(s: String, re: String): String =
-    re.r.findAllIn(s).take(3).mkString(" | ") match {
-      case "" => "(none)"
-      case x => x
-    }
-
-  private def firstMatch(s: String, re: String): String =
-    re.r.findFirstIn(s).getOrElse("(none)")
 }
