@@ -332,6 +332,56 @@ class PlanPropertiesSpec extends SparkSpec {
         "persist pin (or an equivalent single materialization) is missing")
   }
 
+  test("registry-wide: every global (empty-partition) window sits above " +
+    "an aggregate or an explicit limit - never over an unbounded row " +
+    "stream (the single-reducer WindowExec scale killer, automated)") {
+    // Spark warns "No Partition Defined for Window operation" on every
+    // empty-partitionSpec window; the r14 audit hand-traced all 70
+    // occurrences across the registry to frames bounded by construction
+    // (per-stratum aggregate outputs, post-limit(k) score heads). This
+    // turns that session note into a machine invariant over the ENTIRE
+    // registry: in every query's optimized plan, a Window with an empty
+    // partitionSpec must have an Aggregate or a literal-bounded
+    // GlobalLimit somewhere BELOW it. An aggregate's group count is
+    // accepted as the bound (per the r14 audit: the registry's global
+    // windows ride per-stratum / per-shard aggregate frames whose
+    // cardinality is config-sized, never per-row frames); a global
+    // window straight over a document/event stream has neither and
+    // fails here.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LocalRelation, LogicalPlan, Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    def unboundedGlobalWins(plan: LogicalPlan): Seq[LWindow] =
+      plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        .filterNot { w =>
+          w.child.collectFirst {
+            case _: Aggregate => ()
+            case g: GlobalLimit if g.maxRows.exists(_ <= 100000) => ()
+            case l: LocalLimit if l.maxRows.exists(_ <= 100000) => ()
+            case r: LocalRelation if r.data.lengthCompare(100000) <= 0 => ()
+          }.isDefined
+        }
+    // teeth: a global rank straight over a row stream must be flagged
+    val offender = spark.range(500).toDF("id").withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("id"))))
+    assert(unboundedGlobalWins(offender.queryExecution.optimizedPlan).nonEmpty,
+      "the checker must flag an unbounded global window")
+    val offenders = Seq.newBuilder[String]
+    try {
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        val bad = unboundedGlobalWins(fn(spark, dir).queryExecution.optimizedPlan)
+        if (bad.nonEmpty) offenders += s"$name (${bad.size} window(s))"
+      }
+    } finally {
+      graft.operators.ShardedPrefixSum.releaseAll()
+      spark.sharedState.cacheManager.clearCache()
+      graft.pipeline.Memo.clear()
+    }
+    assert(offenders.result().isEmpty,
+      "global window over an unbounded frame (single-reducer WindowExec " +
+        s"at scale) in: ${offenders.result().mkString(", ")}")
+  }
+
   test("containment pair stage ships sketches only - no shingle arrays " +
     "past the sketch build, candidates via equi-join") {
     val d = (1L to 60L).map(i =>
