@@ -234,21 +234,28 @@ object AviFrameLumaGrids {
     *
     * Single-stream leniency: a spec-sloppy AVI that writes NO strh
     * chunk anywhere (so no stream declares a type at all) falls back
-    * to the first strf and accepts every frame chunk - the
-    * pre-stream-binding behavior, safe exactly because with zero strh
-    * chunks nothing could have disambiguated the streams anyway. A
-    * file that DOES declare strh types but none of them 'vids' stays
-    * null: it told us it has no video stream. */
+    * to the first strf and accepts its frame chunks - but ONLY when
+    * the file is observably single-stream: exactly one strf in hdrl
+    * and every NNdb/NNdc chunk carrying the same stream-number
+    * prefix. A strh-less file with two strfs, or with frame chunks
+    * under two different stream numbers, is genuinely ambiguous (the
+    * first strf may not describe the frames; two streams' payloads
+    * would interleave into one garbage grid sequence) and stays
+    * null. A file that DOES declare strh types but none of them
+    * 'vids' also stays null: it told us it has no video stream. */
   private[functions] def parse(b: Array[Byte]): (Array[Byte], Seq[Array[Byte]]) = {
     try {
       if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
         return null
       var strf: Array[Byte] = null
       var firstStrf: Array[Byte] = null // strh-less fallback candidate
+      var strfCount = 0 // leniency gate: >1 strf = not observably single-stream
       var sawStrh = false
       var videoStream = -1 // ordinal of the first 'vids' strl in hdrl
       var strlOrdinal = -1 // ordinal of the strl being walked
       var curFccType: String = null // fccType from the current strl's strh
+      var lenientSn = -1 // stream-number prefix accepted by the leniency
+      var mixedSn = false // two distinct prefixes seen = ambiguous
       val frames = Seq.newBuilder[Array[Byte]]
       def walk(off0: Int, end: Int): Unit = {
         var off = off0
@@ -265,6 +272,7 @@ object AviFrameLumaGrids {
             sawStrh = true
             curFccType = fourcc(b, off + 8)
           } else if (id == "strf") {
+            strfCount += 1
             if (firstStrf == null)
               firstStrf = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
             if (videoStream < 0 && curFccType == "vids") {
@@ -281,8 +289,15 @@ object AviFrameLumaGrids {
             val sn = try Integer.parseInt(id.substring(0, 2))
                      catch { case _: NumberFormatException => -2 }
             if (sn >= 0 &&
-                (if (videoStream >= 0) sn == videoStream else !sawStrh))
+                (if (videoStream >= 0) sn == videoStream else !sawStrh)) {
+              // strh-less path: remember which prefix the leniency is
+              // collecting; a second distinct prefix voids it post-walk
+              if (videoStream < 0) {
+                if (lenientSn < 0) lenientSn = sn
+                else if (lenientSn != sn) mixedSn = true
+              }
               frames += java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
+            }
           }
           off += 8 + sz + (sz & 1) // RIFF even padding
         }
@@ -291,8 +306,9 @@ object AviFrameLumaGrids {
       val fs = frames.result()
       if (videoStream >= 0) {
         if (strf == null || fs.isEmpty) null else (strf, fs)
-      } else if (!sawStrh && firstStrf != null && fs.nonEmpty) {
-        (firstStrf, fs) // strh-less single-stream leniency
+      } else if (!sawStrh && strfCount == 1 && !mixedSn &&
+                 firstStrf != null && fs.nonEmpty) {
+        (firstStrf, fs) // strh-less OBSERVABLY-single-stream leniency
       } else null
     } catch { case _: Exception => null }
   }

@@ -149,4 +149,33 @@ class MultimodalVideoSpec extends SparkSpec {
     assert(!Seq((1L, audioOnly)).toDF("asset_id", "bytes")
       .select(Multimodal.videoDecodable($"bytes")).as[Boolean].head())
   }
+
+  test("strh-less leniency is restricted to observably-single-stream " +
+    "files: two strfs or two frame-stream prefixes quarantine as null") {
+    // Ambiguity 1: NO strh anywhere but TWO strfs (e.g. an audio strf
+    // muxed before a video strf) - the first strf may describe the
+    // wrong stream, so pairing it with the frames decodes garbage.
+    // Pre-fix this decoded "successfully" against the junk header.
+    val twoStrfHdrl = list("hdrl",
+      chunk("avih", Array.fill(56)(0.toByte)) ++
+        list("strl", chunk("strf", Array.fill(16)(7.toByte))) ++
+        list("strl", chunk("strf", bih)))
+    val twoStrf = riffAvi(twoStrfHdrl ++
+      list("movi", chunk("01db", grayFrame(30)) ++ chunk("01db", grayFrame(40))))
+    assert(!Seq((1L, twoStrf)).toDF("asset_id", "bytes")
+      .select(Multimodal.videoDecodable($"bytes")).as[Boolean].head(),
+      "two strfs with no strh is ambiguous - must quarantine")
+
+    // Ambiguity 2: one strf, no strh, but frame chunks under TWO
+    // distinct stream numbers - two streams' payloads would interleave
+    // into one garbage grid sequence. Must quarantine.
+    val mixedHdrl = list("hdrl",
+      chunk("avih", Array.fill(56)(0.toByte)) ++
+        list("strl", chunk("strf", bih)))
+    val mixed = riffAvi(mixedHdrl ++
+      list("movi", chunk("00db", grayFrame(30)) ++ chunk("01db", grayFrame(40))))
+    assert(!Seq((1L, mixed)).toDF("asset_id", "bytes")
+      .select(Multimodal.videoDecodable($"bytes")).as[Boolean].head(),
+      "two frame-stream prefixes with no strh is ambiguous - must quarantine")
+  }
 }
