@@ -176,16 +176,30 @@ object PcmAudioGrid {
     new java.util.concurrent.ConcurrentHashMap[java.lang.Long,
       javax.sound.sampled.spi.AudioFileReader]()
 
+  /** Decode-path statistic: a global total for monitoring plus a
+    * per-thread tally, so specs assert exact deltas for THEIR OWN
+    * decodes - a global-only counter made the cache specs racy under
+    * any concurrent decode activity on another thread. */
+  private[graft] final class DecodeCounter {
+    private val global = new java.util.concurrent.atomic.AtomicLong()
+    private val local = ThreadLocal.withInitial[Array[Long]](() => Array(0L))
+    def increment(): Unit = { global.incrementAndGet(); local.get()(0) += 1 }
+    def get(): Long = global.get()
+    /** Count of increments performed by the CALLING thread. */
+    def onThisThread: Long = local.get()(0)
+  }
+
   // cached reader rejected the payload despite the matching magic key
   // (then the full provider rescan runs); test-visible so the
   // WAV/AVI-mix spec can assert the form-type key prevents thrash
-  private[graft] val staleCacheHits =
-    new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val staleCacheHits = new DecodeCounter
 
   // full provider iterations (cache misses); test-visible so the
   // AU-of-varying-size spec can assert the key ignores non-form bytes
-  private[graft] val fullScans =
-    new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val fullScans = new DecodeCounter
+
+  // rows short-circuited by the negative cache (below); test-visible
+  private[graft] val negativeHits = new DecodeCounter
 
   private def word(bytes: Array[Byte], off: Int): Long =
     if (bytes.length < off + 4) 0L
@@ -194,6 +208,30 @@ object PcmAudioGrid {
 
   private val RIFF = 0x52494646L // "RIFF"
   private val FORM = 0x464F524DL // "FORM" (IFF family: AIFF/AIFC)
+  private val WAVE = 0x57415645L // "WAVE"
+  private val AIFF = 0x41494646L // "AIFF"
+  private val AIFC = 0x41494643L // "AIFC"
+
+  /** Bounded negative cache, SOUND subset only: a RIFF container whose
+    * form type is not WAVE (e.g. "AVI "), or an IFF FORM whose type is
+    * not AIFF/AIFC, is rejected by every JDK provider on the container
+    * words themselves, regardless of payload bytes - so ONE failed
+    * full scan makes the magic proof of unmatchability and every later
+    * row with it (each AVI asset in a mixed-media column, at corpus
+    * scale) skips the constructed-exception provider scan. Magics
+    * outside these two families are NEVER negatively cached: there a
+    * corrupt payload shares its magic with valid files, and a negative
+    * entry would silently null valid rows. Bounded at 1024 entries
+    * (clear-on-overflow; entries are per-FORMAT, so overflow means a
+    * pathological corpus, not normal growth). */
+  private val unmatchableMagics =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+
+  private def provablyUnmatchable(m: Long): Boolean = {
+    val w0 = m >>> 32
+    val w8 = m & 0xFFFFFFFFL
+    (w0 == RIFF && w8 != WAVE) || (w0 == FORM && w8 != AIFF && w8 != AIFC)
+  }
 
   private def magic(bytes: Array[Byte]): java.lang.Long = {
     val w0 = word(bytes, 0)
@@ -211,9 +249,10 @@ object PcmAudioGrid {
     val hit = readerByMagic.get(m)
     if (hit != null) {
       try return hit.getAudioInputStream(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => staleCacheHits.incrementAndGet() } // rescan
+      catch { case _: Exception => staleCacheHits.increment() } // rescan
     }
-    fullScans.incrementAndGet()
+    if (unmatchableMagics.contains(m)) { negativeHits.increment(); return null }
+    fullScans.increment()
     val it = audioReaders.iterator
     while (it.hasNext) {
       val r = it.next()
@@ -222,6 +261,10 @@ object PcmAudioGrid {
         readerByMagic.put(m, r)
         return ais
       } catch { case _: Exception => () }
+    }
+    if (provablyUnmatchable(m)) {
+      if (unmatchableMagics.size >= 1024) unmatchableMagics.clear()
+      unmatchableMagics.add(m)
     }
     null
   }

@@ -265,13 +265,24 @@ class MultimodalAudioSpec extends SparkSpec {
       (aviBody.length & 0xFF).toByte, 0, 0, 0) ++ aviBody
 
     assert(graft.functions.PcmAudioGrid.decodeSamples(wav, 4) != null)
-    val before = graft.functions.PcmAudioGrid.staleCacheHits.get()
+    assert(graft.functions.PcmAudioGrid.decodeSamples(avi, 1) == null)
+    // deltas are read per-THREAD: this test's decodes run on the
+    // calling thread, so concurrent decode activity elsewhere (another
+    // suite, a background query) cannot flake the exact-delta asserts
+    val before = graft.functions.PcmAudioGrid.staleCacheHits.onThisThread
+    val scans = graft.functions.PcmAudioGrid.fullScans.onThisThread
     (1 to 20).foreach { _ =>
       assert(graft.functions.PcmAudioGrid.decodeSamples(avi, 1) == null)
       assert(graft.functions.PcmAudioGrid.decodeSamples(wav, 4) != null)
     }
-    assert(graft.functions.PcmAudioGrid.staleCacheHits.get() == before,
+    assert(graft.functions.PcmAudioGrid.staleCacheHits.onThisThread == before,
       "interleaved WAV/AVI rows must not evict or retry across formats")
+    // and the AVI rows are negative-cached after their first full scan:
+    // the RIFF form type proves no JDK audio provider can ever match,
+    // so repeated undecodable assets stop paying a constructed
+    // exception per provider per row
+    assert(graft.functions.PcmAudioGrid.fullScans.onThisThread == scans,
+      "repeat AVI rows must hit the negative cache, not rescan providers")
   }
 
   test("AU corpus: varying payload size does not defeat the reader " +
@@ -298,12 +309,46 @@ class MultimodalAudioSpec extends SparkSpec {
     val a1 = au(30)
     val a2 = au(77) // different data size -> different bytes 8-11
     assert(graft.functions.PcmAudioGrid.decodeSamples(a1, 4) != null)
-    val scans = graft.functions.PcmAudioGrid.fullScans.get()
+    // per-thread delta - immune to concurrent decodes on other threads
+    val scans = graft.functions.PcmAudioGrid.fullScans.onThisThread
     (1 to 5).foreach { _ =>
       assert(graft.functions.PcmAudioGrid.decodeSamples(a2, 4) != null)
       assert(graft.functions.PcmAudioGrid.decodeSamples(a1, 4) != null)
     }
-    assert(graft.functions.PcmAudioGrid.fullScans.get() == scans,
+    assert(graft.functions.PcmAudioGrid.fullScans.onThisThread == scans,
       "every AU row after the first must be a reader-cache hit")
+  }
+
+  test("negative-cache soundness: a corrupt WAV never poisons the WAVE " +
+    "magic - valid WAVs behind it still decode") {
+    // The negative cache may only hold magics that are unmatchable from
+    // the container words ALONE (RIFF with a non-WAVE form, FORM with a
+    // non-AIFF type). A corrupt payload under RIFF/WAVE shares its
+    // magic with every valid WAV; caching its failure would silently
+    // null valid rows - the one way this optimization could corrupt
+    // data at corpus scale.
+    val corrupt = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](40, 0, 0, 0) ++ "WAVE".getBytes("US-ASCII") ++
+      Array.fill(32)(0x5A.toByte) // junk chunks: no provider accepts
+    assert(graft.functions.PcmAudioGrid.decodeSamples(corrupt, 1) == null)
+    val scans = graft.functions.PcmAudioGrid.fullScans.onThisThread
+    // a second corrupt row pays the scan again (no negative entry)...
+    assert(graft.functions.PcmAudioGrid.decodeSamples(corrupt, 1) == null)
+    assert(graft.functions.PcmAudioGrid.fullScans.onThisThread == scans + 1,
+      "RIFF/WAVE must never enter the negative cache")
+    // ...and a valid WAV with the same magic still decodes
+    val pcm = Array.tabulate(16)(i => i * 500)
+    val raw = new Array[Byte](pcm.length * 2)
+    pcm.zipWithIndex.foreach { case (v, i) =>
+      raw(2 * i) = (v & 0xFF).toByte; raw(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, pcm.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    assert(graft.functions.PcmAudioGrid.decodeSamples(out.toByteArray, 4) != null,
+      "valid WAV after a corrupt same-magic row must still decode")
   }
 }
