@@ -196,6 +196,19 @@ object Bench {
     val passes = allAttempts.last
     val coldFirstTotal = allAttempts.head.head.map(_._2).sum
     val loadEnd = loadAvg()
+    // peak heap across the run (sum of per-pool peaks, MB - an UPPER
+    // BOUND: pools peak at different times, so the sum can exceed the
+    // true simultaneous maximum and even Xmx): the memory note for
+    // scaling legs - a heap cliff shows up here before an OOM does.
+    // Driver+executors share this JVM in local mode, so this bounds
+    // the whole run's footprint.
+    val peakHeapMb = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+        .sum / 1e6
+    }
     val cold = passes.head
     val warm = passes.last
     // per-query best = min across every pass of every attempt (a
@@ -227,7 +240,7 @@ object Bench {
     // "not validated", recorded false.
     val valid = skew <= 0.25 && loadStart.exists(_ <= 2.0)
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"cold_total_first":${ms(coldFirstTotal)},"loadavg_start":${msOpt(loadStart)},"loadavg_first":${msOpt(loadFirst)},"loadavg_end":${msOpt(loadEnd)},"probe_io_mb":${ms(probeIoMb)},"probe_io_sec":${ms(probeIoSec)},"cold_warm_skew":${ms(skew)},"valid":$valid,"attempts":$attempts,"skew_attempts":$skewAttempts,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"cold_total_first":${ms(coldFirstTotal)},"loadavg_start":${msOpt(loadStart)},"loadavg_first":${msOpt(loadFirst)},"loadavg_end":${msOpt(loadEnd)},"probe_io_mb":${ms(probeIoMb)},"probe_io_sec":${ms(probeIoSec)},"cold_warm_skew":${ms(skew)},"peak_heap_mb":${ms(peakHeapMb)},"valid":$valid,"attempts":$attempts,"skew_attempts":$skewAttempts,"sf":"$sfDir"}"""
     if (only.isEmpty) { // a filtered run must not clobber the full record
       try {
         // cwd-relative: lands in whatever checkout ran the bench
