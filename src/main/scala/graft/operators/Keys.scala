@@ -32,12 +32,16 @@ import org.apache.spark.sql.functions._
   * Pin lifecycle: the prefix sum pins the FULL input frame
   * (MEMORY_AND_DISK; project before calling when the row is wide) as a
   * CAP-EXEMPT entry in the ShardedPrefixSum registry - key products
-  * are routinely handed to callers for arbitrarily late compilation
-  * (a pipeline Result's association branch), and a FIFO-evicted pin
-  * would silently re-open the dual-range-exchange nondeterminism for
-  * plans compiled after eviction. Exempt pins are released by
-  * ShardedPrefixSum.releaseAll() (do not sweep between composing a
-  * key-bearing plan and consuming it) or when their session stops.
+  * are routinely handed to callers for arbitrarily late compilation,
+  * and a FIFO-evicted pin would silently re-open the
+  * dual-range-exchange nondeterminism for plans compiled after
+  * eviction. Release paths, in preference order: (1) the pipeline
+  * pattern - consume the key product at a phase boundary inside
+  * ShardedPrefixSum.withExemptScope, which releases the pin on scope
+  * exit (sequential runs hold O(1) pins); (2) a sweep
+  * (ShardedPrefixSum.releaseAll - do not sweep between composing a
+  * key-bearing plan and consuming it; a sweep that drops a
+  * never-materialized pin warns and counts); (3) session stop.
   */
 object Keys {
 
