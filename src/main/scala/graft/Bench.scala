@@ -176,8 +176,14 @@ object Bench {
     // stamps skew_attempts plus the FIRST attempt's cold total
     // (cold_total_first) so a retried record is fully auditable and
     // cross-round cold comparisons can use the honest number.
-    val skewRetries = math.max(0,
-      sys.env.getOrElse("SPARK_GRAFT_SKEW_RETRIES", "1").toInt)
+    // full-registry runs only: in a small SPARK_GRAFT_ONLY run the
+    // first pass is dominated by JVM/codegen warmup, so its cold/warm
+    // skew ALWAYS exceeds the gate and the retry just burns passes -
+    // and filtered runs never produce the driver record the validity
+    // stamp exists for
+    val skewRetries =
+      if (only.nonEmpty) 0
+      else math.max(0, sys.env.getOrElse("SPARK_GRAFT_SKEW_RETRIES", "1").toInt)
     var allAttempts = Vector(runPasses(firstAttempt = true))
     var skewAttempts = 1
     while (skewOf(allAttempts.last) > 0.25 && skewAttempts <= skewRetries) {
