@@ -56,6 +56,29 @@ object WeakSync {
   case class SyncResult(matched: DataFrame, updates: DataFrame,
                         inserts: DataFrame, deletes: DataFrame)
 
+  /** S6: the syncer's state scope - weak_ortholog associations whose
+    * (master, detail) species are the run pair (HUMAN, speciesTypeKey)
+    * in EITHER direction, species resolved through the object registry
+    * (OrthologRelationLoader.java:153 reads
+    * getAssociationsByType("weak_ortholog", speciesTypeKey, HUMAN), and
+    * OrthologRelationDao.java:377-381 unions both directions). The diff
+    * must see ONLY this scope: state rows outside it (another species
+    * pair's run, another association type) are not this run's data and
+    * must never classify as stale deletes. */
+  def syncScope(assocState: DataFrame, rgdIds: DataFrame,
+                speciesTypeKey: Int): DataFrame = {
+    val human = graft.model.Species.HUMAN
+    val sp = broadcastableSpecies(rgdIds)
+    assocState.filter(col("assocType") === "weak_ortholog")
+      .join(sp.select(col("rgdId").as("masterRgdId"), col("spKey").as("masterSp")),
+        Seq("masterRgdId"))
+      .join(sp.select(col("rgdId").as("detailRgdId"), col("spKey").as("detailSp")),
+        Seq("detailRgdId"))
+      .filter((col("masterSp") === human && col("detailSp") === speciesTypeKey) ||
+        (col("masterSp") === speciesTypeKey && col("detailSp") === human))
+      .drop("masterSp", "detailSp")
+  }
+
   /** A7/J6: the syncer diff as one full-outer join on the unique key.
     *
     * - key match + equal subType -> matched
@@ -180,18 +203,8 @@ object WeakSync {
   def repairAssocSymmetry(assocState: DataFrame, orthologState: DataFrame,
                           rgdIds: DataFrame, deletes: DataFrame, speciesTypeKey: Int,
                           runTs: java.sql.Timestamp): RepairResult = {
-    val human = graft.model.Species.HUMAN
-    // species filter comes from the object registry (S6 shape: assoc x
-    // rgd_ids joins in both directions, rgdcore AssociationDAO javap)
-    val sp = broadcastableSpecies(rgdIds)
-    val pair = assocState.filter(col("assocType") === "weak_ortholog")
-      .join(sp.select(col("rgdId").as("masterRgdId"), col("spKey").as("masterSp")),
-        Seq("masterRgdId"))
-      .join(sp.select(col("rgdId").as("detailRgdId"), col("spKey").as("detailSp")),
-        Seq("detailRgdId"))
-      .filter((col("masterSp") === human && col("detailSp") === speciesTypeKey) ||
-        (col("masterSp") === speciesTypeKey && col("detailSp") === human))
-      .drop("masterSp", "detailSp")
+    // same (type, species-pair) scope as the syncer diff (S6)
+    val pair = syncScope(assocState, rgdIds, speciesTypeKey)
 
     // no reverse ortholog
     val noRevOrtho = pair.join(

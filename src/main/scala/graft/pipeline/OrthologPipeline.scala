@@ -144,7 +144,12 @@ object OrthologPipeline {
     // M4/A7: weak-ortholog sync against the POST-merge ortholog state
     val weakIncoming = WeakSync.dropStrongOrthologs(
       WeakSync.buildIncoming(withComplements, m.downgraded, runTs), dedupedState)
-    val assocInScope = state.associations // diff scope: weak orthologs
+    // S6 diff scope: weak_ortholog associations of the (human,
+    // speciesTypeKey) pair only, both directions (WeakSync.syncScope) -
+    // out-of-scope state rows (other pairs' runs, other assoc types)
+    // must never classify as this run's stale deletes
+    val assocInScope = WeakSync.syncScope(state.associations,
+      state.rgdIds, speciesTypeKey)
     val sync = WeakSync.syncDiff(weakIncoming, assocInScope)
 
     // D1/D2/D3: symmetry repair + delete-flap suppression

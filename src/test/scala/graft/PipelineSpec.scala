@@ -87,6 +87,50 @@ class PipelineSpec extends SparkSpec {
     assert(!assocs.contains((1, 11)))
   }
 
+  test("S6 sync scope: association state outside the run's (human, species) " +
+    "weak-ortholog scope survives the run untouched; in-scope stale rows " +
+    "still delete") {
+    // ref OrthologRelationLoader.java:153 + OrthologRelationDao.java:
+    // 377-381: the syncer diffs against weak_ortholog associations of
+    // the (speciesTypeKey, HUMAN) pair - BOTH directions - and nothing
+    // else. Rows outside that scope (another species pair from an
+    // earlier mouse run, another assoc type) must never classify as
+    // stale deletes of THIS run.
+    val genesWithMouse = genes.unionByName(Seq(
+      (21, "mM", "mM", "protein-coding", 2, "mM")
+    ).toDF("rgdId", "geneSymbol", "geneName", "geneTypeLc",
+      "speciesTypeKey", "ensemblGeneSymbol"))
+    val rgdIdsTyped = Seq((1, 1), (2, 1), (11, 3), (12, 3), (13, 3), (21, 2))
+      .map { case (id, sp) => (id, "ACTIVE", sp) }
+      .toDF("rgdId", "objectStatus", "speciesTypeKey")
+    val assocState = Seq(
+      // OUT of scope: human<->mouse pair (a prior mouse run's rows)
+      (50L, "weak_ortholog", "x", 1, 21, "NCBI", ts0),
+      // OUT of scope: non-weak assoc type on the run pair
+      (51L, "annotation", "x", 1, 11, "NCBI", ts0),
+      // IN scope, stale, symmetric (both directions queued -> D2 lets
+      // both delete): proves the scoping does not suppress true deletes
+      (52L, "weak_ortholog", "x", 2, 12, "NCBI", ts0),
+      (53L, "weak_ortholog", "x", 12, 2, "NCBI", ts0)
+    ).toDF("assocKey", "assocType", "assocSubType", "masterRgdId",
+      "detailRgdId", "srcPipeline", "creationDate")
+    val st = state.copy(genes = genesWithMouse, rgdIds = rgdIdsTyped,
+      associations = assocState)
+
+    val r = OrthologPipeline.runSpecies(relations, st, Species.RAT, runTs)
+    val finalKeys = r.associations.select("assocKey").as[Long].collect().toSet
+    assert(finalKeys.contains(50L),
+      "out-of-pair (human<->mouse) weak assoc was deleted by a rat run")
+    assert(finalKeys.contains(51L),
+      "non-weak assoc type was deleted by the weak-ortholog sync")
+    assert(!finalKeys.contains(52L) && !finalKeys.contains(53L),
+      "in-scope stale rows must still delete")
+    val deletedKeys = r.mergeAudit("syncDeleted")
+      .select("assocKey").as[Long].collect().toSet
+    assert(deletedKeys == Set(52L, 53L),
+      s"delete audit must be exactly the in-scope stale rows, got $deletedKeys")
+  }
+
   test("M7 maintenance rewrites only shorter canonical forms") {
     val (newState, updated) = Maintenance.fixXrefDataSetInOrthologs(
       Seq((1L, "B, A, B"), (2L, "A, B"), (3L, "Z, Y")).map { case (k, ev) =>
