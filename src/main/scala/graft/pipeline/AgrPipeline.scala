@@ -75,12 +75,28 @@ object AgrPipeline {
     val unresolved = resolved.filter(col("rgdId").isNull)
     val stats = resolved.groupBy(col("how")).count()
 
-    // bind lines to gene rgd ids; lines with an unresolvable side are
-    // skipped, matching the reference's per-line skip counter
-    // (AgrTsvLoader.java:159-173)
-    val r1 = resolved.select(col("curie").as("curie1"), col("rgdId").as("rgdId1"))
-    val r2 = resolved.select(col("curie").as("curie2"), col("rgdId").as("rgdId2"))
-    val bound = lines.join(r1, Seq("curie1")).join(r2, Seq("curie2"))
+    // bind lines to gene rgd ids ON THE FULL RESOLUTION KEY (curie,
+    // symbol, species) - the reference resolves per
+    // resolveGene(speciesTypeKey, geneSymbol, geneId)
+    // (AgrTsvLoader.java:306-393), so a curie appearing with two
+    // different symbols resolves independently per line; a bind keyed
+    // on the curie alone would cross-product such lines with every
+    // resolution of the curie. Null-safe keys (a missing symbol still
+    // resolves via the map step) - EqualNullSafe stays an equi-join.
+    // Lines with an unresolvable side are skipped, matching the
+    // reference's per-line skip counter (AgrTsvLoader.java:159-173).
+    val r1 = resolved.select(col("curie").as("c1"),
+      col("geneSymbol").as("g1"), col("speciesTypeKey").as("s1"),
+      col("rgdId").as("rgdId1"))
+    val r2 = resolved.select(col("curie").as("c2"),
+      col("geneSymbol").as("g2"), col("speciesTypeKey").as("s2"),
+      col("rgdId").as("rgdId2"))
+    val bound = lines
+      .join(r1, col("curie1") <=> col("c1") &&
+        col("geneSymbol1") <=> col("g1") && col("speciesTypeKey1") <=> col("s1"))
+      .join(r2, col("curie2") <=> col("c2") &&
+        col("geneSymbol2") <=> col("g2") && col("speciesTypeKey2") <=> col("s2"))
+      .drop("c1", "g1", "s1", "c2", "g2", "s2")
       .filter(col("rgdId1").isNotNull && col("rgdId2").isNotNull)
 
     val incoming = bound.select(

@@ -79,6 +79,40 @@ class AgrPipelineSpec extends SparkSpec {
     assert(xr("HGNC:1") == runTs && xr("FB:1") == runTs)
   }
 
+  test("M5 bind: a curie appearing with two different symbols binds each " +
+    "line to ITS OWN symbol's resolution - no fan-out across lines") {
+    // ref resolveGene(speciesTypeKey, geneSymbol, geneId)
+    // (AgrTsvLoader.java:306-393): resolution is per (species, symbol,
+    // curie). Two lines sharing a curie but disagreeing on the symbol
+    // must each bind to their own symbol's resolution - a bind keyed on
+    // the curie alone cross-products the lines with BOTH resolutions.
+    val lines2 = Seq(
+      ("ZFIN:1", "za", 20, "RGD:77", "Tp53", 3, "OMA", "1", "9", true, true),
+      ("ZFIN:1", "zb", 20, "RGD:78", "Tp53b", 3, "OMA", "1", "9", true, true)
+    ).toDF("curie1", "geneSymbol1", "speciesTypeKey1", "curie2", "geneSymbol2",
+      "speciesTypeKey2", "algorithms", "algorithmsMatch", "outOfAlgorithms",
+      "isBestScore", "isBestRevScore")
+    val genes2 = Seq(
+      (77, "Tp53", 3), (78, "Tp53b", 3), (500, "za", 20), (600, "zb", 20)
+    ).map { case (id, sym, sp) => (id, sym, sym, "protein-coding", sp, sym) }
+      .toDF("rgdId", "geneSymbol", "geneName", "geneTypeLc",
+        "speciesTypeKey", "ensemblGeneSymbol")
+    val rgdIds2 = Seq((77, "ACTIVE", 3), (78, "ACTIVE", 3),
+      (500, "ACTIVE", 20), (600, "ACTIVE", 20))
+      .toDF("rgdId", "objectStatus", "speciesTypeKey")
+    val emptyState = Seq.empty[(Int, Int, String, String, String, String,
+      java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("geneRgdId1", "geneRgdId2", "confidence", "isBestScore",
+        "isBestRevScore", "methodsMatched", "createdDate", "lastUpdateDate")
+
+    val r = AgrPipeline.run(lines2, emptyState, xrefs, genes2, rgdIds2,
+      runTs, cutoff, deleteThreshold = "500")
+    val pairs = r.agrOrthologs.select("geneRgdId1", "geneRgdId2")
+      .as[(Int, Int)].collect().toSet
+    assert(pairs == Set((500, 77), (600, 78)),
+      s"each line must bind its own symbol's resolution, got $pairs")
+  }
+
   test("AGR flow: circuit breaker refuses an oversized sweep") {
     val r = AgrPipeline.run(lines, agrState, xrefs, genes, rgdIds,
       runTs, cutoff, deleteThreshold = "0")
