@@ -1516,8 +1516,16 @@ object SparkEntry {
            FROM part),
          lines AS (SELECT rgdId AS h, sym FROM g WHERE sp = 1),
          bysym AS (
-           SELECT g.sym, g.sp, min(g.rgdId) AS symbolRgdId
-           FROM g WHERE g.rgdId % 17 <> 0
+           -- getGeneBySymbol status rule: a single candidate resolves
+           -- regardless of status (the size>1-only inactive filter,
+           -- OrthologRelationDao.java:595-619); multiples keep the
+           -- smallest ACTIVE id (fixture: rgdId % 17 = 0 is WITHDRAWN)
+           SELECT g.sym, g.sp,
+                  CASE WHEN count(*) = 1 THEN min(g.rgdId)
+                       ELSE min(CASE WHEN g.rgdId % 17 <> 0
+                                     THEN g.rgdId END)
+                  END AS symbolRgdId
+           FROM g
            GROUP BY g.sym, g.sp),
          inc AS (
            SELECT b.symbolRgdId AS g1, gg.rgdId AS g2,
@@ -1529,6 +1537,7 @@ object SparkEntry {
                     ELSE 'PANTHER|PhylomeDB' END AS methodsMatched
            FROM lines l
            JOIN bysym b ON b.sym = l.sym AND b.sp = 1
+                       AND b.symbolRgdId IS NOT NULL
            JOIN g gg ON gg.rgdId = l.h + 1),
          incd AS (SELECT DISTINCT * FROM inc),
          stt AS (

@@ -40,29 +40,47 @@ object Agr {
     val in = curies.select(col("curie"), col("geneSymbol"), col("speciesTypeKey"))
       .distinct()
 
+    // steps 1-2 read only ACTIVE objects (getActiveXdbIds /
+    // getActiveGenesByXdbId, OrthologRelationDao.java:513-521,527)
+    val activeIds = rgdIds.filter(col("objectStatus") === "ACTIVE")
+      .select(col("rgdId"))
+
     // step 1: curie -> min rgd id over AGR_GENE xrefs (sorted-first = min)
     val curieMap = xrefs.filter(col("xdbKey") === XdbKeys.AGR_GENE)
+      .join(activeIds, Seq("rgdId"))
       .groupBy(col("accId")).agg(min(col("rgdId")).as("mapRgdId"))
       .withColumnRenamed("accId", "curie")
 
     // step 2: special ids. The join is against the xref dimension for
     // mouse (MGD) and human (HGNC); rat ids are parsed inline.
     val mgd = xrefs.filter(col("xdbKey") === XdbKeys.MGD)
+      .join(activeIds, Seq("rgdId"))
       .groupBy(col("accId")).agg(min(col("rgdId")).as("mgdRgdId"))
       .withColumnRenamed("accId", "curie")
     val hgnc = xrefs.filter(col("xdbKey") === XdbKeys.HGNC)
+      .join(activeIds, Seq("rgdId"))
       .groupBy(col("accId")).agg(min(col("rgdId")).as("hgncRgdId"))
       .withColumnRenamed("accId", "curie")
 
     // rat: "RGD:12345" -> 12345, validated against the gene dimension
+    // (getGeneByRgdId has no status check)
     val ratIds = genes.select(col("rgdId").as("ratRgdId"))
 
-    // step 3: symbol -> active gene, min rgd id
+    // step 3: symbol -> gene, with the reference's exact status rule
+    // (getGeneBySymbol, OrthologRelationDao.java:595-619): inactive
+    // candidates are removed ONLY when more than one gene matched - a
+    // single withdrawn gene still resolves; on multiples the smallest
+    // ACTIVE rgd id wins (none active -> unresolved)
     val bySymbol = genes
-      .join(rgdIds.filter(col("objectStatus") === "ACTIVE").select(col("rgdId")),
-        Seq("rgdId"))
+      .join(rgdIds.select(col("rgdId"), col("objectStatus")), Seq("rgdId"), "left")
       .groupBy(col("geneSymbol"), col("speciesTypeKey"))
-      .agg(min(col("rgdId")).as("symbolRgdId"))
+      .agg(count(lit(1)).as("symC"),
+        min(col("rgdId")).as("anyRgdId"),
+        min(when(col("objectStatus") === "ACTIVE", col("rgdId")))
+          .as("activeRgdId"))
+      .select(col("geneSymbol"), col("speciesTypeKey"),
+        when(col("symC") === 1, col("anyRgdId"))
+          .otherwise(col("activeRgdId")).as("symbolRgdId"))
 
     val step12 = in
       .join(curieMap, Seq("curie"), "left")
@@ -106,10 +124,15 @@ object Agr {
     * action. */
   def assignNewGenes(resolved: DataFrame, maxFrame: DataFrame): DataFrame = {
     // distributed sequence assignment - NOT a global-order window, which
-    // would single-partition the insert set (see operators.Keys)
+    // would single-partition the insert set (see operators.Keys). The
+    // order must be a UNIQUE total order (Keys scaladoc): the resolved
+    // frame is distinct on (curie, symbol, species), so the same curie
+    // appearing with two symbols needs all three columns or the two
+    // synthesized ids swap run to run
     val inserts = Keys.assignSequentialFrom(
       resolved.filter(col("how") === "insert").drop("rgdId"),
-      "rgdIdSeq", maxFrame, Seq(col("curie")))
+      "rgdIdSeq", maxFrame,
+      Seq(col("curie"), col("geneSymbol"), col("speciesTypeKey")))
       .withColumn("rgdId", col("rgdIdSeq").cast("int")).drop("rgdIdSeq")
     resolved.filter(col("how") =!= "insert" || col("how").isNull)
       .unionByName(inserts)
@@ -126,8 +149,11 @@ object Agr {
                          runTs: java.sql.Timestamp): DataFrame = {
     val key = Seq("geneRgdId1", "geneRgdId2", "methodsMatched")
     // dedupe incoming on the upsert key (parallel retry races in the
-    // reference resolve arbitrarily; we take a deterministic first)
-    val w = Window.partitionBy(key.map(col): _*).orderBy(col("confidence"))
+    // reference resolve arbitrarily; we take a deterministic first).
+    // The order covers EVERY non-key column: key-tied rows differing
+    // only in flags would otherwise pick arbitrarily run to run
+    val w = Window.partitionBy(key.map(col): _*).orderBy(col("confidence"),
+      col("isBestScore"), col("isBestRevScore"))
     val inc = incoming.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
       .select(col("geneRgdId1"), col("geneRgdId2"), col("methodsMatched"),

@@ -77,6 +77,26 @@ class AgrPipelineSpec extends SparkSpec {
     val xr = r.xrefs.select("accId", "modificationDate")
       .as[(String, java.sql.Timestamp)].collect().toMap
     assert(xr("HGNC:1") == runTs && xr("FB:1") == runTs)
+
+    // M5 writes: curies resolved outside the map step persist an
+    // AGR_GENE binding (insertAgrGeneXdbId, steps 2-4) so the next
+    // run's map step hits; keys continue above the current max
+    val newXr = r.xrefs.filter($"accXdbKey" > 2L)
+      .select("accXdbKey", "accId", "rgdId", "xdbKey", "srcPipeline")
+      .as[(Long, String, Int, Int, String)].collect()
+      .map(t => t._2 -> (t._1, t._3, t._4, t._5)).toMap
+    assert(newXr.keySet == Set("RGD:77", "FB:NEW"),
+      s"specialId + insert resolutions must persist bindings, got $newXr")
+    assert(newXr("RGD:77")._2 == 77 && newXr("FB:NEW")._2 == 201)
+    assert(newXr.values.forall(v => v._3 == 63 && v._4 == "AgrOrtholog"))
+    assert(newXr.values.map(_._1).toSet == Set(3L, 4L)) // above max key 2
+
+    // step-4 gene synthesis surfaces as a dimension delta (the
+    // reference creates the gene + an ACTIVE rgd id)
+    val ng = r.newGenes
+      .select("rgdId", "geneSymbol", "speciesTypeKey", "objectStatus")
+      .as[(Int, String, Int, String)].collect().toSeq
+    assert(ng == Seq((201, "newgene", 10, "ACTIVE")))
   }
 
   test("M5 bind: a curie appearing with two different symbols binds each " +

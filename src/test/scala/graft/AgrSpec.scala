@@ -65,6 +65,36 @@ class AgrSpec extends SparkSpec {
     assert(fb2 == 1001)
   }
 
+  test("M5 status semantics: map/MGD/HGNC lookups resolve only ACTIVE " +
+    "genes; the symbol step resolves a single candidate regardless of " +
+    "status but filters to active when multiple match") {
+    // getActiveXdbIds / getActiveGenesByXdbId restrict steps 1-2 to
+    // active objects (OrthologRelationDao.java:513-521,527);
+    // getGeneBySymbol (:595-619) removes inactive candidates ONLY when
+    // more than one gene matched - a single withdrawn gene still
+    // resolves
+    val g = genes((100, "ms", 10), (101, "mm", 2), (102, "soloSym", 10),
+      (103, "multiSym", 10), (104, "multiSym", 10))
+    val ri = rgdIds((100, "WITHDRAWN"), (101, "WITHDRAWN"),
+      (102, "WITHDRAWN"), (103, "WITHDRAWN"), (104, "ACTIVE"))
+    val x = xrefs((1L, 100, 63, "AGR:W"), (2L, 101, 5, "MGI:W"))
+    val curies = Seq(
+      ("AGR:W", "nosuch", 10),  // map hit withdrawn -> falls to insert
+      ("MGI:W", "nosuch2", 2),  // MGD hit withdrawn; mouse can't insert
+      ("FB:S", "soloSym", 10),  // single symbol candidate, withdrawn ->
+                                // still resolves (the reference's
+                                // size>1-only inactive filter)
+      ("FB:M", "multiSym", 10)  // two candidates -> inactive removed
+    ).toDF("curie", "geneSymbol", "speciesTypeKey")
+    val r = Agr.resolveCuries(curies, x, g, ri)
+      .select("curie", "rgdId", "how").as[(String, Option[Int], Option[String])]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r("AGR:W") == ((None, Some("insert"))), s"map: ${r("AGR:W")}")
+    assert(r("MGI:W") == ((None, None)), s"mgd: ${r("MGI:W")}")
+    assert(r("FB:S") == ((Some(102), Some("symbol"))), s"solo: ${r("FB:S")}")
+    assert(r("FB:M") == ((Some(104), Some("symbol"))), s"multi: ${r("FB:M")}")
+  }
+
   test("M5 symbol branch: a degenerate hot symbol causes NO fanout " +
     "(pre-aggregation collapses the gene group before the join)") {
     // one symbol carries 50% of the gene dimension; 50% of curies name
