@@ -15,18 +15,28 @@ import graft.model.Species
   */
 object AgrPipeline {
 
-  /** @param xrefs    the new xref state: prior rows touched/swept by the
-    *                  M6 QC, PLUS one new AGR_GENE row per curie resolved
-    *                  outside the map step (the reference persists the
-    *                  binding via insertAgrGeneXdbId at resolution steps
-    *                  2-4, so the NEXT run's map step hits directly)
-    * @param newGenes  gene-dimension rows synthesized for unresolvable
-    *                  non-human/mouse/rat curies (insertAgrGene creates
-    *                  the gene + an ACTIVE rgd id,
-    *                  OrthologRelationDao.java:621-642) */
-  case class Result(agrOrthologs: DataFrame, xrefs: DataFrame,
-                    unresolved: DataFrame, guardOk: Boolean,
-                    resolutionStats: DataFrame, newGenes: DataFrame)
+  /** [[xrefs]] is the new xref state: prior rows touched/swept by the
+    * M6 QC, PLUS one new AGR_GENE row per curie resolved outside the
+    * map step (the reference persists the binding via
+    * insertAgrGeneXdbId at resolution steps 2-4, so the NEXT run's map
+    * step hits directly). Computed ON FIRST ACCESS, same contract as
+    * [[OrthologPipeline.Result.associations]]: the new bindings carry
+    * surrogate keys whose assignment pins a shared range exchange, so
+    * the accessor phase-materializes them in its own exempt-pin scope -
+    * a caller that never reads xrefs (the benched pair queries) never
+    * pays for the branch.
+    *
+    * [[newGenes]]: gene-dimension rows synthesized for unresolvable
+    * non-human/mouse/rat curies (insertAgrGene creates the gene + an
+    * ACTIVE rgd id, OrthologRelationDao.java:621-642). */
+  final class Result(val agrOrthologs: DataFrame,
+                     xrefsThunk: () => DataFrame,
+                     val unresolved: DataFrame, val guardOk: Boolean,
+                     val resolutionStats: DataFrame,
+                     val newGenes: DataFrame) {
+    /** New xref state, phase-materialized at first access. */
+    lazy val xrefs: DataFrame = xrefsThunk()
+  }
 
   /** @param lines   Readers.readAlliance output
     * @param cutoff  stale cutoff = runTs - 1h in the reference (X9 clock
@@ -123,38 +133,41 @@ object AgrPipeline {
     val (finalState, guardOk) =
       Agr.deleteStaleWithGuard(upserted, cutoff, initialCount, deleteThreshold)
 
-    // M5 writes: every curie resolved OUTSIDE the map step gets a new
-    // AGR_GENE xref binding it to its gene (insertAgrGeneXdbId at
-    // resolution steps 2-4, AgrTsvLoader.java:306-393 +
-    // OrthologRelationDao.java:644-652) so the next run's map step hits
-    // directly. Distinct on (rgdId, accId): the reference re-inserts
-    // per line occurrence, which is set-wise one binding. Surrogate
-    // accXdbKeys above the current max; the phase write consumes the
-    // key pin inside this run's exempt scope.
-    val newXrefRows = phases("agr_new_xrefs", Seq("accXdbKey"),
-      Keys.assignSequentialFrom(
-        resolved.filter(col("how").isin("specialId", "symbol", "insert"))
-          .select(col("rgdId"), col("curie").as("accId")).distinct(),
-        "accXdbKey",
-        xrefs.agg(coalesce(max(col("accXdbKey")), lit(0L))),
-        Seq(col("accId"), col("rgdId")))
-      .select(col("accXdbKey"), col("rgdId"),
-        lit(graft.model.XdbKeys.AGR_GENE).as("xdbKey"), col("accId"),
-        lit("AgrOrtholog").as("srcPipeline"),
-        lit(runTs).as("modificationDate")))
-
     // step-4 gene synthesis: the reference creates the gene + an ACTIVE
     // rgd id (OrthologRelationDao.java:621-642)
     val newGenes = resolved.filter(col("how") === "insert")
       .select(col("rgdId"), col("geneSymbol"), col("speciesTypeKey"),
         lit("ACTIVE").as("objectStatus"))
 
-    // M6: curie QC - touch seen AGR_GENE xrefs, sweep stale ones; the
-    // newly inserted bindings carry runTs and ride through un-swept
+    // M5 writes + M6 QC, deferred to first access (Result scaladoc).
+    // New bindings: every curie resolved OUTSIDE the map step gets an
+    // AGR_GENE xref binding it to its gene (insertAgrGeneXdbId at
+    // resolution steps 2-4, AgrTsvLoader.java:306-393 +
+    // OrthologRelationDao.java:644-652) so the next run's map step hits
+    // directly. Distinct on (rgdId, accId): the reference re-inserts
+    // per line occurrence, which is set-wise one binding. Surrogate
+    // accXdbKeys above the current max; the accessor's phase write
+    // consumes the key pin inside its own exempt scope. QC: touch seen
+    // AGR_GENE xrefs, sweep stale ones; the newly inserted bindings
+    // carry runTs and ride through un-swept.
     val seen = resolved.filter(col("rgdId").isNotNull).select(col("curie"))
-    val newXrefs = Agr.qcCuries(xrefs, seen, cutoff, runTs)
-      .unionByName(newXrefRows)
+    def newXrefs(): DataFrame =
+      graft.operators.ShardedPrefixSum.withExemptScope {
+        val newXrefRows = phases("agr_new_xrefs", Seq("accXdbKey"),
+          Keys.assignSequentialFrom(
+            resolved.filter(col("how").isin("specialId", "symbol", "insert"))
+              .select(col("rgdId"), col("curie").as("accId")).distinct(),
+            "accXdbKey",
+            xrefs.agg(coalesce(max(col("accXdbKey")), lit(0L))),
+            Seq(col("accId"), col("rgdId")))
+          .select(col("accXdbKey"), col("rgdId"),
+            lit(graft.model.XdbKeys.AGR_GENE).as("xdbKey"), col("accId"),
+            lit("AgrOrtholog").as("srcPipeline"),
+            lit(runTs).as("modificationDate")))
+        Agr.qcCuries(xrefs, seen, cutoff, runTs).unionByName(newXrefRows)
+      }
 
-    Result(finalState, newXrefs, unresolved, guardOk, stats, newGenes)
+    new Result(finalState, () => newXrefs(), unresolved, guardOk, stats,
+      newGenes)
   }
 }
