@@ -21,6 +21,13 @@ object Exprs {
   /** Evidence count = 1 + number of commas in the evidence CSV; 0 for
     * null/empty. Ref: OrthologRelationLoader.java:580-588,
     * OrthologRelationDao.java:190-201. */
+  /** Faithfulness note: getEvidenceCount (OrthologRelationDao.java:
+    * 192-201) literally returns 1 for "" (non-null starts at 1) and
+    * ignores a comma at position 0 - but the reference runs on Oracle,
+    * where '' IS NULL, so the empty string can never reach it and 0 is
+    * the production-faithful value; the leading-comma corner is
+    * unreachable (evidence lists are built by joining non-empty
+    * tokens). */
   def evidenceCount(dataSet: Column): Column =
     when(dataSet.isNull || dataSet === "", 0)
       .otherwise(size(split(dataSet, ",", -1)))

@@ -35,8 +35,12 @@ object Grouping {
       col("srcRgdId"), col("destRgdId"),
       col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
       col("dataSource"),
-      // mergeDataSetNames splits on comma+whitespace (OrthologGroup.java:55-58)
-      explode(split(col("dataSetName"), ",\\s*", -1)).as("token"))
+      // mergeDataSetNames splits on comma + exactly ONE whitespace
+      // (regex \,\s, OrthologGroup.java:55-58): "A,B" with no space is
+      // a single token there, so \,\s* here would over-split it. Limit
+      // 0 = Java's default split: trailing empty tokens drop, so a
+      // stray trailing ", " cannot inject an empty evidence token
+      explode(split(col("dataSetName"), ",\\s", 0)).as("token"))
 
     toks
       .groupBy(col("srcRgdId"), col("destRgdId"),

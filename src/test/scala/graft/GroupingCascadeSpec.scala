@@ -33,6 +33,17 @@ class GroupingCascadeSpec extends SparkSpec {
     assert(m.toSeq == Seq(("HGNC", "NCBI, OrthoDB")))
   }
 
+  test("A3: tokens split on comma + ONE whitespace, exactly like " +
+    "mergeDataSetNames (OrthologGroup.java:55-58)") {
+    // "OrthoDB,HomoloGene" (no space after the comma) is ONE token in
+    // the reference - its split regex is \,\s, not \,\s*
+    val m = Grouping.mergeRelations(relDf(
+      rel(1, 2, "HGNC", "OrthoDB,HomoloGene"),
+      rel(1, 2, "HGNC", "Ensembl, OMA")))
+      .select("dataSetName").as[String].collect()
+    assert(m.toSeq == Seq("Ensembl, OMA, OrthoDB,HomoloGene"))
+  }
+
   test("A3: NCBI-only pair keeps NCBI source and its own dataset") {
     val m = Grouping.mergeRelations(relDf(rel(1, 2, "NCBI", "Ortholog")))
       .select("dataSource", "dataSetName").as[(String, String)].collect()
