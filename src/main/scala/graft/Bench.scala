@@ -102,6 +102,19 @@ object Bench {
     def loadAvg(): Option[Double] =
       Some(java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage).filter(_ >= 0)
+    // boot identity: records from different boots are NOT comparable
+    // (page cache, CPU governor, and background-daemon state all reset;
+    // two valid r15 records on identical code differed 20% across a
+    // reboot). boot_id + uptime_sec make cross-record comparability
+    // machine-checkable: same boot_id = same-boot comparison; missing
+    // (non-Linux) records JSON null.
+    def procLine(path: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8").trim).filter(_.nonEmpty)
+      catch { case _: Throwable => None }
+    val bootId = procLine("/proc/sys/kernel/random/boot_id")
+    val uptimeSec = procLine("/proc/uptime")
+      .flatMap(_.split("\\s+").headOption).flatMap(_.toDoubleOption)
     // quiet-retry (driver-visible): if the machine is contended at
     // start (loadavg > 2, the validity ceiling below), sleep and
     // re-sample BEFORE running rather than paying two full passes just
@@ -246,7 +259,7 @@ object Bench {
     // "not validated", recorded false.
     val valid = skew <= 0.25 && loadStart.exists(_ <= 2.0)
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"cold_total_first":${ms(coldFirstTotal)},"loadavg_start":${msOpt(loadStart)},"loadavg_first":${msOpt(loadFirst)},"loadavg_end":${msOpt(loadEnd)},"probe_io_mb":${ms(probeIoMb)},"probe_io_sec":${ms(probeIoSec)},"cold_warm_skew":${ms(skew)},"peak_heap_mb":${ms(peakHeapMb)},"valid":$valid,"attempts":$attempts,"skew_attempts":$skewAttempts,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"cold_total":${ms(coldTotal)},"warm_total":${ms(warmTotal)},"cold_total_first":${ms(coldFirstTotal)},"loadavg_start":${msOpt(loadStart)},"loadavg_first":${msOpt(loadFirst)},"loadavg_end":${msOpt(loadEnd)},"probe_io_mb":${ms(probeIoMb)},"probe_io_sec":${ms(probeIoSec)},"cold_warm_skew":${ms(skew)},"peak_heap_mb":${ms(peakHeapMb)},"valid":$valid,"attempts":$attempts,"skew_attempts":$skewAttempts,"boot_id":${bootId.map("\"" + _ + "\"").getOrElse("null")},"uptime_sec":${uptimeSec.map(u => f"$u%.0f").getOrElse("null")},"sf":"$sfDir"}"""
     if (only.isEmpty) { // a filtered run must not clobber the full record
       try {
         // cwd-relative: lands in whatever checkout ran the bench
