@@ -33,26 +33,58 @@ object Exprs {
       .otherwise(size(split(dataSet, ",", -1)))
 
   /** Sorted-set canonicalization of a separator-delimited list: split,
-    * trim tokens, distinct, sort, re-join (the reference's TreeSet
-    * pattern - O4). `sepRegex` is the split regex, `joinSep` the output
-    * separator. Ref: OrthologRelationParser.java:126-136,
-    * OrthologGroup.java:53-60, AgrTsvLoader.java:224-229. */
+    * trim tokens, distinct, sort, re-join (the generic O4 shape used by
+    * oracle-expressible queries). The REFERENCE-exact variants are
+    * [[sanitizeEvidence]] and [[canonicalXrefDataSet]] below. */
   def canonicalizeList(c: Column, sepRegex: String, joinSep: String): Column =
     concat_ws(joinSep,
       array_sort(array_distinct(transform(split(c, sepRegex, -1), t => trim(t)))))
 
-  /** Evidence CSV sanitization as done at HCOP parse time (X2): split on
-    * bare commas, dedupe+sort, join with ", ".
-    * Ref: OrthologRelationParser.java:126-136. */
-  def sanitizeEvidence(c: Column): Column = canonicalizeList(c, ",", ", ")
+  /** Java's default-limit `String.split(sep)` as a column: trailing
+    * empty tokens drop. Trailing empties exist exactly when the string
+    * ends with separator repetitions, so stripping `(sep)+$` first and
+    * splitting with limit -1 reproduces the token list (the split is
+    * greedy left-to-right, so any terminal separator run IS a
+    * separator boundary). `sepQuoted` must be regex-safe. */
+  private def javaSplit(c: Column, sepQuoted: String): Column =
+    split(regexp_replace(c, s"($sepQuoted)+$$", ""), sepQuoted, -1)
+
+  /** TreeSet + Utils.concatenate(", ") over a token array: dedupe,
+    * sort, and DROP the empty-string element - Utils.concatenate
+    * appends the separator only when its builder is non-empty, so the
+    * set's single "" element (which sorts first) contributes neither
+    * content nor separator (rgdcore Utils.concatenate bytecode). */
+  private def treeSetJoin(toks: Column): Column =
+    concat_ws(", ", array_remove(array_sort(array_distinct(toks)), ""))
+
+  /** Evidence CSV sanitization as done at HCOP parse time (X2),
+    * reference-exact (XrefCanonPropertySpec): split on BARE commas with
+    * Java's default limit, NO trim (a leading-space token keeps its
+    * space and sorts by it), TreeSet order, Utils.concatenate(", ");
+    * single-token values return token[0] verbatim (so a trailing ","
+    * still drops). Ref: OrthologRelationParser.java:126-136. */
+  def sanitizeEvidence(c: Column): Column = {
+    val toks = javaSplit(c, ",")
+    when(size(toks) <= 1, element_at(toks, 1)).otherwise(treeSetJoin(toks))
+  }
 
   /** XREF_DATA_SET canonical rewrite used by insert validation and the
-    * fixXRefDataSet maintenance flow (M7): split on ", ", dedupe+sort,
-    * and keep the rewrite ONLY if it differs and is strictly shorter.
-    * Ref: OrthologRelationDao.java:447-459,707-767. */
+    * fixXRefDataSet maintenance flow (M7), reference-exact
+    * (XrefCanonPropertySpec): null/empty skipped, split on ", " with
+    * Java's default limit, single-token values skipped, and the
+    * rewrite kept ONLY if it differs AND is STRICTLY shorter (so
+    * "b, a" -> "a, b" is same-length and stays untouched).
+    * Ref: OrthologRelationDao.java:447-459,707-767.
+    * (The one unreachable divergence: a value of ONLY separators, e.g.
+    * ", ", Java-splits to a length-0 array, which the insert path's
+    * `length>1` skips but the fixXref path's `length==1` proceeds on;
+    * here both skip - xref data sets are built from non-empty source
+    * tokens, so the corner cannot occur in data.) */
   def canonicalXrefDataSet(c: Column): Column = {
-    val canon = concat_ws(", ", array_sort(array_distinct(split(c, ", ", -1))))
+    val toks = javaSplit(c, ", ")
+    val canon = treeSetJoin(toks)
     when(c.isNull || c === "", c)
+      .when(size(toks) <= 1, c)
       .when(canon =!= c && length(canon) < length(c), canon)
       .otherwise(c)
   }

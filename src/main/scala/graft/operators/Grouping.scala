@@ -54,7 +54,12 @@ object Grouping {
         col("srcRgdId"), col("destRgdId"),
         col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"),
         when(col("hasHgnc") === 1, "HGNC").otherwise("NCBI").as("dataSource"),
-        concat_ws(", ", array_sort(array_distinct(
+        // TreeSet + Utils.concatenate(", ") parity: the set's single ""
+        // element (an interior ",\s,\s" run in the source list) sorts
+        // first and Utils.concatenate skips both it AND its separator,
+        // so it contributes nothing - array_remove("") is exact
+        // (XrefCanonPropertySpec rationale; GroupingPropertySpec pin)
+        concat_ws(", ", array_remove(array_sort(array_distinct(
           when(col("hasHgnc") === 1,
             // HGNC tokens + the literal "NCBI" marker when both sources saw the pair
             concat(
@@ -62,7 +67,7 @@ object Grouping {
               when(col("hasNcbi") === 1, array(lit("NCBI")))
                 .otherwise(array().cast("array<string>"))))
             .otherwise(transform(col("toks"), t => t("t")))
-        ))).as("dataSetName"))
+        )), "")).as("dataSetName"))
   }
 
   /** U2: complement each human->species relation with its species->human

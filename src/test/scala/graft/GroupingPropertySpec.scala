@@ -24,7 +24,11 @@ class GroupingPropertySpec extends SparkSpec {
   test("property: merge + complement equals a row-at-a-time model of " +
     "OrthologGroup - exact token split, marker cross-merge, mirrors") {
     val dsnGen = Gen.oneOf("A", "B", "A, B", "B, A", "C,A", "A, C,A",
-      "NCBI", "Ortholog", "NCBI, A")
+      "NCBI", "Ortholog", "NCBI, A",
+      // empty-token corners: an interior ",\s,\s" run splits to an ""
+      // token that Utils.concatenate drops WITH its separator; a
+      // trailing ",\s" drops via Java's default split limit
+      "A, , B", ", A", "A, B, ")
     val caseGen = for {
       n <- Gen.choose(1, 12)
       rs <- Gen.listOfN(n, for {
@@ -34,7 +38,7 @@ class GroupingPropertySpec extends SparkSpec {
     } yield rs
 
     var sawSameSourceUnion = 0; var sawCrossMerge = 0; var sawNcbiOnly = 0
-    var sawNoSpaceToken = 0; var sawMarkerCollision = 0
+    var sawNoSpaceToken = 0; var sawMarkerCollision = 0; var sawEmptyToken = 0
 
     var seed = Seed(77191L)
     for (_ <- 1 to 16) {
@@ -57,7 +61,10 @@ class GroupingPropertySpec extends SparkSpec {
               ht ++ (if (ncbi.nonEmpty) List("NCBI") else Nil)
             } else ncbi.flatMap(r => toks(r.dsn))
           if (tokens.exists(_.contains(","))) sawNoSpaceToken += 1
-          val dsn = tokens.distinct.sorted.mkString(", ")
+          if (tokens.contains("")) sawEmptyToken += 1
+          // TreeSet + Utils.concatenate: the single "" element sorts
+          // first and contributes neither content nor separator
+          val dsn = tokens.distinct.sorted.filter(_.nonEmpty).mkString(", ")
           val ds = if (hgnc.nonEmpty) "HGNC" else "NCBI"
           (s, d, ds, dsn)
       }
@@ -83,5 +90,6 @@ class GroupingPropertySpec extends SparkSpec {
     assert(sawNoSpaceToken > 0, "never saw a no-space token ride through")
     assert(sawMarkerCollision > 0,
       "never saw an HGNC token spelled NCBI collide with the marker")
+    assert(sawEmptyToken > 0, "never saw an empty token collapse")
   }
 }

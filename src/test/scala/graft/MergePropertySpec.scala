@@ -53,8 +53,19 @@ class MergePropertySpec extends SparkSpec {
   private def canonXset(x: Option[String]): Option[String] = x match {
     case None | Some("") => x
     case Some(s) =>
-      val canon = s.split(", ", -1).distinct.sorted.mkString(", ")
-      if (canon != s && canon.length < s.length) Some(canon) else Some(s)
+      // Dao:447-459 verbatim: Java default-limit split, single-token
+      // skip, TreeSet + Utils.concatenate (leading "" contributes
+      // nothing), rewrite only when strictly shorter
+      val toks = s.split(", ")
+      if (toks.length <= 1) Some(s)
+      else {
+        val sb = new StringBuilder
+        scala.collection.immutable.TreeSet(toks: _*).foreach { t =>
+          if (sb.nonEmpty) sb.append(", "); sb.append(t)
+        }
+        val canon = sb.toString
+        if (canon != s && canon.length < s.length) Some(canon) else Some(s)
+      }
   }
   private def otk(srcSp: Int, destSp: Int): Int =
     if (srcSp == 1 || destSp == 1) graft.model.Species.directOrthologTypeKey
