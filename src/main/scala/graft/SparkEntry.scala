@@ -2018,20 +2018,32 @@ object SparkEntry {
           col("masterRgdId"), col("detailRgdId")))
     }),
 
-    // S4 downstream: HomoloGene group flow - resolve member genes,
-    // synthesize ordered cross-species pairs per group. Member ids mod
-    // 100 keep group fan-out at real-HomoloGene scale (tens of genes) -
-    // the within-group pair join is quadratic in members by definition
+    // S4 downstream: HomoloGene group flow - resolve member entries
+    // (exactly-one-active-gene rule: G1/G2 resolve to TWO customers
+    // each and drop; G11 resolves to none), then synthesize ALL
+    // ordered distinct-entry pairs per group - reference semantics
+    // include same-species pairs and duplicate-entry self-pairs (the
+    // dup flag below keeps up to two copies of a member line). Group
+    // fan-out stays at real-HomoloGene scale (a handful to tens of
+    // entries) so the within-group pair join is bounded.
     "q_s4_homologene" -> ((s, dir) => {
-      val groups = t(s, dir, "lineitem").filter(col("l_orderkey") % 2 === 1).select(
-        (col("l_orderkey") % 200).cast("int").as("homologene_group_id"),
-        lit(0).as("tax_id"),
-        concat(lit("G"), col("l_partkey") % 100).as("gene_id"))
-      val resolution = t(s, dir, "customer").select(
-        concat(lit("G"), col("c_custkey")).as("gene_id"),
-        col("c_custkey").cast("int").as("rgdId"),
-        when(col("c_custkey") % 2 === 0, 1).otherwise(3).as("speciesTypeKey"))
-      graft.operators.Homologene.synthesizePairs(groups, resolution)
+      val entries = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 2 === 1 && col("l_linenumber") === 1)
+        .select((col("l_orderkey") % 8000).cast("int").as("homologene_group_id"),
+          (col("l_suppkey") % 4).cast("int").as("taxsel"),
+          concat(lit("G"), col("l_partkey") % 12).as("gene_id"),
+          (col("l_quantity") < 25).as("dup"))
+        .distinct()
+        .select(col("homologene_group_id"),
+          element_at(array(lit(9606), lit(10090), lit(10116), lit(7955)),
+            col("taxsel") + 1).as("tax_id"),
+          col("gene_id"))
+        .filter(col("tax_id") =!= 7955) // parse-time badSpecies drop
+      val resolution = t(s, dir, "customer")
+        .filter(col("c_custkey") <= 13)
+        .select(concat(lit("G"), col("c_custkey") % 11).as("gene_id"),
+          col("c_custkey").cast("int").as("rgdId"))
+      graft.operators.Homologene.synthesizePairs(entries, resolution)
     }),
 
     // ---- events: per-entity aggregation (A2/A5 shape on the stream table) ----
@@ -5609,17 +5621,34 @@ object SparkEntry {
          SELECT 'detach', d, m FROM withrev w WHERE NOT EXISTS
            (SELECT 1 FROM bothq b WHERE b.m = w.m AND b.d = w.d)""",
 
-    // Independent recomputation of the HomoloGene pair synthesis
+    // Independent recomputation of the HomoloGene pair synthesis:
+    // exactly-one-match resolution, entry species from the taxon, all
+    // ordered distinct-entry pairs (duplicate entries get distinct
+    // row_numbers; the ordered-pair multiset is order-invariant)
     "q_s4_homologene" ->
-      """WITH mem AS (
-           SELECT DISTINCT CAST(l_orderkey % 200 AS INT) AS g,
-                  CAST(c_custkey AS INT) AS rgd,
-                  CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 3 END AS sp
-           FROM lineitem JOIN customer ON l_partkey % 100 = c_custkey
-           WHERE l_orderkey % 2 = 1)
+      """WITH ent0 AS (
+           SELECT DISTINCT CAST(l_orderkey % 8000 AS INT) AS g,
+                  CAST(l_suppkey % 4 AS INT) AS taxsel,
+                  'G' || CAST(l_partkey % 12 AS VARCHAR) AS gene_id,
+                  (l_quantity < 25) AS dup
+           FROM lineitem WHERE l_orderkey % 2 = 1 AND l_linenumber = 1),
+         ent AS (
+           SELECT g, CASE taxsel WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 END AS sp,
+                  gene_id
+           FROM ent0 WHERE taxsel <> 3),
+         res AS (
+           SELECT gene_id, MAX(rgd) AS rgd FROM (
+             SELECT 'G' || CAST(c_custkey % 11 AS VARCHAR) AS gene_id,
+                    CAST(c_custkey AS INT) AS rgd
+             FROM customer WHERE c_custkey <= 13)
+           GROUP BY gene_id HAVING COUNT(*) = 1),
+         mem AS (
+           SELECT ent.g, res.rgd, ent.sp,
+                  ROW_NUMBER() OVER (PARTITION BY ent.g ORDER BY res.rgd, ent.sp) AS i
+           FROM ent JOIN res USING (gene_id))
          SELECT a.g AS homologeneGroupId, a.rgd AS srcRgdId, b.rgd AS destRgdId,
                 a.sp AS srcSpeciesTypeKey, b.sp AS destSpeciesTypeKey
-         FROM mem a JOIN mem b ON a.g = b.g AND a.sp <> b.sp""",
+         FROM mem a JOIN mem b ON a.g = b.g AND a.i <> b.i""",
 
     // ---- ANN oracles: DuckDB recomputes the searches from the same
     // literal query/plane/centroid vectors ----
