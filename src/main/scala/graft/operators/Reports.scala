@@ -38,21 +38,33 @@ object Reports {
       .orderBy(lower(col("geneSymbol")))
   }
 
-  /** J10: active genes of a species with no ortholog rows (src side),
-    * alleles/splices excluded, sorted by symbol - the
-    * genes-without-orthologs report
-    * (rgdcore OrthologDAO.getGenesWithoutOrthologs, wrapper
-    * OrthologRelationDao.java:698-700,
-    * OrthologRelationLoadingManager.java:189-228). */
+  /** J10: ACTIVE genes of a species with no ortholog rows on the SRC
+    * side, sorted case-insensitively by symbol.
+    *
+    * Reference-exact (ReportsPropertySpec): the rgdcore SQL
+    * (OrthologDAO.getGenesWithoutOrthologs, from the published jar) has
+    * NO gene-type exclusion and NO status/species condition on the
+    * relation side - the wrapper javadoc's "splices and alleles are
+    * excluded" (OrthologRelationDao.java:694-700) describes only the
+    * LOG lines, where the per-type report drops the allele and splice
+    * GROUPS after the full list (and its count) is built
+    * (OrthologRelationLoadingManager.java:189-228). Use
+    * [[reportedGeneType]] to reproduce the logged subset; the returned
+    * frame is the full list the reference counts. */
   def genesWithoutOrthologs(orthologs: DataFrame, genes: DataFrame,
                             rgdIds: DataFrame, speciesTypeKey: Int): DataFrame =
     genes
-      .filter(col("speciesTypeKey") === speciesTypeKey &&
-        !col("geneTypeLc").isin("allele", "splice"))
-      .join(rgdIds.filter(col("objectStatus") === "ACTIVE").select(col("rgdId")),
+      .join(rgdIds.filter(col("objectStatus") === "ACTIVE" &&
+          col("speciesTypeKey") === speciesTypeKey).select(col("rgdId")),
         Seq("rgdId"), "left_semi")
       .join(orthologs.select(col("srcRgdId").as("rgdId")), Seq("rgdId"), "left_anti")
       .orderBy(lower(col("geneSymbol")))
+
+  /** The log-line filter of dumpGenesWithoutOrthologs: allele/splice
+    * type GROUPS are not reported (the count still includes them). */
+  def reportedGeneType(geneTypeLc: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    !coalesce(geneTypeLc, lit("")).isin("allele", "splice")
 
   /** J9: the OrthoTool AGR report join - for each query gene, its AGR
     * partners of the given species with symbols; when any partner is a
