@@ -5,10 +5,12 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import graft.operators.ShardedPrefixSum
 import graft.pipeline.AgrPipeline
+import graft.AgrRefModel.{AgrRow, GeneRow, Line, XrefRow}
 
 /** Brute-force semantic pin for the whole --agrOrthologs flow
-  * (M5/S9/A8/M6/X12 + the M5 write side effects): a plain-Scala,
-  * row-at-a-time model of AgrTsvLoader.run2 recomputes every output of
+  * (M5/S9/A8/M6/X12 + the M5 write side effects): the row-at-a-time
+  * model of AgrTsvLoader.run2 ([[AgrRefModel]], shared with the
+  * multi-run state-evolution pin) recomputes every output of
   * [[AgrPipeline.run]] over seeded random lines / xrefs / genes /
   * statuses / prior state - resolution cascade with the reference's
   * exact status rules (active-only map and MGD/HGNC steps, the
@@ -27,17 +29,6 @@ class AgrPropertySpec extends SparkSpec {
   private val runTs = java.sql.Timestamp.valueOf("2026-08-01 12:00:00")
   private val cutoff = java.sql.Timestamp.valueOf("2026-08-01 11:00:00")
   private val oldTs = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
-
-  private case class GeneRow(id: Int, sym: String, sp: Int, active: Boolean)
-  private case class XrefRow(key: Long, rgdId: Int, xdbKey: Int, accId: String,
-                             pipe: String, mod: java.sql.Timestamp)
-  private case class Line(c1: String, s1: String, sp1: Int,
-                          c2: String, s2: String, sp2: Int,
-                          algos: String, best: Boolean, bestRev: Boolean)
-  private case class AgrRow(g1: Int, g2: Int, conf: String, best: String,
-                            bestRev: String, methods: String,
-                            created: java.sql.Timestamp,
-                            updated: java.sql.Timestamp)
 
   test("property: the AGR flow equals a row-at-a-time model of the " +
     "reference - cascade status rules, synthesized ids, full-key bind, " +
@@ -90,202 +81,36 @@ class AgrPropertySpec extends SparkSpec {
       (genes, xrefs, ls, state, threshold)
     }
 
-    var sawMap = 0; var sawSpecial = 0; var sawSymbolSolo = 0
-    var sawSymbolSoloInactive = 0; var sawSymbolMulti = 0; var sawInsert = 0
-    var sawUnresolved = 0; var sawUpsertUpdate = 0; var sawUpsertInsert = 0
-    var sawStaleSwept = 0; var sawGuardRefusal = 0; var sawXrefSwept = 0
-    var sawNewXref = 0
-
+    val counters = scala.collection.mutable.Map[String, Int]()
     val unmatBefore = ShardedPrefixSum.unmaterializedReleases
 
     def runCase(genes: List[GeneRow], xrefs: List[XrefRow],
                 lines: List[Line], state: List[AgrRow],
                 threshold: String): Unit = {
-      // ---- the model ----
-      val geneById = genes.map(g => g.id -> g).toMap
-      def active(id: Int) = geneById.get(id).exists(_.active)
-
-      def lookupMin(xdb: Int, curie: String): Option[Int] = {
-        val hits = xrefs.filter(x => x.xdbKey == xdb && x.accId == curie &&
-          active(x.rgdId)).map(_.rgdId)
-        if (hits.isEmpty) None else Some(hits.min)
-      }
-      def bySymbol(sym: String, sp: Int): Option[Int] = {
-        val cands = genes.filter(g => g.sym == sym && g.sp == sp)
-        if (cands.size == 1) Some(cands.head.id)
-        else {
-          val act = cands.filter(_.active).map(_.id)
-          if (act.isEmpty) None else Some(act.min)
-        }
-      }
-      // the cascade per distinct (curie, symbol, species)
-      val curies = lines.flatMap(l =>
-        List((l.c1, l.s1, l.sp1), (l.c2, l.s2, l.sp2))).distinct
-      case class Res(curie: String, sym: String, sp: Int,
-                     rgdId: Option[Int], how: Option[String])
-      val resolved0 = curies.map { case (c, s, sp) =>
-        val map = lookupMin(63, c)
-        lazy val special = sp match {
-          case 3 =>
-            if (c.startsWith("RGD:"))
-              c.drop(4).toIntOption.filter(geneById.contains)
-            else None
-          case 2 => lookupMin(5, c)
-          case 1 => lookupMin(21, c)
-          case _ => None
-        }
-        lazy val sym = bySymbol(s, sp)
-        if (map.isDefined) Res(c, s, sp, map, Some("map"))
-        else if (special.isDefined) Res(c, s, sp, special, Some("specialId"))
-        else if (sym.isDefined) Res(c, s, sp, sym, Some("symbol"))
-        else if (!Set(1, 2, 3).contains(sp)) Res(c, s, sp, None, Some("insert"))
-        else Res(c, s, sp, None, None)
-      }
-      // synthesized ids: maxGeneId + rank over (curie, symbol, species)
-      val maxGene = if (genes.isEmpty) 0 else genes.map(_.id).max
-      val inserts = resolved0.filter(_.how.contains("insert"))
-        .sortBy(r => (r.curie, r.sym, r.sp)).zipWithIndex
-        .map { case (r, i) => r.copy(rgdId = Some(maxGene + i + 1)) }
-      val resolved = resolved0.filterNot(_.how.contains("insert")) ++ inserts
-      val resByKey = resolved.map(r => (r.curie, r.sym, r.sp) -> r).toMap
-
-      resolved.foreach { r =>
-        r.how match {
-          case Some("map") => sawMap += 1
-          case Some("specialId") => sawSpecial += 1
-          case Some("symbol") =>
-            val cands = genes.filter(g => g.sym == r.sym && g.sp == r.sp)
-            if (cands.size == 1) {
-              sawSymbolSolo += 1
-              if (!cands.head.active) sawSymbolSoloInactive += 1
-            } else sawSymbolMulti += 1
-          case Some("insert") => sawInsert += 1
-          case None => sawUnresolved += 1
-          case _ => ()
-        }
-      }
-
-      // full-key bind + upsert-key dedupe (conf, best, bestRev asc)
-      val bound = lines.flatMap { l =>
-        for {
-          r1 <- resByKey((l.c1, l.s1, l.sp1)).rgdId
-          r2 <- resByKey((l.c2, l.s2, l.sp2)).rgdId
-        } yield (r1, r2, l.algos,
-          if (l.best) "Y" else "N", if (l.bestRev) "Y" else "N")
-      }
-      val incBest = bound.groupBy(t => (t._1, t._2, t._3)).map {
-        case (_, rows) => rows.minBy(r => ("stringent", r._4, r._5))
-      }.toList
-
-      // upsert: key-matched state updates flags + timestamp; new keys
-      // insert; unmatched state rows ride through (stale candidates)
-      val incByKey = incBest.map(t => (t._1, t._2, t._3) -> t).toMap
-      val stateKeys = state.map(s => (s.g1, s.g2, s.methods)).toSet
-      val upserted = state.map { s =>
-        incByKey.get((s.g1, s.g2, s.methods)) match {
-          case Some((_, _, _, b, br)) =>
-            sawUpsertUpdate += 1
-            s.copy(best = b, bestRev = br, updated = runTs)
-          case None => s
-        }
-      } ++ incBest.filterNot(t => stateKeys((t._1, t._2, t._3)))
-        .map { t =>
-          sawUpsertInsert += 1
-          AgrRow(t._1, t._2, "stringent", t._4, t._5, t._3, runTs, runTs)
-        }
-
-      // A8 guard (X12 threshold math on the post-upsert count)
-      val total = upserted.size.toLong
-      val stale = upserted.count(_.updated.before(cutoff)).toLong
-      val maxDeletable =
-        if (threshold.endsWith("%"))
-          threshold.dropRight(1).toInt * total / 100
-        else threshold.toLong
-      val guardOk = math.abs((total - stale) - state.size) <= maxDeletable
-      val expFinal =
-        (if (guardOk) upserted.filterNot(_.updated.before(cutoff))
-         else upserted).toSet
-      if (!guardOk) sawGuardRefusal += 1
-      if (guardOk && stale > 0) sawStaleSwept += 1
-
-      // M6 QC + M5 write side effects
-      val seen = resolved.filter(_.rgdId.isDefined).map(_.curie).toSet
-      def isAgr(x: XrefRow) = x.xdbKey == 63 && x.pipe == "AgrOrtholog"
-      val qcd = xrefs.map { x =>
-        if (seen(x.accId) && isAgr(x)) x.copy(mod = runTs) else x
-      }.filterNot(x => isAgr(x) && x.mod.before(cutoff))
-      if (qcd.size < xrefs.size) sawXrefSwept += 1
-      val maxXrefKey = if (xrefs.isEmpty) 0L else xrefs.map(_.key).max
-      val newXrefRows = resolved
-        .filter(r => Set("specialId", "symbol", "insert").exists(r.how.contains))
-        .map(r => (r.rgdId.get, r.curie)).distinct
-        .sortBy { case (id, acc) => (acc, id) }.zipWithIndex
-        .map { case ((id, acc), i) =>
-          XrefRow(maxXrefKey + i + 1L, id, 63, acc, "AgrOrtholog", runTs) }
-      if (newXrefRows.nonEmpty) sawNewXref += 1
-      val expXrefs = (qcd ++ newXrefRows).toSet
-      val expNewGenes = inserts
-        .map(r => (r.rgdId.get, r.sym, r.sp, "ACTIVE")).toSet
-      val expUnresolved = resolved.filter(_.rgdId.isEmpty)
-        .map(r => (r.curie, r.sym, r.sp)).toSet
-      val expStats = resolved.groupBy(_.how.orNull).view
-        .mapValues(_.size.toLong).toMap
+      // ---- the model (shared with the multi-run pin) ----
+      val exp = AgrRefModel.run(genes, xrefs, lines, state, threshold,
+        runTs, cutoff, counters)
 
       // ---- the engine ----
-      val genesDf = genes.map(g => (g.id, g.sym, g.sym, "protein-coding",
-          g.sp, g.sym))
-        .toDF("rgdId", "geneSymbol", "geneName", "geneTypeLc",
-          "speciesTypeKey", "ensemblGeneSymbol")
-      val rgdIdsDf = genes.map(g =>
-          (g.id, if (g.active) "ACTIVE" else "WITHDRAWN", g.sp))
-        .toDF("rgdId", "objectStatus", "speciesTypeKey")
-      val xrefsDf = xrefs.map(x => (x.key, x.rgdId, x.xdbKey, x.accId,
-          x.pipe, x.mod))
-        .toDF("accXdbKey", "rgdId", "xdbKey", "accId", "srcPipeline",
-          "modificationDate")
-      val linesDf = lines.map(l => (l.c1, l.s1, l.sp1, l.c2, l.s2, l.sp2,
-          l.algos, "2", "9", l.best, l.bestRev))
-        .toDF("curie1", "geneSymbol1", "speciesTypeKey1", "curie2",
-          "geneSymbol2", "speciesTypeKey2", "algorithms",
-          "algorithmsMatch", "outOfAlgorithms", "isBestScore",
-          "isBestRevScore")
-      val stateDf = state.map(s => (s.g1, s.g2, s.conf, s.best, s.bestRev,
-          s.methods, s.created, s.updated))
-        .toDF("geneRgdId1", "geneRgdId2", "confidence", "isBestScore",
-          "isBestRevScore", "methodsMatched", "createdDate",
-          "lastUpdateDate")
-
-      val r = AgrPipeline.run(linesDf, stateDf, xrefsDf, genesDf, rgdIdsDf,
-        runTs, cutoff, deleteThreshold = threshold)
+      val r = AgrMultiRunPropertySpec.runEngine(spark, genes, xrefs, lines,
+        state, threshold, runTs, cutoff)
 
       val label = s"genes=$genes xrefs=$xrefs lines=$lines state=$state " +
         s"threshold=$threshold"
-      assert(r.guardOk == guardOk, s"guard: $label")
-      val gotFinal = r.agrOrthologs
-        .select("geneRgdId1", "geneRgdId2", "confidence", "isBestScore",
-          "isBestRevScore", "methodsMatched", "createdDate", "lastUpdateDate")
-        .as[(Int, Int, String, String, String, String,
-          java.sql.Timestamp, java.sql.Timestamp)]
-        .collect()
-        .map(t => AgrRow(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8))
-        .toSet
-      assert(gotFinal == expFinal, s"final state: $label")
-      val gotXrefs = r.xrefs
-        .select("accXdbKey", "rgdId", "xdbKey", "accId", "srcPipeline",
-          "modificationDate")
-        .as[(Long, Int, Int, String, String, java.sql.Timestamp)]
-        .collect()
-        .map(t => XrefRow(t._1, t._2, t._3, t._4, t._5, t._6)).toSet
-      assert(gotXrefs == expXrefs, s"xrefs: $label")
+      assert(r.guardOk == exp.guardOk, s"guard: $label")
+      val gotFinal = AgrMultiRunPropertySpec.collectAgr(r.agrOrthologs)
+      assert(gotFinal == exp.finalState, s"final state: $label")
+      val gotXrefs = AgrMultiRunPropertySpec.collectXrefs(r.xrefs)
+      assert(gotXrefs == exp.xrefs, s"xrefs: $label")
       assert(r.newGenes
         .select("rgdId", "geneSymbol", "speciesTypeKey", "objectStatus")
-        .as[(Int, String, Int, String)].collect().toSet == expNewGenes,
+        .as[(Int, String, Int, String)].collect().toSet == exp.newGenes,
         s"new genes: $label")
       assert(r.unresolved.select("curie", "geneSymbol", "speciesTypeKey")
-        .as[(String, String, Int)].collect().toSet == expUnresolved,
+        .as[(String, String, Int)].collect().toSet == exp.unresolved,
         s"unresolved: $label")
       assert(r.resolutionStats.as[(Option[String], Long)].collect()
-        .map { case (k, v) => k.orNull -> v }.toMap == expStats,
+        .map { case (k, v) => k.orNull -> v }.toMap == exp.stats,
         s"stats: $label")
 
       ShardedPrefixSum.releaseAll()
@@ -319,20 +144,21 @@ class AgrPropertySpec extends SparkSpec {
     assert(ShardedPrefixSum.unmaterializedReleases == unmatBefore,
       "a key pin was swept before its product materialized")
 
-    assert(sawMap > 0, "never resolved via the curie map")
-    assert(sawSpecial > 0, "never resolved via a special id")
-    assert(sawSymbolSolo > 0, "never resolved a single-candidate symbol")
-    assert(sawSymbolSoloInactive > 0,
+    def n(k: String) = counters.getOrElse(k, 0)
+    assert(n("map") > 0, "never resolved via the curie map")
+    assert(n("specialId") > 0, "never resolved via a special id")
+    assert(n("symbolSolo") > 0, "never resolved a single-candidate symbol")
+    assert(n("symbolSoloInactive") > 0,
       "never resolved a single INACTIVE symbol candidate (the " +
         "getGeneBySymbol status rule)")
-    assert(sawSymbolMulti > 0, "never resolved a multi-candidate symbol")
-    assert(sawInsert > 0, "never synthesized a gene")
-    assert(sawUnresolved > 0, "never left a curie unresolved")
-    assert(sawUpsertUpdate > 0, "never updated an existing upsert key")
-    assert(sawUpsertInsert > 0, "never inserted a new upsert key")
-    assert(sawStaleSwept > 0, "never swept a stale ortholog")
-    assert(sawGuardRefusal > 0, "never tripped the circuit breaker")
-    assert(sawXrefSwept > 0, "never swept a stale AGR_GENE xref")
-    assert(sawNewXref > 0, "never persisted a new curie binding")
+    assert(n("symbolMulti") > 0, "never resolved a multi-candidate symbol")
+    assert(n("insert") > 0, "never synthesized a gene")
+    assert(n("unresolved") > 0, "never left a curie unresolved")
+    assert(n("upsertUpdate") > 0, "never updated an existing upsert key")
+    assert(n("upsertInsert") > 0, "never inserted a new upsert key")
+    assert(n("staleSwept") > 0, "never swept a stale ortholog")
+    assert(n("guardRefusal") > 0, "never tripped the circuit breaker")
+    assert(n("xrefSwept") > 0, "never swept a stale AGR_GENE xref")
+    assert(n("newXref") > 0, "never persisted a new curie binding")
   }
 }
