@@ -143,9 +143,22 @@ object Fixtures {
 
   def associations(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Seq.empty[(Long, String, String, Int, Int, String, java.sql.Timestamp)]
-      .toDF("assocKey", "assocType", "assocSubType", "masterRgdId",
-        "detailRgdId", "srcPipeline", "creationDate")
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // planted prior-state rows: the S6 sync scope must carry (a) an
+    // out-of-scope species PAIR (human<->human - as another run's rows
+    // would be) and (b) an out-of-scope assoc TYPE on the run pair
+    // through a rat run byte-identical, while (c) in-scope stale weak
+    // rows classify as the run's deletes (WeakSync.syncScope; the
+    // unscoped-diff bug class deleted (a) too - the CLI golden locks
+    // the distinction in). All ids live in the sf gene dimension
+    // (1001..1200 at sf0.001): evens human, odds rat, none withdrawn.
+    Seq(
+      (900001L, "weak_ortholog", "OldEvidence", 1002, 1004, "NCBI", ts),
+      (900002L, "annotation", "x", 1002, 1003, "NCBI", ts),
+      (900003L, "weak_ortholog", "Stale", 1004, 1005, "NCBI", ts),
+      (900004L, "weak_ortholog", "Stale", 1005, 1004, "NCBI", ts)
+    ).toDF("assocKey", "assocType", "assocSubType", "masterRgdId",
+      "detailRgdId", "srcPipeline", "creationDate")
   }
 
   /** Full prior-state snapshot for the flagship run. */
