@@ -90,10 +90,27 @@ object Reports {
 
   /** A5-style per-species-pair ortholog counts with the X11 signed-diff
     * format against an old snapshot
-    * (OrthologRelationLoadingManager.java:128-151). */
-  def orthologCountDiff(oldState: DataFrame, newState: DataFrame): DataFrame = {
+    * (OrthologRelationLoadingManager.java:128-151).
+    *
+    * When `rgdIds` is given, rows count only when BOTH endpoint rgd ids
+    * are ACTIVE - the published getOrthologCount SQL joins rgd_ids on
+    * both sides with object_status='ACTIVE' (rgdcore OrthologDAO;
+    * pinned in ReportsPropertySpec). Without it the raw state counts
+    * (the engine-internal diff, where state rows have no status). */
+  def orthologCountDiff(oldState: DataFrame, newState: DataFrame,
+                        rgdIds: Option[DataFrame] = None): DataFrame = {
+    def activeOnly(df: DataFrame): DataFrame = rgdIds match {
+      case None => df
+      case Some(ids) =>
+        val act = ids.filter(col("objectStatus") === "ACTIVE")
+          .select(col("rgdId"))
+        df.join(act.select(col("rgdId").as("srcRgdId")),
+            Seq("srcRgdId"), "left_semi")
+          .join(act.select(col("rgdId").as("destRgdId")),
+            Seq("destRgdId"), "left_semi")
+    }
     def counts(df: DataFrame, name: String) =
-      df.groupBy(col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"))
+      activeOnly(df).groupBy(col("srcSpeciesTypeKey"), col("destSpeciesTypeKey"))
         .agg(count(lit(1)).as(name))
     counts(oldState, "oldCount")
       .join(counts(newState, "newCount"),

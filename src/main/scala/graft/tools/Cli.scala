@@ -229,7 +229,8 @@ object Cli {
     write(r.orthologs, s"$out/$name/orthologs")
     write(r.associations, s"$out/$name/associations")
     // the reference's +N/-N status report (X11 shape)
-    val diff = Reports.orthologCountDiff(st.orthologs, r.orthologs)
+    val diff = Reports.orthologCountDiff(st.orthologs, r.orthologs,
+        rgdIds = Some(st.rgdIds))
       .select("srcSpeciesTypeKey", "destSpeciesTypeKey", "diff")
       .collect().map(_.toSeq.mkString(":")).mkString(" ")
     println(s"SPECIES=$name ORTHOLOGS=${r.orthologs.count()} " +

@@ -207,4 +207,49 @@ class ReportsPropertySpec extends SparkSpec {
     assert(sawDestOnlyKept > 0,
       "never saw a dest-side-only gene stay in the list")
   }
+
+  test("property: the X11 count diff under rgdIds equals the published " +
+    "getOrthologCount SQL - both endpoints ACTIVE, per directed pair") {
+    val caseGen = for {
+      gs <- Gen.listOfN(8, for {
+        st <- Gen.frequency(3 -> Gen.const("ACTIVE"), 1 -> Gen.const("RETIRED"))
+        sp <- Gen.oneOf(1, 2, 3)
+      } yield (st, sp))
+      nO <- Gen.choose(0, 12); nN <- Gen.choose(0, 12)
+      os <- Gen.listOfN(nO, Gen.zip(Gen.choose(1, 8), Gen.choose(1, 8)))
+      ns <- Gen.listOfN(nN, Gen.zip(Gen.choose(1, 8), Gen.choose(1, 8)))
+    } yield (gs.zipWithIndex.map { case ((st, sp), i) => (i + 1, st, sp) }, os, ns)
+
+    var sawInactiveExcluded = 0
+    var seed = Seed(168805L)
+    for (_ <- 1 to 12) {
+      val (gs, os, ns) = caseGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val act = gs.filter(_._2 == "ACTIVE").map(_._1).toSet
+      val spOf = gs.map(g => g._1 -> g._3).toMap
+      def model(rels: List[(Int, Int)]): Map[(Int, Int), Long] =
+        rels.filter(r => act(r._1) && act(r._2))
+          .groupBy(r => (spOf(r._1), spOf(r._2)))
+          .view.mapValues(_.size.toLong).toMap
+      val mo = model(os); val mn = model(ns)
+      if (os.exists(r => !act(r._1) || !act(r._2))) sawInactiveExcluded += 1
+      val keys = mo.keySet ++ mn.keySet
+      val expected = keys.map { k =>
+        val o = mo.getOrElse(k, 0L); val n = mn.getOrElse(k, 0L)
+        (k._1, k._2, o, n, f"${n - o}%+d")
+      }
+
+      def df(rels: List[(Int, Int)]) = rels
+        .map { case (s, d) => (s, d, spOf(s), spOf(d)) }
+        .toDF("srcRgdId", "destRgdId", "srcSpeciesTypeKey", "destSpeciesTypeKey")
+      val rgdDf = gs.map(g => (g._1, g._2, g._3))
+        .toDF("rgdId", "objectStatus", "speciesTypeKey")
+      val got = Reports.orthologCountDiff(df(os), df(ns), Some(rgdDf))
+        .select($"srcSpeciesTypeKey", $"destSpeciesTypeKey",
+          $"oldCount", $"newCount", $"diff")
+        .as[(Int, Int, Long, Long, String)].collect().toSet
+      assert(got == expected, s"gs=$gs os=$os ns=$ns")
+    }
+    assert(sawInactiveExcluded > 0, "never excluded an inactive endpoint")
+  }
 }
