@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   * no sf0.3+).
   *
   * Construction: each copy c offsets every join-key column by
-  * c * 50,000,000 (one stride for a key and all its foreign
-  * references, so joins land exactly as in the base data; the stride
-  * keeps every derived `cast(key + k AS INT)` in the fixture mappings
-  * inside Int range). Dimension tables (region, nation) keep one copy -
-  * at scale, dimensions grow sublinearly.
+  * c * 20,000,000 (one stride for a key and all its foreign
+  * references, so joins land exactly as in the base data). The stride
+  * dwarfs every base key (max 149,999 at sf0.1) and keeps every
+  * derived `cast(key + k AS INT)` in the fixture mappings inside Int
+  * range up to 100 copies: 99 * 2e7 + 150k + fixture offsets < 2^31.
+  * (The round-15 ceiling was 40 copies at a 5e7 stride; shrinking the
+  * stride, not widening the fixture ids, lifts it - the fixture/oracle
+  * schemas keep their Int gene ids.) Dimension tables (region, nation)
+  * keep one copy - at scale, dimensions grow sublinearly.
   *
   * Near-dup realism: blind text copies would make every cross-copy trio
   * an exact duplicate cluster - the dedup/LSH queries' outputs (and so
@@ -34,13 +38,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
-  private val Stride = 50000000L
+  private val Stride = 20000000L
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, copiesS) = args.take(3)
     val copies = copiesS.toInt
-    // 40 * Stride = 2.0e9 is the Int-range ceiling for the offset keys.
-    require(copies >= 1 && copies <= 40, s"copies $copies outside [1,40]")
+    // 100 * Stride = 2.0e9 is the Int-range ceiling for the offset keys.
+    require(copies >= 1 && copies <= 100, s"copies $copies outside [1,100]")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
