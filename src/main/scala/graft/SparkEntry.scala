@@ -29,6 +29,50 @@ object SparkEntry {
         .parquet(s"$dir/$name.parquet")
     else s.read.parquet(s"$dir/$name.parquet")
 
+  /** Gene dimension for the operator-routed report queries (shared so
+    * every report query and its oracle derive the same frames). */
+  private def reportGenes(s: SparkSession, dir: String, maxId: Int): DataFrame =
+    t(s, dir, "part").filter(col("p_partkey") <= maxId).select(
+      col("p_partkey").cast("int").as("rgdId"),
+      col("p_name").as("geneSymbol"),
+      when(col("p_partkey") % 11 === 0, "allele")
+        .when(col("p_partkey") % 13 === 0, "splice")
+        .otherwise("protein-coding").as("geneTypeLc"))
+
+  /** Id registry for the report queries: every 7th id WITHDRAWN,
+    * species cycling 1..5 (3 = the reported species; 4-5 land outside
+    * the human/mouse/rat partner set). */
+  private def reportRgdIds(s: SparkSession, dir: String, maxId: Int): DataFrame =
+    t(s, dir, "part").filter(col("p_partkey") <= maxId).select(
+      col("p_partkey").cast("int").as("rgdId"),
+      when(col("p_partkey") % 7 === 0, "WITHDRAWN").otherwise("ACTIVE")
+        .as("objectStatus"),
+      (col("p_partkey") % 5 + 1).cast("int").as("speciesTypeKey"))
+
+  /** The HomoloGene pair-synthesis fixture shared by q_s4_homologene and
+    * q_s4_homologene_sync: entries with bounded group fan-out, duplicate
+    * member lines (the dup flag), multi-match gene ids (G1/G2 resolve to
+    * two customers each and drop), and a zero-match id (G11). */
+  private def homologenePairs(s: SparkSession, dir: String): DataFrame = {
+    val entries = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 2 === 1 && col("l_linenumber") === 1)
+      .select((col("l_orderkey") % 8000).cast("int").as("homologene_group_id"),
+        (col("l_suppkey") % 4).cast("int").as("taxsel"),
+        concat(lit("G"), col("l_partkey") % 12).as("gene_id"),
+        (col("l_quantity") < 25).as("dup"))
+      .distinct()
+      .select(col("homologene_group_id"),
+        element_at(array(lit(9606), lit(10090), lit(10116), lit(7955)),
+          col("taxsel") + 1).as("tax_id"),
+        col("gene_id"))
+      .filter(col("tax_id") =!= 7955) // parse-time badSpecies drop
+    val resolution = t(s, dir, "customer")
+      .filter(col("c_custkey") <= 13)
+      .select(concat(lit("G"), col("c_custkey") % 11).as("gene_id"),
+        col("c_custkey").cast("int").as("rgdId"))
+    graft.operators.Homologene.synthesizePairs(entries, resolution)
+  }
+
   /** Flagship: the full --species pipeline (resolve -> group -> cascade ->
     * merge -> weak sync) over ortholog-shaped fixtures derived from the
     * sf0.001 test tables; returns the strong-ortholog picks. */
@@ -1349,6 +1393,44 @@ object SparkEntry {
     * most ONE candidate gene by fixture construction ('EG'||rgdId is
     * unique); the cascade block mirrors the window formulation also
     * used by q_w24_cascade_run. */
+  /** Shared member CTEs of the HomoloGene oracles: entries (duplicate
+    * lines kept via the dup flag), exactly-one-match resolution, taxon
+    * species, a per-group row index. */
+  private def homologeneMemCtes: String =
+    """ent0 AS (
+           SELECT DISTINCT CAST(l_orderkey % 8000 AS INT) AS g,
+                  CAST(l_suppkey % 4 AS INT) AS taxsel,
+                  'G' || CAST(l_partkey % 12 AS VARCHAR) AS gene_id,
+                  (l_quantity < 25) AS dup
+           FROM lineitem WHERE l_orderkey % 2 = 1 AND l_linenumber = 1),
+         ent AS (
+           SELECT g, CASE taxsel WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 END AS sp,
+                  gene_id
+           FROM ent0 WHERE taxsel <> 3),
+         res AS (
+           SELECT gene_id, MAX(rgd) AS rgd FROM (
+             SELECT 'G' || CAST(c_custkey % 11 AS VARCHAR) AS gene_id,
+                    CAST(c_custkey AS INT) AS rgd
+             FROM customer WHERE c_custkey <= 13)
+           GROUP BY gene_id HAVING COUNT(*) = 1),
+         mem AS (
+           SELECT ent.g, res.rgd, ent.sp,
+                  ROW_NUMBER() OVER (PARTITION BY ent.g ORDER BY res.rgd, ent.sp) AS i
+           FROM ent JOIN res USING (gene_id))"""
+
+  /** Shared dimension CTEs of the operator-routed report oracles:
+    * `gd` mirrors reportGenes(500), `reg` mirrors reportRgdIds(600). */
+  private def reportDimCtes: String =
+    """gd AS (SELECT CAST(p_partkey AS INT) AS id, p_name AS sym,
+                  CASE WHEN p_partkey % 11 = 0 THEN 'allele'
+                       WHEN p_partkey % 13 = 0 THEN 'splice'
+                       ELSE 'protein-coding' END AS tp
+           FROM part WHERE p_partkey <= 500),
+         reg AS (SELECT CAST(p_partkey AS INT) AS id,
+                  CASE WHEN p_partkey % 7 = 0 THEN 'WITHDRAWN' ELSE 'ACTIVE' END AS st,
+                  CAST(p_partkey % 5 + 1 AS INT) AS sp
+           FROM part WHERE p_partkey <= 600)"""
+
   private def pipelinePicksCtes: String =
     """g AS (
            SELECT CAST(p_partkey + 1000 AS INT) AS rgdId, p_name AS sym,
@@ -1663,6 +1745,47 @@ object SparkEntry {
       o.withColumn("any_best", max(col("is_best")).over(w))
         .filter(col("any_best") === 0 || col("is_best") === 1)
         .select(col("o_orderkey"), col("o_custkey"), col("is_best"))
+    }),
+
+    // ---- operator-routed report queries: the REAL Reports operators
+    // over TPC-H-derived gene/registry/relation frames, the oracle
+    // transcribing the reference SQL (pinned row-at-a-time in
+    // ReportsPropertySpec; gated end-to-end here) ----
+
+    // J8 through Reports.crossLinkedOrthologs: join-row counting with
+    // duplicate relations, both-endpoints-ACTIVE, species sets, union
+    // distinct (Dao:672-689)
+    "q_j8_crosslinked_op" -> ((s, dir) => {
+      val orth = t(s, dir, "lineitem").select(
+        (col("l_partkey") % 500).cast("int").as("srcRgdId"),
+        (col("l_suppkey") % 500).cast("int").as("destRgdId"))
+      graft.operators.Reports.crossLinkedOrthologs(
+        orth, reportGenes(s, dir, 500), reportRgdIds(s, dir, 600), 3)
+    }),
+
+    // J9 through Reports.agrPartnerReport: mutual-best suppression per
+    // query gene, partner species via the registry (OrthoTool.java:126-166)
+    "q_j9_partner_op" -> ((s, dir) => {
+      val agr = t(s, dir, "orders").select(
+        (col("o_custkey") % 300).cast("int").as("geneRgdId1"),
+        (col("o_orderkey") % 400).cast("int").as("geneRgdId2"),
+        when(col("o_orderstatus") === "O", "Y").otherwise("N").as("isBestScore"),
+        when(col("o_totalprice") > 100000, "Y").otherwise("N").as("isBestRevScore"))
+      graft.operators.Reports.agrPartnerReport(
+          agr, reportGenes(s, dir, 500), reportRgdIds(s, dir, 600), 2)
+        .select(col("geneRgdId1"), col("geneRgdId2"),
+          col("partnerSymbol"), col("isMutualBest"))
+    }),
+
+    // J10 through Reports.genesWithoutOrthologs: ACTIVE genes of the
+    // species with no SRC-side relation, NO type exclusion (the
+    // published SQL; the allele/splice drop is log-lines-only)
+    "q_j10_no_orth_op" -> ((s, dir) => {
+      val orth = t(s, dir, "orders").select(
+        (col("o_orderkey") % 350).cast("int").as("srcRgdId"),
+        lit(1).as("destRgdId"))
+      graft.operators.Reports.genesWithoutOrthologs(
+        orth, reportGenes(s, dir, 500), reportRgdIds(s, dir, 600), 3)
     }),
 
     // ---- A1/A5: group aggregation (TPC-H Q1 shape) ----
@@ -2026,24 +2149,36 @@ object SparkEntry {
     // dup flag below keeps up to two copies of a member line). Group
     // fan-out stays at real-HomoloGene scale (a handful to tens of
     // entries) so the within-group pair join is bounded.
-    "q_s4_homologene" -> ((s, dir) => {
-      val entries = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 2 === 1 && col("l_linenumber") === 1)
-        .select((col("l_orderkey") % 8000).cast("int").as("homologene_group_id"),
-          (col("l_suppkey") % 4).cast("int").as("taxsel"),
-          concat(lit("G"), col("l_partkey") % 12).as("gene_id"),
-          (col("l_quantity") < 25).as("dup"))
-        .distinct()
-        .select(col("homologene_group_id"),
-          element_at(array(lit(9606), lit(10090), lit(10116), lit(7955)),
-            col("taxsel") + 1).as("tax_id"),
-          col("gene_id"))
-        .filter(col("tax_id") =!= 7955) // parse-time badSpecies drop
-      val resolution = t(s, dir, "customer")
-        .filter(col("c_custkey") <= 13)
-        .select(concat(lit("G"), col("c_custkey") % 11).as("gene_id"),
-          col("c_custkey").cast("int").as("rgdId"))
-      graft.operators.Homologene.synthesizePairs(entries, resolution)
+    "q_s4_homologene" -> ((s, dir) => homologenePairs(s, dir)),
+
+    // S4 sync: the group diff against prior HOMOLOGENE-sourced state -
+    // multiset match on (group, src, dest) with lowest keys matched
+    // first, surplus state deleting, surplus incoming inserting with
+    // the direct/transitive type rule; non-HOMOLOGENE rows (RGD, HGNC)
+    // never participate (HomologeneLoader.qcGroups + loadGroups,
+    // getOrthologsForGroupId's source filter)
+    "q_s4_homologene_sync" -> ((s, dir) => {
+      val inRgd = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("key"),
+        (col("o_orderkey") % 8000).cast("int").as("homologeneGroupId"),
+        (col("o_custkey") % 13 + 1).cast("int").as("srcRgdId"),
+        (col("o_orderkey") % 13 + 1).cast("int").as("destRgdId"),
+        lit(1).as("srcSpeciesTypeKey"), lit(3).as("destSpeciesTypeKey"),
+        when(col("o_orderkey") % 9 === 0, "RGD")
+          .when(col("o_orderkey") % 9 === 1, "HGNC")
+          .otherwise("HOMOLOGENE").as("xrefDataSrc"))
+      val (ins, matched, dels) =
+        graft.operators.Homologene.syncGroups(homologenePairs(s, dir), inRgd)
+      ins.select(lit("insert").as("bucket"), col("homologeneGroupId"),
+          col("srcRgdId"), col("destRgdId"),
+          lit(null).cast("long").as("key"),
+          col("orthologTypeKey").cast("int").as("otk"))
+        .unionByName(matched.select(lit("match").as("bucket"),
+          col("homologeneGroupId"), col("srcRgdId"), col("destRgdId"),
+          col("key"), lit(null).cast("int").as("otk")))
+        .unionByName(dels.select(lit("delete").as("bucket"),
+          col("homologeneGroupId"), col("srcRgdId"), col("destRgdId"),
+          col("key"), lit(null).cast("int").as("otk")))
     }),
 
     // ---- events: per-entity aggregation (A2/A5 shape on the stream table) ----
@@ -5626,29 +5761,97 @@ object SparkEntry {
     // ordered distinct-entry pairs (duplicate entries get distinct
     // row_numbers; the ordered-pair multiset is order-invariant)
     "q_s4_homologene" ->
-      """WITH ent0 AS (
-           SELECT DISTINCT CAST(l_orderkey % 8000 AS INT) AS g,
-                  CAST(l_suppkey % 4 AS INT) AS taxsel,
-                  'G' || CAST(l_partkey % 12 AS VARCHAR) AS gene_id,
-                  (l_quantity < 25) AS dup
-           FROM lineitem WHERE l_orderkey % 2 = 1 AND l_linenumber = 1),
-         ent AS (
-           SELECT g, CASE taxsel WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 END AS sp,
-                  gene_id
-           FROM ent0 WHERE taxsel <> 3),
-         res AS (
-           SELECT gene_id, MAX(rgd) AS rgd FROM (
-             SELECT 'G' || CAST(c_custkey % 11 AS VARCHAR) AS gene_id,
-                    CAST(c_custkey AS INT) AS rgd
-             FROM customer WHERE c_custkey <= 13)
-           GROUP BY gene_id HAVING COUNT(*) = 1),
-         mem AS (
-           SELECT ent.g, res.rgd, ent.sp,
-                  ROW_NUMBER() OVER (PARTITION BY ent.g ORDER BY res.rgd, ent.sp) AS i
-           FROM ent JOIN res USING (gene_id))
+      s"""WITH $homologeneMemCtes
          SELECT a.g AS homologeneGroupId, a.rgd AS srcRgdId, b.rgd AS destRgdId,
                 a.sp AS srcSpeciesTypeKey, b.sp AS destSpeciesTypeKey
          FROM mem a JOIN mem b ON a.g = b.g AND a.i <> b.i""",
+
+    // the S4 group sync recomputed: per-(group,src,dest) multiset match
+    // (lowest state keys first), surplus state -> delete, surplus
+    // incoming -> insert with the human-direct(11)/transitive(13) rule,
+    // non-HOMOLOGENE state rows out of play
+    "q_s4_homologene_sync" ->
+      s"""WITH $homologeneMemCtes,
+         pairs AS (
+           SELECT a.g, a.rgd AS src, b.rgd AS dest, a.sp AS ssp, b.sp AS dsp
+           FROM mem a JOIN mem b ON a.g = b.g AND a.i <> b.i),
+         hom AS (
+           SELECT o_orderkey AS key, CAST(o_orderkey % 8000 AS INT) AS g,
+                  CAST(o_custkey % 13 + 1 AS INT) AS src,
+                  CAST(o_orderkey % 13 + 1 AS INT) AS dest
+           FROM orders WHERE o_orderkey % 9 NOT IN (0, 1)),
+         n_inc AS (SELECT g, src, dest, COUNT(*) AS n FROM pairs GROUP BY 1, 2, 3),
+         n_rgd AS (SELECT g, src, dest, COUNT(*) AS n FROM hom GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT hom.*, ROW_NUMBER() OVER (PARTITION BY hom.g, hom.src, hom.dest
+                    ORDER BY hom.key) AS rk,
+                  COALESCE(n_inc.n, 0) AS ni
+           FROM hom LEFT JOIN n_inc
+             ON hom.g = n_inc.g AND hom.src = n_inc.src AND hom.dest = n_inc.dest),
+         ins_ranked AS (
+           SELECT pairs.*, ROW_NUMBER() OVER (PARTITION BY pairs.g, pairs.src,
+                    pairs.dest ORDER BY pairs.ssp, pairs.dsp) AS rk,
+                  COALESCE(n_rgd.n, 0) AS nr
+           FROM pairs LEFT JOIN n_rgd
+             ON pairs.g = n_rgd.g AND pairs.src = n_rgd.src AND pairs.dest = n_rgd.dest)
+         SELECT 'match' AS bucket, g AS homologeneGroupId, src AS srcRgdId,
+                dest AS destRgdId, key, CAST(NULL AS INT) AS otk
+         FROM ranked WHERE rk <= ni
+         UNION ALL
+         SELECT 'delete', g, src, dest, key, CAST(NULL AS INT)
+         FROM ranked WHERE rk > ni
+         UNION ALL
+         SELECT 'insert', g, src, dest, CAST(NULL AS BIGINT),
+                CASE WHEN ssp = 1 OR dsp = 1 THEN 11 ELSE 13 END
+         FROM ins_ranked WHERE rk > nr""",
+
+    // J8 through the real operator: reference SQL transcription
+    // (Dao:672-689) over the same derived frames
+    "q_j8_crosslinked_op" ->
+      s"""WITH $reportDimCtes,
+         orth AS (SELECT CAST(l_partkey % 500 AS INT) AS src,
+                         CAST(l_suppkey % 500 AS INT) AS dest FROM lineitem),
+         ids AS (
+           SELECT dest AS id FROM orth, reg r1, reg r2
+           WHERE orth.dest = r1.id AND r1.st = 'ACTIVE' AND r1.sp = 3
+             AND orth.src = r2.id AND r2.st = 'ACTIVE' AND r2.sp IN (1, 2, 3)
+           GROUP BY dest HAVING COUNT(*) > 2
+           UNION
+           SELECT src FROM orth, reg r1, reg r2
+           WHERE orth.src = r1.id AND r1.st = 'ACTIVE' AND r1.sp = 3
+             AND orth.dest = r2.id AND r2.st = 'ACTIVE' AND r2.sp IN (1, 2, 3)
+           GROUP BY src HAVING COUNT(*) > 2)
+         SELECT gd.id AS rgdId, gd.sym AS geneSymbol
+         FROM gd JOIN ids ON gd.id = ids.id""",
+
+    // J9 through the real operator (OrthoTool.java:126-166)
+    "q_j9_partner_op" ->
+      s"""WITH $reportDimCtes,
+         agr AS (SELECT CAST(o_custkey % 300 AS INT) AS g1,
+                        CAST(o_orderkey % 400 AS INT) AS g2,
+                        CASE WHEN o_orderstatus = 'O' THEN 'Y' ELSE 'N' END AS b,
+                        CASE WHEN o_totalprice > 100000 THEN 'Y' ELSE 'N' END AS br
+                 FROM orders),
+         p AS (SELECT agr.g1, agr.g2, gd.sym,
+                      CAST(agr.b = 'Y' AND agr.br = 'Y' AS INT) AS mb
+               FROM agr
+               JOIN gd ON agr.g2 = gd.id
+               JOIN reg ON agr.g2 = reg.id AND reg.sp = 2),
+         q AS (SELECT *, MAX(mb) OVER (PARTITION BY g1) AS anyb FROM p)
+         SELECT g1 AS geneRgdId1, g2 AS geneRgdId2, sym AS partnerSymbol,
+                mb AS isMutualBest
+         FROM q WHERE anyb = 0 OR mb = 1""",
+
+    // J10 through the real operator: the published SQL (no type
+    // exclusion, src-side-only NOT EXISTS, ACTIVE + species via the
+    // registry)
+    "q_j10_no_orth_op" ->
+      s"""WITH $reportDimCtes,
+         srcs AS (SELECT DISTINCT CAST(o_orderkey % 350 AS INT) AS id FROM orders)
+         SELECT gd.id AS rgdId, gd.sym AS geneSymbol, gd.tp AS geneTypeLc
+         FROM gd JOIN reg ON gd.id = reg.id
+         WHERE reg.st = 'ACTIVE' AND reg.sp = 3
+           AND NOT EXISTS (SELECT 1 FROM srcs WHERE srcs.id = gd.id)""",
 
     // ---- ANN oracles: DuckDB recomputes the searches from the same
     // literal query/plane/centroid vectors ----
