@@ -187,8 +187,21 @@ object Cli {
 
     if (runForAll) {
       Reports.checkAllianceFreshness(st.agrOrthologs, now, maxAgeDays)
-      searchableNonHuman.foreach(sp =>
-        runSpecies(spark, out, st, sp, runTs, relationsFor(sp)))
+      // the reference's loop runs against the EVOLVING database - each
+      // species run reads the ortholog/association state the previous
+      // run wrote (OrthologRelationLoadingManager.java:86-96 against
+      // one shared DB). Thread the state through the loop by re-reading
+      // the parquet each run just wrote: a free materialization (the
+      // write happens anyway) and exactly what production re-reads.
+      // PipelineMultiRunSpec pins the cross-run invariants this relies
+      // on (pair scoping, key continuation).
+      var cur = st
+      searchableNonHuman.foreach { sp =>
+        val (orthPath, assocPath) =
+          runSpecies(spark, out, cur, sp, runTs, relationsFor(sp))
+        cur = cur.copy(orthologs = spark.read.parquet(orthPath),
+          associations = spark.read.parquet(assocPath))
+      }
       return 0
     }
 
@@ -220,14 +233,20 @@ object Cli {
   private[graft] def searchableNonHuman: Seq[Int] =
     Species.dim.map(_._1).filter(_ != Species.HUMAN)
 
+  /** One species load: run the pipeline, persist the new state, report
+    * the X11 count diff. Returns the written (orthologs, associations)
+    * paths so the all-species loop can thread the evolving state. */
   private def runSpecies(spark: SparkSession, out: String,
                          st: OrthologPipeline.State, speciesTypeKey: Int,
-                         runTs: java.sql.Timestamp, rel: DataFrame): Unit = {
+                         runTs: java.sql.Timestamp,
+                         rel: DataFrame): (String, String) = {
     val name = Species.dim.find(_._1 == speciesTypeKey).map(_._2)
       .getOrElse(speciesTypeKey.toString)
     val r = OrthologPipeline.runSpecies(rel, st, speciesTypeKey, runTs)
-    write(r.orthologs, s"$out/$name/orthologs")
-    write(r.associations, s"$out/$name/associations")
+    val orthPath = s"$out/$name/orthologs"
+    val assocPath = s"$out/$name/associations"
+    write(r.orthologs, orthPath)
+    write(r.associations, assocPath)
     // the reference's +N/-N status report (X11 shape)
     val diff = Reports.orthologCountDiff(st.orthologs, r.orthologs,
         rgdIds = Some(st.rgdIds))
@@ -235,6 +254,7 @@ object Cli {
       .collect().map(_.toSeq.mkString(":")).mkString(" ")
     println(s"SPECIES=$name ORTHOLOGS=${r.orthologs.count()} " +
       s"ASSOCIATIONS=${r.associations.count()} DIFF[$diff]")
+    (orthPath, assocPath)
   }
 
   private def write(df: DataFrame, path: String): Unit =
