@@ -35,6 +35,11 @@ object PlanAudit {
       "q_a2_group_merge", // token explode + merge agg + complement
       "q_j_asof",         // as-of: union + running window, join-free
       "q_j_range",        // bucketed range join: equi, no BNLJ
+      "q_j8_crosslinked_op", // operator-routed J8: count legs + dim joins
+      "q_j9_partner_op",  // operator-routed J9: window suppression
+      "q_j10_no_orth_op", // operator-routed J10: semi + anti joins
+      "q_s4_homologene",  // entry pairs: count==1 filter + group self-join
+      "q_s4_homologene_sync", // multiset sync: ranked windows + count joins
       "q_d_jaccard_exact",// inverted-index exact Jaccard
       "q_t_top_terms",    // tf/df aggs + term join + top-1 window
       "q_pack_bins",      // per-stratum cumulative window
