@@ -1974,6 +1974,32 @@ object SparkEntry {
         .filter(!(lower(col("p_name")) <=> lower(col("p_type"))))
         .select(col("p_partkey"), col("p_name"), col("p_type"))),
 
+    // D6 through the real operator (validateGeneSymbol): binding leg
+    // over ACTIVE AGR_GENE xrefs + resolved leg with no status filter,
+    // human-only, double case-insensitive mismatch with the
+    // Ensembl-symbol save (pinned in SymbolQcPropertySpec)
+    "q_d6_symbol_qc_op" -> ((s, dir) => {
+      val res = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(
+          concat(lit("AGR:"), col("o_custkey") % 80).as("curie"),
+          concat(lit("Brand#"), col("o_orderkey") % 45 + 11).as("geneSymbol"),
+          when(col("o_orderkey") % 4 === 0, 3).otherwise(1)
+            .cast("int").as("speciesTypeKey"),
+          (col("o_custkey") % 300 + 1).cast("int").as("rgdId"))
+      val genes = t(s, dir, "part").filter(col("p_partkey") <= 300).select(
+        col("p_partkey").cast("int").as("rgdId"),
+        col("p_brand").as("geneSymbol"),
+        concat(lit("brand#"), col("p_partkey") % 50 + 10)
+          .as("ensemblGeneSymbol"))
+      val xrefs = t(s, dir, "customer").filter(col("c_custkey") <= 240)
+        .select(lit(63).as("xdbKey"),
+          concat(lit("AGR:"), col("c_custkey") % 80).as("accId"),
+          (col("c_custkey") % 300 + 1).cast("int").as("rgdId"))
+      graft.operators.Agr.qcHumanSymbols(
+        res, xrefs, genes, reportRgdIds(s, dir, 300))
+    }),
+
     // M6: touch-seen + cutoff sweep (xref QC shape): touched rows get the
     // run timestamp, untouched stale rows drop out
     "q_m6_touch_sweep" -> ((s, dir) => {
@@ -3679,6 +3705,40 @@ object SparkEntry {
     "q_d6_symbol_qc" ->
       """SELECT p_partkey, p_name, p_type FROM part
          WHERE NOT (lower(p_name) = lower(p_type))""",
+
+    // D6 operator-routed: validateGeneSymbol's two legs recomputed
+    "q_d6_symbol_qc_op" ->
+      """WITH res AS (
+           SELECT 'AGR:' || CAST(o_custkey % 80 AS VARCHAR) AS curie,
+                  'Brand#' || CAST(o_orderkey % 45 + 11 AS VARCHAR) AS lineSym,
+                  CASE WHEN o_orderkey % 4 = 0 THEN 3 ELSE 1 END AS sp,
+                  CAST(o_custkey % 300 + 1 AS INT) AS rgd
+           FROM orders WHERE o_orderkey % 5 = 0),
+         g AS (SELECT CAST(p_partkey AS INT) AS id, p_brand AS sym,
+                      'brand#' || CAST(p_partkey % 50 + 10 AS VARCHAR) AS ens
+               FROM part WHERE p_partkey <= 300),
+         reg AS (SELECT CAST(p_partkey AS INT) AS id,
+                      CASE WHEN p_partkey % 7 = 0 THEN 'WITHDRAWN'
+                           ELSE 'ACTIVE' END AS st
+                 FROM part WHERE p_partkey <= 300),
+         xr AS (SELECT 'AGR:' || CAST(c_custkey % 80 AS VARCHAR) AS accId,
+                       CAST(c_custkey % 300 + 1 AS INT) AS bid
+                FROM customer WHERE c_custkey <= 240)
+         SELECT 'binding' AS "check", res.curie, res.lineSym AS geneSymbol,
+                g.id AS geneRgdId, g.sym AS rgdSymbol
+         FROM res
+         JOIN xr ON res.curie = xr.accId
+         JOIN reg ON xr.bid = reg.id AND reg.st = 'ACTIVE'
+         JOIN g ON xr.bid = g.id
+         WHERE res.sp = 1
+           AND lower(res.lineSym) <> lower(g.sym)
+           AND lower(res.lineSym) <> lower(g.ens)
+         UNION ALL
+         SELECT 'resolved', res.curie, res.lineSym, g.id, g.sym
+         FROM res JOIN g ON res.rgd = g.id
+         WHERE res.sp = 1
+           AND lower(res.lineSym) <> lower(g.sym)
+           AND lower(res.lineSym) <> lower(g.ens)""",
 
     "q_m6_touch_sweep" ->
       """SELECT c_custkey,

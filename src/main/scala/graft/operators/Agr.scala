@@ -219,17 +219,64 @@ object Agr {
       .filter(!(agr && col("modificationDate") < lit(cutoff)))
   }
 
-  /** D6: human symbol QC - count Alliance symbols that match neither the
-    * RGD symbol nor the Ensembl symbol (case-insensitive)
-    * (AgrTsvLoader.java:395-435). Returns the mismatching rows. */
-  def qcHumanSymbols(lines: DataFrame, genes: DataFrame): DataFrame = {
-    val humanSide = lines
+  /** D6: human symbol QC, reference-exact (AgrTsvLoader.validateGeneSymbol,
+    * :395-435; called only on the MAP-resolved path of resolveGene and
+    * only when qcSymbolsForHumanGenes is on). For each map-resolved
+    * HUMAN curie occurrence, TWO checks run, each contributing its own
+    * issue rows:
+    *
+    *  - the BINDING leg: every ACTIVE gene the curie binds to via an
+    *    AGR_GENE xref (getGenesByXdbId -> getActiveGenesByXdbId) whose
+    *    symbol AND Ensembl symbol both mismatch the Alliance symbol
+    *    case-insensitively - a multi-bound curie can contribute several
+    *    issues per occurrence;
+    *  - the RESOLVED leg: the resolved gene itself (getGeneByRgdId - NO
+    *    status filter), same mismatch rule.
+    *
+    * Null symbols compare as empty strings (Utils.stringsAreEqual
+    * null-coalesces). Returns issue rows tagged by `check`
+    * ("binding"/"resolved"); callers count them per occurrence, like
+    * the reference's "*** GENE SYMBOL PROBLEMS" counter. Pinned
+    * row-at-a-time in SymbolQcPropertySpec.
+    *
+    * @param resolutions0 map-resolved rows
+    *                     (curie, geneSymbol, speciesTypeKey, rgdId), one
+    *                     per occurrence; non-human rows drop here (the
+    *                     reference's in-method species gate)
+    */
+  def qcHumanSymbols(resolutions0: DataFrame, xrefs: DataFrame,
+                     genes: DataFrame, rgdIds: DataFrame): DataFrame = {
+    val resolutions = resolutions0
       .filter(col("speciesTypeKey") === Species.HUMAN)
       .select(col("curie"), col("geneSymbol"), col("rgdId"))
-    humanSide
-      .join(genes.select(col("rgdId"), col("geneSymbol").as("rgdSymbol"),
-        col("ensemblGeneSymbol")), Seq("rgdId"), "left")
-      .filter(!(lower(col("geneSymbol")) <=> lower(col("rgdSymbol"))) &&
-        !(lower(col("geneSymbol")) <=> lower(col("ensemblGeneSymbol"))))
+    def lo(c: org.apache.spark.sql.Column) = lower(coalesce(c, lit("")))
+    def mismatch(sym: org.apache.spark.sql.Column) =
+      lo(col("geneSymbol")) =!= lo(sym) &&
+        lo(col("geneSymbol")) =!= lo(col("ensemblGeneSymbol"))
+
+    val geneDim = genes.select(col("rgdId"), col("geneSymbol").as("rgdSymbol"),
+      col("ensemblGeneSymbol"))
+    val activeIds = rgdIds.filter(col("objectStatus") === "ACTIVE")
+      .select(col("rgdId"))
+
+    val bindings = xrefs.filter(col("xdbKey") === XdbKeys.AGR_GENE)
+      .select(col("accId").as("curie"), col("rgdId").as("boundRgdId"))
+      .join(activeIds.select(col("rgdId").as("boundRgdId")),
+        Seq("boundRgdId"), "left_semi")
+    val bindingLeg = resolutions
+      .join(bindings, Seq("curie"))
+      .join(geneDim.select(col("rgdId").as("boundRgdId"), col("rgdSymbol"),
+        col("ensemblGeneSymbol")), Seq("boundRgdId"))
+      .filter(mismatch(col("rgdSymbol")))
+      .select(lit("binding").as("check"), col("curie"), col("geneSymbol"),
+        col("boundRgdId").as("geneRgdId"), col("rgdSymbol"))
+
+    val resolvedLeg = resolutions
+      .join(geneDim, Seq("rgdId"))
+      .filter(mismatch(col("rgdSymbol")))
+      .select(lit("resolved").as("check"), col("curie"), col("geneSymbol"),
+        col("rgdId").as("geneRgdId"), col("rgdSymbol"))
+
+    bindingLeg.unionByName(resolvedLeg)
   }
 }
