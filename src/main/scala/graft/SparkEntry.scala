@@ -1498,13 +1498,17 @@ object SparkEntry {
            UNION ALL
            SELECT src, dest, src, 3, 1, ds, xset FROM mrg2),
          ks AS (SELECT DISTINCT grp, s, ssp, dsp FROM cmp),
-         -- tier 4: manual state rows (human rgdId%50=0 -> dest rgdId+1)
+         -- tier 4: manual state rows (human rgdId%50=0 -> dest rgdId+1);
+         -- both endpoints must be ACTIVE in the registry (the manual
+         -- fetch goes through getOrthologsForSourceRgdId, r16 pin)
          man AS (
            SELECT k.grp, k.s, o.rgdId + 1 AS d, k.ssp, k.dsp,
                   'RGD' AS ds, 'curated' AS xset, 4 AS tier
            FROM ks k JOIN (SELECT rgdId FROM g
                            WHERE sp = 1 AND rgdId % 50 = 0) o
              ON o.rgdId = k.s
+           JOIN st a1 ON a1.rgdId = o.rgdId AND a1.status = 'ACTIVE'
+           JOIN st a2 ON a2.rgdId = o.rgdId + 1 AND a2.status = 'ACTIVE'
            WHERE k.dsp = 3),
          -- tier 3: AGR mutual-best (both flags Y), symmetrized+deduped,
          -- pre-aggregated per (src gene, partner species); a conflict
@@ -2138,7 +2142,7 @@ object SparkEntry {
     "q_w24_cascade_run" -> ((s, dir) =>
       graft.operators.Cascade.run(TpchShapes.cascadeRelations(s, dir),
         TpchShapes.cascadeOrthologs(s, dir), TpchShapes.cascadeAgr(s, dir),
-        TpchShapes.genes(s, dir))
+        TpchShapes.genes(s, dir), rgdIds = Some(TpchShapes.wideRgdIds(s)))
         .select(col("groupId"), col("srcRgdId"), col("destRgdId"),
           col("xrefDataSrc"), col("xrefDataSet"), col("tier"), col("method"))),
 
@@ -2146,7 +2150,8 @@ object SparkEntry {
     // exemption, forward assoc replacement, reverse-assoc detach/mirror
     "q_d1_repair" -> ((s, dir) => {
       val r = WeakSync.repairOrthologSymmetry(TpchShapes.d1State(s, dir),
-        TpchShapes.d1Assoc(s, dir), 1, 3, TpchShapes.runTs)
+        TpchShapes.d1Assoc(s, dir), 1, 3, TpchShapes.runTs,
+        rgdIds = Some(TpchShapes.wideRgdIds(s)))
       r.orthologDeletes.select(lit("ortho_delete").as("cls"), col("key"),
           lit(null).cast("int").as("masterRgdId"), lit(null).cast("int").as("detailRgdId"))
         .unionByName(r.assocInserts.select(lit("assoc_insert").as("cls"),
@@ -5458,7 +5463,8 @@ object SparkEntry {
              pri DESC, ev DESC, symm DESC, lower(dsym) DESC NULLS LAST,
              dest ASC) AS rn FROM ann_st),
          best AS (SELECT * FROM ranked WHERE rn = 1),
-         dup_del AS (SELECT * FROM ranked WHERE rn > 1 AND xsrc <> 'RGD'),
+         dup_del AS (SELECT * FROM ranked WHERE rn > 1 AND xsrc <> 'RGD'
+           AND src IN (SELECT src FROM inc)),
          cmp AS (
            SELECT i.src AS isrc, e.src AS esrc, i.dest AS idest,
                   e.dest AS edest, e.key AS ekey, e.xsrc AS exsrc,
@@ -5490,10 +5496,15 @@ object SparkEntry {
          pc AS (SELECT src, count(*) AS n FROM
            (SELECT src FROM kept UNION ALL SELECT src FROM inserted)
            GROUP BY src),
-         stale AS (SELECT k.key, k.src, k.dest FROM kept k
-           JOIN pc ON k.src = pc.src
+         cand AS (SELECT k.key, k.src, k.dest,
+                  ROW_NUMBER() OVER (PARTITION BY k.src ORDER BY k.key) - 1
+                    AS ahead
+           FROM kept k
            WHERE k.key NOT IN (SELECT key FROM touched)
-             AND k.xsrc <> 'RGD' AND pc.n > 1)
+             AND k.xsrc <> 'RGD'),
+         stale AS (SELECT c.key, c.src, c.dest FROM cand c
+           JOIN pc ON c.src = pc.src
+           WHERE pc.n - c.ahead > 1)
          SELECT 'touched' AS cls, key, src AS srcRgdId, dest AS destRgdId FROM touched
          UNION ALL SELECT 'inserted', key, src, dest FROM inserted
          UNION ALL SELECT 'deleted', key, src, dest FROM dup_del
@@ -5697,12 +5708,15 @@ object SparkEntry {
                   CASE WHEN l_partkey % 2 = 0 THEN 2 ELSE 1 END AS tier
            FROM lineitem WHERE l_orderkey % 4 = 0),
          ks AS (SELECT DISTINCT grp, src FROM rel),
+         -- manual tier is both-endpoints-ACTIVE in the registry
+         -- (ids 0..1800, every 23rd WITHDRAWN - TpchShapes.wideRgdIds)
          manual AS (
            SELECT k.grp, k.src, s.dest, 'RGD' AS xsrc, 'curated' AS xset, 4 AS tier
            FROM ks k JOIN (SELECT CAST(o_custkey % 500 AS INT) AS src,
                                   CAST(o_orderkey % 1500 + 1 AS INT) AS dest
                            FROM orders WHERE o_orderkey % 10 = 0) s
-             ON s.src = k.src),
+             ON s.src = k.src
+           WHERE s.src % 23 <> 0 AND s.dest % 23 <> 0),
          agr0 AS (SELECT CAST(o_custkey % 500 AS INT) AS g1,
                   CAST(o_orderkey % 1500 + 1 AS INT) AS g2
            FROM orders WHERE o_orderstatus='O' AND o_totalprice > 100000),
@@ -5766,7 +5780,10 @@ object SparkEntry {
            FROM orders),
          state AS (SELECT key, src, dest FROM base
            UNION ALL SELECT key + 1000000, dest, src FROM base WHERE key % 5 = 0),
-         asym AS (SELECT b.* FROM base b WHERE NOT EXISTS
+         -- candidates are both-endpoints-ACTIVE (registry ids 0..1800,
+         -- every 23rd WITHDRAWN); the reverse check below stays raw
+         asym AS (SELECT b.* FROM base b
+           WHERE b.src % 23 <> 0 AND b.dest % 23 <> 0 AND NOT EXISTS
            (SELECT 1 FROM state s WHERE s.src = b.dest AND s.dest = b.src)),
          nonman AS (SELECT * FROM asym WHERE xsrc <> 'RGD'),
          assoc AS (SELECT dest AS am, src AS ad FROM base WHERE key % 7 = 0),
@@ -5799,10 +5816,18 @@ object SparkEntry {
            FROM orders WHERE o_orderkey % 6 = 0),
          norev AS (SELECT p.* FROM pair p WHERE NOT EXISTS
            (SELECT 1 FROM orth o WHERE o.src = p.d AND o.dest = p.m)),
+         -- the reverse is visible only when this row's master (the
+         -- reverse's DETAIL) is ACTIVE (negative balance = WITHDRAWN
+         -- in TpchShapes.resolveRgdIds) - getAssociationsForMasterRgdId
+         -- inner-joins rgd_ids on the detail side (r16 pin)
          withrev AS (SELECT p.* FROM norev p WHERE EXISTS
-           (SELECT 1 FROM astate x WHERE x.m = p.d AND x.d = p.m)),
-         worev AS (SELECT p.* FROM norev p WHERE NOT EXISTS
-           (SELECT 1 FROM astate x WHERE x.m = p.d AND x.d = p.m)),
+           (SELECT 1 FROM astate x WHERE x.m = p.d AND x.d = p.m)
+           AND EXISTS (SELECT 1 FROM customer c
+             WHERE c.c_custkey = p.m AND c.c_acctbal >= 0)),
+         worev AS (SELECT p.* FROM norev p WHERE NOT (EXISTS
+           (SELECT 1 FROM astate x WHERE x.m = p.d AND x.d = p.m)
+           AND EXISTS (SELECT 1 FROM customer c
+             WHERE c.c_custkey = p.m AND c.c_acctbal >= 0))),
          dels AS (SELECT DISTINCT m, d FROM (
            SELECT m, d FROM base WHERE key % 5 = 0
            UNION ALL SELECT d, m FROM base WHERE key % 10 = 0)),

@@ -46,9 +46,19 @@ object Cascade {
     *                   ref OrthologRelationDao.java:898-946)
     * @param genes      gene dimension (symbols for tie-breaks, species for
     *                   the Alliance partner-species filter)
+    * @param rgdIds     object registry (rgdId, objectStatus). When given,
+    *                   the MANUAL tier sees only both-endpoints-ACTIVE
+    *                   state rows: the reference's getManualOrthologs
+    *                   goes through getOrthologsForSourceRgdId, whose
+    *                   published SQL inner-joins rgd_ids on both sides
+    *                   with object_status='ACTIVE' (rgdcore OrthologDAO;
+    *                   pinned in CascadePropertySpec). The ALLIANCE tier
+    *                   is deliberately NOT scoped - getAllianceOrthologs
+    *                   joins the genes table only, no status condition.
     */
   def candidates(relations: DataFrame, orthologs: DataFrame, agr: DataFrame,
-                 genes: DataFrame): DataFrame = {
+                 genes: DataFrame,
+                 rgdIds: Option[DataFrame] = None): DataFrame = {
 
     val incoming = relations.select(
       col("groupId"), col("srcRgdId"), col("destRgdId"),
@@ -61,9 +71,22 @@ object Cascade {
       col("groupId"), col("srcRgdId"),
       col("srcSpeciesTypeKey"), col("destSpeciesTypeKey")).distinct()
 
-    // tier 4: manual orthologs for (srcRgdId, destSpecies) - F9 filter
+    // tier 4: manual orthologs for (srcRgdId, destSpecies) - F9 filter,
+    // both-endpoints-ACTIVE when a registry is present (see scaladoc)
+    val manualState0 = orthologs.filter(col("xrefDataSrc") === "RGD")
+    val manualState = rgdIds match {
+      case Some(reg) =>
+        val act = broadcast(reg
+          .filter(col("objectStatus") === "ACTIVE").select(col("rgdId")))
+        manualState0
+          .join(act.select(col("rgdId").as("srcRgdId")),
+            Seq("srcRgdId"), "left_semi")
+          .join(act.select(col("rgdId").as("destRgdId")),
+            Seq("destRgdId"), "left_semi")
+      case None => manualState0
+    }
     val manual = keys.join(
-      orthologs.filter(col("xrefDataSrc") === "RGD")
+      manualState
         .select(col("srcRgdId"), col("destRgdId"),
           col("destSpeciesTypeKey"), col("xrefDataSrc"), col("xrefDataSet")),
       Seq("srcRgdId", "destSpeciesTypeKey"))
@@ -316,6 +339,7 @@ object Cascade {
     * map-side combine reduces each mapper to distinct (group, tier,
     * evidence) rows, and there is no per-partition sort to skew. */
   def run(relations: DataFrame, orthologs: DataFrame, agr: DataFrame,
-          genes: DataFrame): DataFrame =
-    pickStrongOrthologsAgg(candidates(relations, orthologs, agr, genes), genes)
+          genes: DataFrame, rgdIds: Option[DataFrame] = None): DataFrame =
+    pickStrongOrthologsAgg(
+      candidates(relations, orthologs, agr, genes, rgdIds), genes)
 }

@@ -60,14 +60,36 @@ object Merge {
     *    insert incoming; incoming weaker -> DOWNGRADE incoming to weak
     *    ortholog (:621-625, OrthologRelationDao.java:140-158)
     *  - M2 stale sweep: state rows of the species pair not touched this
-    *    run are deleted - unless manual (F11) or the sole surviving row
-    *    for their (src, destSpecies) (OrthologRelationLoader.java:657-672,
+    *    run are deleted - unless manual (F11) or blocked by the
+    *    sole-survivor rule (OrthologRelationLoader.java:657-672,
     *    OrthologRelationDao.java:73-100)
     *  - F11 everywhere: manual rows (xrefDataSrc='RGD') are never deleted
     *    (OrthologRelationDao.java:481-490)
     *
-    * `speciesPair` filters which state rows participate in the stale sweep
-    * (both directions of human<->species).
+    * Status visibility (round 16, pinned in MergePropertySpec): the
+    * reference's per-group state fetch is getOrthologsForSourceRgdId,
+    * whose published SQL joins rgd_ids on BOTH endpoints with
+    * object_status='ACTIVE'. Consequences re-expressed here exactly:
+    *
+    *  - only both-endpoints-ACTIVE state rows participate in the
+    *    match / dup-conflict / replace comparisons; a row with an
+    *    inactive endpoint is INVISIBLE to the reconcile and passes
+    *    through untouched (`rgdIds = None` treats every id as ACTIVE -
+    *    the engine-internal no-registry mode);
+    *  - dup-conflict deletes fire ONLY for (src, destSp) keys with an
+    *    incoming pick (the reference's conflict path is inside
+    *    getKeyForMatchingOrtholog, called per incoming) - a key with
+    *    no incoming keeps its duplicates for the sweep to arbitrate;
+    *  - the M2 sweep's candidates are the species pair's
+    *    pre-run-modified non-manual rows of ANY status
+    *    (getOrthologsModifiedBefore's published SQL has no status
+    *    filter), but the sole-survivor count is the both-ACTIVE row
+    *    count of the (src, destSp) key, DEPLETING as the reference's
+    *    sequential loop deletes: a candidate deletes iff the number of
+    *    ACTIVE candidates ahead of it (key order - the deterministic
+    *    stand-in for the unspecified DB list order) is below
+    *    activeCount - 1. Two active stale duplicates therefore lose
+    *    ONE row, never both.
     *
     * `materializeInserts` is the keyed-insert consumption hook: the
     * freshly keyed insert frame passes through it before anything else
@@ -82,12 +104,39 @@ object Merge {
     * until a sweep, consumed within the same query by construction. */
   def reconcile(incoming: DataFrame, state: DataFrame, genes: DataFrame,
                 runTs: java.sql.Timestamp, speciesTypeKey: Int,
+                rgdIds: Option[DataFrame] = None,
                 pipelineUserId: Int = 70,
                 materializeInserts: DataFrame => DataFrame = identity)
       : MergeResult = {
 
     val human = graft.model.Species.HUMAN
     val key = Seq("srcRgdId", "destSpeciesTypeKey")
+
+    // status visibility: tag every state row with whether BOTH endpoints
+    // are ACTIVE in the registry (the reference's per-group fetch SQL
+    // inner-joins rgd_ids twice with object_status='ACTIVE' - an id
+    // absent from the registry is as invisible as a withdrawn one). The
+    // active-id set broadcasts like the gene dimension in withSymbols:
+    // a registry is id-only here, far smaller than the symbol table.
+    val stateTagged = rgdIds match {
+      case Some(reg) =>
+        val act = broadcast(reg
+          .filter(col("objectStatus") === "ACTIVE").select(col("rgdId")))
+        state
+          .join(act.select(col("rgdId").as("srcRgdId"),
+            lit(true).as("srcActive")), Seq("srcRgdId"), "left")
+          .join(act.select(col("rgdId").as("destRgdId"),
+            lit(true).as("destActive")), Seq("destRgdId"), "left")
+          .withColumn("bothActive",
+            coalesce(col("srcActive"), lit(false)) &&
+              coalesce(col("destActive"), lit(false)))
+          .drop("srcActive", "destActive")
+      case None => state.withColumn("bothActive", lit(true))
+    }
+    // invisible rows pass through the match/conflict machinery untouched;
+    // they re-enter at the merged union below and can still be SWEPT
+    // (the sweep's candidate fetch has no status filter)
+    val visibleState = stateTagged.filter(col("bothActive")).drop("bothActive")
 
     // dedupe incoming per (src, destSp) with the W3 ordering: sequential
     // group processing order in the reference is the only thing that broke
@@ -105,14 +154,17 @@ object Merge {
         incExtra ++
         Seq(col("symMatch"), col("srcSymbol"), col("destSymbol")): _*)
 
-    // rank state rows per (src, destSp); best is the comparison target,
-    // the rest are duplicate-conflict deletes (minus manual per F11)
+    // rank VISIBLE state rows per (src, destSp); best is the comparison
+    // target, the rest are duplicate-conflict deletes (minus manual per
+    // F11) - but only for keys with an incoming pick (the reference's
+    // conflict path lives inside getKeyForMatchingOrtholog, called per
+    // incoming; a no-incoming key keeps its duplicates for the sweep).
     // the ranked state, the classification join, the keyed inserts, and
     // the counted post-merge state each feed several outputs below;
     // persist the shared nodes so one reconcile evaluates each subtree
     // once (MEMORY_AND_DISK - spills instead of recomputing at scale).
     // Laziness is preserved: nothing materializes until a consumer runs.
-    val stateSym = withSymbols(state, genes)
+    val stateSym = withSymbols(visibleState, genes)
     val wState = Window.partitionBy(key.map(col): _*).orderBy(w3OrderCols(): _*)
     val rankedState = stateSym.withColumn("rnState", row_number().over(wState))
       .persist()
@@ -120,6 +172,7 @@ object Merge {
     val bestState = rankedState.filter(col("rnState") === 1)
     val dupDeletes = rankedState.filter(col("rnState") > 1 &&
       col("xrefDataSrc") =!= "RGD")
+      .join(inc.select(key.map(col): _*), key, "left_semi")
 
     // full-outer classification join on (src, destSp)
     val i = inc.select(
@@ -188,7 +241,10 @@ object Merge {
       .union(replacedDeletes.select(col("key")))
     val touchedKeys = touched.select(col("key"))
 
-    val kept = state
+    // kept carries bothActive through (invisible rows are never in
+    // deletes0/touchedKeys, so they ride through untouched by
+    // construction - the reference simply never fetched them)
+    val kept = stateTagged
       .join(deletes0, Seq("key"), "left_anti")
       .join(touchedKeys.withColumnRenamed("key", "tKey"),
         col("key") === col("tKey"), "left")
@@ -198,29 +254,53 @@ object Merge {
         when(col("tKey").isNotNull, lit(runTs)).otherwise(col("lastModifiedDate")))
       .drop("tKey")
 
-    val merged = kept.unionByName(inserted)
+    // inserts come from the resolution, which maps to ACTIVE genes only
+    // (the operator contract, pinned in MergePropertySpec)
+    val merged = kept.unionByName(inserted.withColumn("bothActive", lit(true)))
 
-    // M2: stale sweep over the species pair; a row survives if touched
-    // this run, manual, or the only row for its (src, destSp) in the
-    // post-merge state (REQUIREMENT 2, OrthologRelationDao.java:92-99)
+    // M2: stale sweep over the species pair. The reference's loop
+    // (OrthologRelationLoader.java:657-672) fetches the pair's
+    // pre-run-modified rows with NO status filter, then deletes each
+    // sequentially unless manual (F11) or blocked by REQUIREMENT 2
+    // (OrthologRelationDao.java:92-99), whose count re-fetch is the
+    // both-ACTIVE row count of the (src, destSp) key - DEPLETING as
+    // active rows are deleted. The closed form of that sequential walk
+    // (candidates in key order - the deterministic stand-in for the
+    // unspecified DB list order): a candidate deletes iff
+    // activeTotal - (ACTIVE candidates strictly ahead of it) > 1.
+    // Deletions form a prefix of the candidate order, so the running
+    // count of active candidates ahead equals the depleted total
+    // exactly (proof in MergePropertySpec's model, which walks the loop
+    // literally). Two active stale duplicates lose ONE row, never both.
     val inPair = (col("srcSpeciesTypeKey") === human &&
         col("destSpeciesTypeKey") === speciesTypeKey) ||
       (col("srcSpeciesTypeKey") === speciesTypeKey &&
         col("destSpeciesTypeKey") === human)
-    val wCnt = Window.partitionBy(key.map(col): _*)
-    val withCnt = merged.withColumn("pairCnt", count(lit(1)).over(wCnt)).persist()
-    val stale = withCnt.filter(inPair &&
+    val isCand = inPair &&
       col("lastModifiedDate") < lit(runTs) &&
-      col("xrefDataSrc") =!= "RGD" &&
-      col("pairCnt") > 1)
+      col("xrefDataSrc") =!= "RGD"
+    val wCnt = Window.partitionBy(key.map(col): _*)
+    val wAhead = Window.partitionBy(key.map(col): _*).orderBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCnt = merged
+      .withColumn("cand", isCand)
+      .withColumn("activeTotal",
+        sum(when(col("bothActive"), 1).otherwise(0)).over(wCnt))
+      .withColumn("activeCandBefore",
+        coalesce(sum(when(col("cand") && col("bothActive"), 1)
+          .otherwise(0)).over(wAhead), lit(0)))
+      .persist()
+    val sweepCols = Seq("bothActive", "cand", "activeTotal", "activeCandBefore")
+    val stale = withCnt.filter(col("cand") &&
+      col("activeTotal") - col("activeCandBefore") > 1)
 
     val newState = withCnt
       .join(stale.select(col("key")), Seq("key"), "left_anti")
-      .drop("pairCnt")
+      .drop(sweepCols: _*)
 
     val deleted = dupDeletes.drop("rnState", "symMatch", "srcSymbol", "destSymbol")
       .unionByName(replacedDeletes)
-      .unionByName(stale.drop("pairCnt"))
+      .unionByName(stale.drop(sweepCols: _*))
 
     MergeResult(newState, touched, inserted, deleted, downgraded)
   }

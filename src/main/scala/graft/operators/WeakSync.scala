@@ -140,12 +140,37 @@ object WeakSync {
     *  - if a reverse weak assoc already exists -> detach (dest, src) from
     *    the delete list (U6); else insert the mirrored assoc
     * Ref: OrthologRelationDao.java:230-299.
-    */
+    *
+    * Status visibility (round 16, pinned in WeakSyncPropertySpec): when
+    * `rgdIds` is given, the CANDIDATE set is both-endpoints-ACTIVE -
+    * the reference iterates getAllOrthologs(sp1, sp2), whose published
+    * SQL inner-joins rgd_ids twice with object_status='ACTIVE' (rgdcore
+    * OrthologDAO). A state row with an inactive endpoint is never a
+    * repair candidate: not deleted, no assoc synthesized, no detach.
+    * The REVERSE-ortholog existence check stays raw by design
+    * (areGenesOrthologous has no status condition), as does the
+    * reverse-assoc check's master side; its detail side (= the
+    * candidate's src) is ACTIVE by candidate construction, so the
+    * published detail-ACTIVE join is vacuous here. Species keys come
+    * from the state's own columns (definitionally consistent with the
+    * registry in this engine's state model). */
   def repairOrthologSymmetry(orthologState: DataFrame, assocState: DataFrame,
                              sp1: Int, sp2: Int,
-                             runTs: java.sql.Timestamp): RepairResult = {
-    val orthos = orthologState.filter(
+                             runTs: java.sql.Timestamp,
+                             rgdIds: Option[DataFrame] = None): RepairResult = {
+    val inDirection = orthologState.filter(
       col("srcSpeciesTypeKey") === sp1 && col("destSpeciesTypeKey") === sp2)
+    val orthos = rgdIds match {
+      case Some(reg) =>
+        val act = broadcast(reg
+          .filter(col("objectStatus") === "ACTIVE").select(col("rgdId")))
+        inDirection
+          .join(act.select(col("rgdId").as("srcRgdId")),
+            Seq("srcRgdId"), "left_semi")
+          .join(act.select(col("rgdId").as("destRgdId")),
+            Seq("destRgdId"), "left_semi")
+      case None => inDirection
+    }
 
     val asym = orthos.join(
       orthologState.select(col("srcRgdId").as("destRgdId"),
@@ -199,7 +224,17 @@ object WeakSync {
     *    the delete list
     *  - reverse assoc missing -> insert the mirror
     * Ref: OrthologRelationDao.java:301-350.
-    */
+    *
+    * Status visibility (round 16, pinned in WeakSyncPropertySpec): the
+    * reverse-assoc existence check is areGenesAssociated ->
+    * getAssociationsForMasterRgdId, whose published SQL inner-joins
+    * rgd_ids on the DETAIL side with object_status='ACTIVE' (rgdcore
+    * AssociationDAO). The reverse assoc's detail is this row's MASTER,
+    * so a scoped assoc with an inactive master sees its existing
+    * reverse as MISSING: the reference inserts a (duplicate) mirror
+    * instead of detaching. The pair scope itself carries NO status
+    * filter (getAssociationsByType joins rgd_ids for species only), so
+    * inactive-master rows do reach this branch. */
   def repairAssocSymmetry(assocState: DataFrame, orthologState: DataFrame,
                           rgdIds: DataFrame, deletes: DataFrame, speciesTypeKey: Int,
                           runTs: java.sql.Timestamp): RepairResult = {
@@ -216,10 +251,20 @@ object WeakSync {
     val revAssoc = assocState.filter(col("assocType") === "weak_ortholog")
       .select(col("masterRgdId").as("detailRgdId"),
         col("detailRgdId").as("masterRgdId"))
-    val withRev = noRevOrtho.join(revAssoc.distinct(), Seq("masterRgdId", "detailRgdId"),
+    // the reverse is VISIBLE only when this row's master (the reverse's
+    // detail) is ACTIVE - see scaladoc. A registry without objectStatus
+    // (engine-internal species-only dimension) treats every id ACTIVE.
+    val revVisible =
+      if (rgdIds.columns.contains("objectStatus"))
+        revAssoc.distinct().join(
+          broadcast(rgdIds.filter(col("objectStatus") === "ACTIVE")
+            .select(col("rgdId").as("masterRgdId"))),
+          Seq("masterRgdId"), "left_semi")
+      else revAssoc.distinct()
+    val withRev = noRevOrtho.join(revVisible, Seq("masterRgdId", "detailRgdId"),
       "left_semi")
       .persist() // shared by fwdQueued/revQueued/detachKeys
-    val withoutRev = noRevOrtho.join(revAssoc.distinct(), Seq("masterRgdId", "detailRgdId"),
+    val withoutRev = noRevOrtho.join(revVisible, Seq("masterRgdId", "detailRgdId"),
       "left_anti")
 
     val delKeys = deletes.select(col("masterRgdId").as("dM"), col("detailRgdId").as("dD"))

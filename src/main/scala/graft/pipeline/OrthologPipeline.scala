@@ -114,10 +114,11 @@ object OrthologPipeline {
     val withComplements = phases("relations", Seq("srcRgdId"),
       Grouping.withComplementaryRelations(merged))
 
-    // W4 cascade + W2 best-fit against the prior-state snapshot
+    // W4 cascade + W2 best-fit against the prior-state snapshot; the
+    // registry scopes the MANUAL tier to both-ACTIVE rows (r16 pin)
     val picks = phases("picks", Seq("srcRgdId"),
       Cascade.run(withComplements, state.orthologs,
-        state.agrOrthologs, state.genes))
+        state.agrOrthologs, state.genes, rgdIds = Some(state.rgdIds)))
 
     // M1/M2: reconcile picks with ortholog state; groupId rides along
     // onto inserted state rows (reference-bean parity)
@@ -129,8 +130,11 @@ object OrthologPipeline {
     // hook): the inserted audit and merged state then read the SAME
     // stored keys, and the surrogate-key pin is consumed inside this
     // run's exempt-pin scope (released on return)
+    // the registry rides into the reconcile: the reference's per-group
+    // state fetch is both-endpoints-ACTIVE (round-16 visibility pin)
     val m0 = Merge.reconcile(incoming, state.orthologs, state.genes,
-      runTs, speciesTypeKey, pipelineUserId,
+      runTs, speciesTypeKey, rgdIds = Some(state.rgdIds),
+      pipelineUserId = pipelineUserId,
       materializeInserts = df => phases("inserted", Seq("key"), df))
     val m = m0.copy(
       newState = phases("merged_state", Seq("key"), m0.newState),
@@ -155,9 +159,9 @@ object OrthologPipeline {
     // D1/D2/D3: symmetry repair + delete-flap suppression
     val human = graft.model.Species.HUMAN
     val rep1 = WeakSync.repairOrthologSymmetry(dedupedState, state.associations,
-      human, speciesTypeKey, runTs)
+      human, speciesTypeKey, runTs, rgdIds = Some(state.rgdIds))
     val rep2 = WeakSync.repairOrthologSymmetry(dedupedState, state.associations,
-      speciesTypeKey, human, runTs)
+      speciesTypeKey, human, runTs, rgdIds = Some(state.rgdIds))
     val deletesAfterOrthoRepair = WeakSync.detach(sync.deletes,
       rep1.detachKeys.unionByName(rep2.detachKeys))
     val rep3 = WeakSync.repairAssocSymmetry(state.associations, dedupedState,

@@ -143,6 +143,17 @@ object TpchShapes {
       when(col("c_acctbal") < 0, "WITHDRAWN").otherwise("ACTIVE").as("objectStatus"),
       when(col("c_custkey") % 2 === 0, 1).otherwise(3).as("speciesTypeKey"))
 
+  /** Object registry over the repair/cascade fixture id space (0..1800,
+    * covering cascade src 0..499 / dest 1..1500 and d1 src 0..399 /
+    * dest 400..796): every 23rd id WITHDRAWN; evens human, odds rat.
+    * DuckDB twin: range(0, 1801). */
+  def wideRgdIds(s: SparkSession): DataFrame =
+    s.range(0, 1801).select(
+      col("id").cast("int").as("rgdId"),
+      when(col("id") % 23 === 0, "WITHDRAWN")
+        .otherwise("ACTIVE").as("objectStatus"),
+      when(col("id") % 2 === 0, 1).otherwise(3).as("speciesTypeKey"))
+
   /** Withdrawn-id history: each withdrawn id replaced by its successor
     * (which may itself be withdrawn or absent). */
   def resolveHistory(s: SparkSession, dir: String): DataFrame =

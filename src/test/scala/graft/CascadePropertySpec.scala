@@ -75,25 +75,38 @@ class CascadePropertySpec extends SparkSpec {
       } yield AgrRow(s, d, b, br, m))
       syms <- Gen.listOfN(8, Gen.oneOf[Option[String]](
         Some("aa"), Some("ga"), Some("gA"), Some("gB"), Some("zz"), None))
+      // status registry (round 16): the MANUAL tier sees only
+      // both-endpoints-ACTIVE state rows (getManualOrthologs goes
+      // through getOrthologsForSourceRgdId); Alliance/incoming are
+      // status-free by the published SQL
+      inact <- Gen.sequence[List[Boolean], Boolean](
+        ((1 to 3) ++ (11 to 13) ++ Seq(21)).toList.map(_ => Gen.prob(0.2)))
     } yield {
       // the pick orderings end with (dest, src): two DISTINCT candidates
       // in one tier bucket sharing (src, dest) but differing in payload
       // would tie every rule's order key - the engine accepts any
       // comparator-total order (SURVEY section 4), so the generator
       // keeps the order total by deduping those
-      val r = rels.groupBy(x => (x.g, x.src, x.dest, x.source))
+      val ids = ((1 to 3) ++ (11 to 13) ++ Seq(21)).toList
+      val active = ids.zip(inact).collect { case (id, false) => id }.toSet
+      // incoming relations are resolution products -> ACTIVE endpoints
+      // only (the operator contract, as in the merge pin)
+      val r = rels.filter(x => active(x.src) && active(x.dest))
+        .groupBy(x => (x.g, x.src, x.dest, x.source))
         .values.map(_.head).toList
       val o = orths.groupBy(x => (x.src, x.dest)).values.map(_.head).toList
       val a = agrs.groupBy(x => (x.g1, x.g2, x.methods)).values.map(_.head).toList
-      val ids = (1 to 3) ++ (11 to 13) ++ Seq(21)
       val symMap = ids.zip(syms).collect { case (id, Some(s)) => id -> s }.toMap
-      (r, o, a, symMap)
+      (r, o, a, symMap, active)
     }
 
     var sawByMethod = Map.empty[String, Int].withDefaultValue(0)
     var sawConflict = 0
     var sawRule3FromBelowMax = 0 // the rule-3 nuance: winner ranked over
                                  // ALL candidates, beating every max-ev one
+    var sawManualScopeMatters = 0 // the r16 status pin: scoping the manual
+                                  // tier changed at least one pick set
+    val allActive = ((1 to 3) ++ (11 to 13) ++ Seq(21)).toSet
     // directed cases FIRST: the rarest corners must occur regardless of
     // how the random stream drifts when the generator changes -
     // (1) rule-3 winner from BELOW max evidence (two max-ev candidates
@@ -101,25 +114,32 @@ class CascadePropertySpec extends SparkSpec {
     //     minimum symbol; no symbol matches because src has no symbol),
     // (2) a manual-tier conflict (two RGD state rows for one key),
     // (3) a symbol-match pick among evidence-tied candidates
-    val directed: List[(List[Rel], List[Orth], List[AgrRow], Map[Int, String])] =
+    val directed: List[(List[Rel], List[Orth], List[AgrRow],
+        Map[Int, String], Set[Int])] =
       List(
         (List(Rel(1, 1, 11, "HGNC", Some("A, B")),
           Rel(1, 1, 12, "HGNC", Some("B, A")),
           Rel(1, 1, 13, "HGNC", Some("A"))),
-          Nil, Nil, Map(11 -> "zz", 12 -> "zz", 13 -> "aa")),
+          Nil, Nil, Map(11 -> "zz", 12 -> "zz", 13 -> "aa"), allActive),
         (List(Rel(1, 1, 11, "HGNC", Some("A"))),
           List(Orth(1, 11, "RGD", Some("A")), Orth(1, 12, "RGD", Some("B, A"))),
-          Nil, Map(1 -> "ga", 11 -> "zz", 12 -> "aa")),
+          Nil, Map(1 -> "ga", 11 -> "zz", 12 -> "aa"), allActive),
         (List(Rel(1, 2, 11, "NCBI", Some("A")),
           Rel(1, 2, 12, "NCBI", Some("C"))),
-          Nil, Nil, Map(2 -> "ga", 11 -> "ga", 12 -> "gB")))
+          Nil, Nil, Map(2 -> "ga", 11 -> "ga", 12 -> "gB"), allActive),
+        // (4) the r16 status corner, directed: the sole manual row's
+        // dest is WITHDRAWN, so tier 4 vanishes and the HGNC relation
+        // wins - an unscoped manual tier would pick the manual row
+        (List(Rel(1, 1, 11, "HGNC", Some("A"))),
+          List(Orth(1, 12, "RGD", Some("B, A"))),
+          Nil, Map(1 -> "ga", 11 -> "zz", 12 -> "aa"), allActive - 12))
     var s = Seed(90125L)
     val sampled = (1 to 16).map { _ =>
       val c = caseGen.pureApply(Gen.Parameters.default, s)
       s = s.next
       c
     }
-    for ((rels, orths, agrs, symMap) <- directed ++ sampled) {
+    for ((rels, orths, agrs, symMap, active) <- directed ++ sampled) {
       val sym: Int => Option[String] = symMap.get
 
       // ---- the model ----
@@ -127,10 +147,15 @@ class CascadePropertySpec extends SparkSpec {
       val incoming = rels.map(r => Pick(r.g, r.src, r.dest, spOf(r.src),
         spOf(r.dest), r.source, r.ev, if (r.source == "HGNC") 2 else 1, ""))
       val keys = rels.map(r => (r.g, r.src, spOf(r.src), spOf(r.dest))).distinct
-      val manual = for {
+      // manual tier is both-endpoints-ACTIVE (r16); the unscoped variant
+      // exists only to measure whether the scope changed the outcome
+      def manualOf(scoped: Boolean) = for {
         (g, src, srcSp, destSp) <- keys
-        o <- orths if o.xsrc == "RGD" && o.src == src && spOf(o.dest) == destSp
+        o <- orths if o.xsrc == "RGD" && o.src == src &&
+          spOf(o.dest) == destSp &&
+          (!scoped || (active(o.src) && active(o.dest)))
       } yield Pick(g, src, o.dest, srcSp, destSp, "RGD", o.ev, 4, "")
+      val manual = manualOf(scoped = true)
       val agrSym = agrs.filter(a => a.best == "Y" && a.bestRev == "Y")
         .flatMap(a => Seq((a.g1, a.g2, a.methods), (a.g2, a.g1, a.methods)))
         .distinct
@@ -146,29 +171,33 @@ class CascadePropertySpec extends SparkSpec {
       val cands = incoming ++ manual ++ alliance
 
       // pick per (group, srcSp, destSp) partition
-      val expected = cands.groupBy(c => (c.g, c.srcSp, c.destSp)).values.flatMap { all =>
-        val topTier = all.map(_.tier).max
-        val top = all.filter(_.tier == topTier)
-        def sm(c: Pick) = symMatch(sym(c.src), sym(c.dest))
-        def sl(c: Pick) = sym(c.dest).map(_.toLowerCase).getOrElse("￿")
-        val n = top.size
-        if (topTier >= 3) {
-          if (n == 1) Some(top.head.copy(method = "tierPick")) else None
-        } else if (n == 1) Some(top.head.copy(method = "oneRel"))
-        else {
-          val maxEv = top.map(c => evCount(c.xset)).max
-          val atMax = top.filter(c => evCount(c.xset) == maxEv)
-          if (atMax.size == 1) Some(atMax.head.copy(method = "longestEvidence"))
-          else if (top.exists(sm))
-            Some(top.minBy(c => (if (sm(c)) 0 else 1, -evCount(c.xset),
-              sl(c), c.dest, c.src)).copy(method = "symbolMatch"))
+      def picksOf(all0: List[Pick], probes: Boolean): Set[Pick] =
+        all0.groupBy(c => (c.g, c.srcSp, c.destSp)).values.flatMap { all =>
+          val topTier = all.map(_.tier).max
+          val top = all.filter(_.tier == topTier)
+          def sm(c: Pick) = symMatch(sym(c.src), sym(c.dest))
+          def sl(c: Pick) = sym(c.dest).map(_.toLowerCase).getOrElse("￿")
+          val n = top.size
+          if (topTier >= 3) {
+            if (n == 1) Some(top.head.copy(method = "tierPick")) else None
+          } else if (n == 1) Some(top.head.copy(method = "oneRel"))
           else {
-            val win = top.minBy(c => (sl(c), c.dest, c.src))
-            if (evCount(win.xset) != maxEv) sawRule3FromBelowMax += 1
-            Some(win.copy(method = "shortestSymbol"))
+            val maxEv = top.map(c => evCount(c.xset)).max
+            val atMax = top.filter(c => evCount(c.xset) == maxEv)
+            if (atMax.size == 1) Some(atMax.head.copy(method = "longestEvidence"))
+            else if (top.exists(sm))
+              Some(top.minBy(c => (if (sm(c)) 0 else 1, -evCount(c.xset),
+                sl(c), c.dest, c.src)).copy(method = "symbolMatch"))
+            else {
+              val win = top.minBy(c => (sl(c), c.dest, c.src))
+              if (probes && evCount(win.xset) != maxEv) sawRule3FromBelowMax += 1
+              Some(win.copy(method = "shortestSymbol"))
+            }
           }
-        }
-      }.toSet
+        }.toSet
+      val expected = picksOf(cands, probes = true)
+      if (picksOf(incoming ++ manualOf(scoped = false) ++ alliance,
+        probes = false) != expected) sawManualScopeMatters += 1
       sawConflict += cands.groupBy(c => (c.g, c.srcSp, c.destSp)).values.count {
         all => val t = all.map(_.tier).max
           t >= 3 && all.count(_.tier == t) > 1
@@ -192,7 +221,10 @@ class CascadePropertySpec extends SparkSpec {
         .toDF("rgdId", "geneSymbol", "geneName", "geneTypeLc",
           "speciesTypeKey", "ensemblGeneSymbol")
 
-      val cdf = Cascade.candidates(relDf, orthDf, agrDf, genesDf)
+      val rgdDf = ((1 to 3) ++ (11 to 13) ++ Seq(21))
+        .map(id => (id, if (active(id)) "ACTIVE" else "WITHDRAWN", spOf(id)))
+        .toDF("rgdId", "objectStatus", "speciesTypeKey")
+      val cdf = Cascade.candidates(relDf, orthDf, agrDf, genesDf, Some(rgdDf))
       def pickSet(df: org.apache.spark.sql.DataFrame): Set[Pick] =
         df.select("groupId", "srcRgdId", "destRgdId", "srcSpeciesTypeKey",
             "destSpeciesTypeKey", "xrefDataSrc", "xrefDataSet", "tier", "method")
@@ -216,5 +248,8 @@ class CascadePropertySpec extends SparkSpec {
     assert(sawRule3FromBelowMax > 0, "generator never exercised the rule-3 " +
       "nuance (a below-max-evidence candidate winning on symbol) - the " +
       "property would accept an argmax-over-(ev, symbol) implementation")
+    assert(sawManualScopeMatters > 0,
+      "the manual-tier ACTIVE scope never changed an outcome - that " +
+        "tooth is dull")
   }
 }

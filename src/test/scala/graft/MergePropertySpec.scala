@@ -112,6 +112,7 @@ class MergePropertySpec extends SparkSpec {
       5 -> humanId.flatMap(s => ratId.map(d => (s, d))),
       3 -> ratId.flatMap(s => humanId.map(d => (s, d))),
       1 -> humanId.map(s => (s, 21)))
+    val allIds = ((1 to 5) ++ (11 to 15) ++ Seq(21, 22)).toList
     val caseGen = for {
       nSt <- Gen.choose(0, 14)
       st <- Gen.listOfN(nSt, for {
@@ -119,27 +120,66 @@ class MergePropertySpec extends SparkSpec {
         x <- xsrcGen; e <- xsetGen
         old <- Gen.frequency(2 -> Gen.const(true), 1 -> Gen.const(false))
       } yield (s, d, x, e, old))
-      nIn <- Gen.choose(0, 12)
+      // sparse incoming in 1/3 of samples: the incoming-gate corner (a
+      // no-incoming multi-row key where gated and ungated dup handling
+      // truly diverge) needs keys the dense incoming would cover
+      nIn <- Gen.frequency(1 -> Gen.choose(0, 2), 2 -> Gen.choose(0, 12))
       in <- Gen.listOfN(nIn, for {
         (s, d) <- pairGen
         x <- xsrcGen; e <- xsetGen
       } yield In(s, d, x, e))
       syms <- Gen.listOfN(20, Gen.oneOf[Option[String]](
         Some("ga"), Some("gA"), Some("gB"), None))
+      // status registry: occasional WITHDRAWN ids make state rows
+      // INVISIBLE to the reconcile (getOrthologsForSourceRgdId is
+      // both-endpoints-ACTIVE) and inactive sweep candidates. Biased
+      // toward the dest side (rat/mouse): an inactive SRC blacks out
+      // its whole key (both walks trivially agree at activeTotal=0),
+      // while an inactive DEST among active siblings is what the
+      // ACTIVE-only depletion corner needs
+      inact <- Gen.sequence[List[Boolean], Boolean](allIds.map(id =>
+        Gen.prob(if (id <= 5) 0.08 else 0.25)))
+      // crafted corner (half the samples): one key holding all three rat
+      // dests, oldest-keyed row's dest WITHDRAWN, no incoming for the
+      // key - the minimal shape where ACTIVE-only depletion diverges
+      // from depleting on every deleted candidate (the organic chance
+      // of all three dests landing in one key with exactly that status
+      // and key order is too thin to rely on)
+      inject <- Gen.prob(0.5)
+      injSrc <- humanId
+      injPerm <- Gen.oneOf(List(11, 12, 13).permutations.toList)
+      injXsrc <- Gen.listOfN(3, Gen.oneOf("NCBI", "HGNC", "Alliance"))
+      injXset <- Gen.listOfN(3, xsetGen)
     } yield {
+      val active0 = allIds.zip(inact).collect {
+        case (id, false) => id }.toSet
+      // registry adjustment for the crafted corner: the oldest-keyed
+      // injected dest withdrawn, the other two + the src active (a
+      // GLOBAL registry - other rows touching these ids follow suit,
+      // which the model handles uniformly)
+      val active = if (inject)
+        active0 - injPerm.head ++ injPerm.tail + injSrc else active0
       // distinct (src, dest) state pairs: same-pair duplicates are W1's
       // domain and would make the within-group W3 tie-break (dest asc)
       // degenerate; distinct (src, destSp, dest) incomings keep the
-      // dedupe pick total for the same reason
-      val stRows = st.groupBy(t => (t._1, t._2)).values.map(_.head).toList
+      // dedupe pick total for the same reason. Incoming endpoints are
+      // ACTIVE only - the pipeline's resolution maps only to active
+      // genes (the operator contract).
+      val stRows0 = st.groupBy(t => (t._1, t._2)).values.map(_.head).toList
         .zipWithIndex.map { case ((s, d, x, e, old), i) =>
           St(100L + i, s, d, x, e, mb = 50,
             md = if (old) ts0 else runTs) }
-      val inRows = in.groupBy(t => (t.src, spOf(t.dest), t.dest))
+      val stRows = if (!inject) stRows0 else
+        stRows0.filterNot(r => r.src == injSrc && r.destSp == 3) ++
+          injPerm.zipWithIndex.map { case (d, i) =>
+            St(200L + i, injSrc, d, injXsrc(i), injXset(i), mb = 50, md = ts0) }
+      val inRows0 = in.filter(r => active(r.src) && active(r.dest))
+        .groupBy(t => (t.src, spOf(t.dest), t.dest))
         .values.map(_.head).toList
-      val ids = (1 to 5) ++ (11 to 15) ++ Seq(21, 22)
-      val symMap = ids.zip(syms).collect { case (id, Some(s)) => id -> s }.toMap
-      (stRows, inRows, symMap)
+      val inRows = if (!inject) inRows0 else
+        inRows0.filterNot(r => r.src == injSrc && r.destSp == 3)
+      val symMap = allIds.zip(syms).collect { case (id, Some(s)) => id -> s }.toMap
+      (stRows, inRows, symMap, active)
     }
 
     // coverage probes: the teeth experiments below need these corners
@@ -149,13 +189,25 @@ class MergePropertySpec extends SparkSpec {
     var sawManualReplaceTarget = 0
     var sawDupDelete = 0
     var sawSole = 0
+    var sawInvisiblePass = 0
+    var sawNoIncomingDupKept = 0
+    var sawNoIncomingGateMatters = 0
+    var sawInactiveDepletionMatters = 0
+    var sawSweepDelete = 0
+    var sawSweepDepletionBlock = 0
+    var sawInactiveCandidate = 0
     var s = Seed(7321L)
-    for (_ <- 1 to 16) {
-      val (st, in, symMap) = caseGen.pureApply(Gen.Parameters.default, s)
+    for (_ <- 1 to 32) {
+      val (st, in, symMap, active) = caseGen.pureApply(Gen.Parameters.default, s)
       s = s.next
       val sym: Int => Option[String] = symMap.get
 
       // ---- the model ----
+      def bothActive(src: Int, dest: Int) = active(src) && active(dest)
+      val visible = st.filter(r => bothActive(r.src, r.dest))
+      val invisible = st.filterNot(r => bothActive(r.src, r.dest))
+      if (invisible.nonEmpty) sawInvisiblePass += 1
+
       def smOf(src: Int, dest: Int) = symMatch(sym(src), sym(dest))
       def w3St(a: St, b: St) = w3Before(
         prio(a.xsrc), ev(a.xset), smOf(a.src, a.dest), sym(a.dest), a.dest,
@@ -166,10 +218,16 @@ class MergePropertySpec extends SparkSpec {
 
       val incBest = in.groupBy(r => (r.src, r.destSp)).map { case (k, rs) =>
         k -> rs.sortWith(w3In).head }
-      val stByKey = st.groupBy(r => (r.src, r.destSp))
+      val stByKey = visible.groupBy(r => (r.src, r.destSp))
       val stBest = stByKey.map { case (k, rs) => k -> rs.sortWith(w3St).head }
-      val dupDeletes = stByKey.values.flatMap(rs =>
-        rs.sortWith(w3St).tail.filter(_.xsrc != "RGD")).toSet
+      // conflict deletes only where an incoming exists for the key
+      // (getKeyForMatchingOrtholog runs per incoming)
+      val dupDeletes = stByKey.collect {
+        case (k, rs) if incBest.contains(k) =>
+          rs.sortWith(w3St).tail.filter(_.xsrc != "RGD")
+      }.flatten.toSet
+      if (stByKey.exists { case (k, rs) =>
+        !incBest.contains(k) && rs.size > 1 }) sawNoIncomingDupKept += 1
       if (stByKey.values.exists(rs =>
         rs.sortWith(w3St).tail.exists(_.xsrc == "RGD"))) sawManualDup += 1
 
@@ -205,33 +263,70 @@ class MergePropertySpec extends SparkSpec {
         .sortBy(i => (i.src, i.destSp, i.dest)).zipWithIndex
         .map { case (i, idx) => St(maxKey + idx + 1L, i.src, i.dest,
           i.xsrc, canonXset(i.xset), mb = 70, md = runTs) }
-      val kept = st.filterNot(r => dupDeletes(r) || replacedDeletes(r))
+      val kept = visible.filterNot(r => dupDeletes(r) || replacedDeletes(r))
         .map(r => if (touched(r)) r.copy(mb = 70, md = runTs) else r)
-      val merged = kept ++ inserted
-      val pairCnt = merged.groupBy(r => (r.src, r.destSp)).view
-        .mapValues(_.size).toMap
+      // invisible rows ride through untouched (never fetched); a key
+      // whose only state is invisible classifies as INSERT above, so
+      // merged can hold several rows per key - exactly the reference
+      val merged = kept ++ invisible ++ inserted
       def inPair(r: St) = (r.srcSp == 1 && r.destSp == spKey) ||
         (r.srcSp == spKey && r.destSp == 1)
-      val stale = merged.filter(r => inPair(r) &&
-        r.md.before(runTs) && r.xsrc != "RGD" &&
-        pairCnt((r.src, r.destSp)) > 1).toSet
-      // Model-checked discovery (kept as an executable proof): within a
-      // SINGLE reconcile the M2 pair-count sweep is structurally empty.
-      // It needs an old, untouched, non-manual row in a group that
-      // still has >1 row post-merge - but manual rows always rank
-      // W3-first (priority 4 is the max), so every surviving duplicate
-      // is manual, every kept non-manual row is its group's best, and
-      // a best in a multi-row group means a manual duplicate ranked
-      // below it: contradiction. The sweep's OBSERVABLE contract
-      // ("untouched non-manual rows go unless sole") is delivered by
-      // the W3 dup-cleanup; the stale filter is belt-and-suspenders
-      // for state drift (e.g. a prior run's partial write) rather than
-      // single-run reachable. If a future refactor makes this set
-      // non-empty, the model must be revisited, loudly:
-      assert(stale.isEmpty,
-        s"single-run stale sweep became reachable - revisit the model: $stale")
+      // M2 sweep, the reference's literal sequential loop per key:
+      // candidates = pair rows modified before the run, ANY status,
+      // non-manual (getOrthologsModifiedBefore has no status filter);
+      // each deletes while the CURRENT both-ACTIVE row count of its
+      // (src, destSp) exceeds 1, and deleting an active row depletes
+      // the count (deleteStaleOrtholog re-fetches at every step).
+      // Key order stands in for the unspecified DB list order.
+      def rowActive(r: St) = bothActive(r.src, r.dest)
+      def walkKey(rows: List[St], probes: Boolean = false): Set[St] = {
+        var aCur = rows.count(rowActive)
+        rows.filter(r => inPair(r) && r.md.before(runTs) && r.xsrc != "RGD")
+          .sortBy(_.key).flatMap { r =>
+            if (probes && !rowActive(r)) sawInactiveCandidate += 1
+            if (aCur > 1) {
+              if (rowActive(r)) aCur -= 1
+              if (probes) sawSweepDelete += 1
+              Some(r)
+            } else { if (probes) sawSweepDepletionBlock += 1; None }
+          }.toSet
+      }
+      val stale = merged.groupBy(r => (r.src, r.destSp)).values
+        .flatMap(rows => walkKey(rows.toList, probes = true)).toSet
+      // ACTIVE-only depletion only DISCRIMINATES when a wrong walk that
+      // depletes on EVERY deleted candidate (inactive included) lands on
+      // a different stale set - needs an inactive candidate ahead of an
+      // active one near the depletion boundary
+      sawInactiveDepletionMatters += merged.groupBy(r => (r.src, r.destSp))
+        .values.count { rows =>
+          def wrongWalk(rs: List[St]): Set[St] = {
+            var aCur = rs.count(rowActive)
+            rs.filter(r => inPair(r) && r.md.before(runTs) && r.xsrc != "RGD")
+              .sortBy(_.key).flatMap { r =>
+                if (aCur > 1) { aCur -= 1; Some(r) } else None
+              }.toSet
+          }
+          walkKey(rows.toList) != wrongWalk(rows.toList)
+        }
       val expState = merged.filterNot(stale).toSet
       val expDeleted = dupDeletes ++ replacedDeletes ++ stale
+      // the gate only DISCRIMINATES when running the UNGATED variant
+      // (delete every non-best non-manual duplicate, then sweep) over a
+      // no-incoming multi-row key lands on a different final row set
+      // than the gated walk - cases where the sweep deletes exactly the
+      // rows an ungated dup-cleanup would have deleted don't count, and
+      // neither do manual duplicates (never deleted either way)
+      sawNoIncomingGateMatters += stByKey.count { case (k, rs) =>
+        !incBest.contains(k) && rs.size > 1 && {
+          val invK = invisible.filter(r => (r.src, r.destSp) == k)
+          val gated = rs ++ invK
+          val ungated = (rs.sortWith(w3St) match {
+            case best :: rest => best :: rest.filter(_.xsrc == "RGD")
+            case Nil => Nil
+          }) ++ invK
+          (gated.toSet -- walkKey(gated)) != (ungated.toSet -- walkKey(ungated))
+        }
+      }
 
       // ---- the engine ----
       val stDf = st.map(r => (r.key, r.src, r.dest, r.srcSp, r.destSp,
@@ -247,7 +342,11 @@ class MergePropertySpec extends SparkSpec {
         .map { case (id, sm) => (id, sm, sm, "protein-coding", spOf(id), sm) }
         .toDF("rgdId", "geneSymbol", "geneName", "geneTypeLc",
           "speciesTypeKey", "ensemblGeneSymbol")
-      val m = Merge.reconcile(inDf, stDf, genesDf, runTs, spKey)
+      val rgdDf = allIds
+        .map(id => (id, if (active(id)) "ACTIVE" else "WITHDRAWN", spOf(id)))
+        .toDF("rgdId", "objectStatus", "speciesTypeKey")
+      val m = Merge.reconcile(inDf, stDf, genesDf, runTs, spKey,
+        rgdIds = Some(rgdDf))
 
       def stSet(df: org.apache.spark.sql.DataFrame): Set[St] =
         df.select("key", "srcRgdId", "destRgdId", "xrefDataSrc",
@@ -265,22 +364,36 @@ class MergePropertySpec extends SparkSpec {
           "xrefDataSet")
         .as[(Int, Int, String, Option[String])].collect().toSet ==
         downgraded.map(d => (d.src, d.dest, d.xsrc, d.xset)), s"downgraded: $label")
-      // sole-survivor evidence: an old, untouched, non-manual row that
-      // SURVIVES because it is its group's only row (REQUIREMENT 2) -
-      // the observable half of the M2 contract that IS reachable
+      // sole-survivor evidence: an old, untouched, non-manual pair row
+      // that SURVIVES the sweep (its key's active count never exceeded
+      // 1 at its turn) - the blocked candidates counted above must
+      // exist in the final state
       if (expState.exists(r => inPair(r) && r.md.before(runTs) &&
-        r.xsrc != "RGD" && pairCnt((r.src, r.destSp)) == 1)) sawSole += 1
+        r.xsrc != "RGD")) sawSole += 1
       if (dupDeletes.nonEmpty) sawDupDelete += 1
       ShardedPrefixSum.releaseAll() // each reconcile pins its key frame
     }
     // the property only discriminates if the guarded corners occurred:
     // a manual row in the duplicate (non-best) slot, a manual row as a
-    // replace target, duplicate cleanup firing, and the sole-survivor
-    // rule letting an old row live
+    // replace target, duplicate cleanup firing, the status-visibility
+    // and sweep corners, and the sole-survivor rule letting a row live
     assert(sawManualDup > 0, "generator never produced a manual duplicate row")
     assert(sawManualReplaceTarget > 0,
       "generator never produced a manual replace target")
     assert(sawDupDelete > 0, "generator never exercised duplicate cleanup")
     assert(sawSole > 0, "generator never exercised the sole-survivor rule")
+    assert(sawInvisiblePass > 0,
+      "generator never produced an invisible (inactive-endpoint) row")
+    assert(sawNoIncomingDupKept > 0,
+      "generator never kept duplicates on a no-incoming key")
+    assert(sawNoIncomingGateMatters > 0,
+      "the incoming gate never changed an outcome - the gating tooth is dull")
+    assert(sawInactiveDepletionMatters > 0,
+      "ACTIVE-only depletion never changed an outcome - that tooth is dull")
+    assert(sawSweepDelete > 0, "the sweep never deleted")
+    assert(sawSweepDepletionBlock > 0,
+      "the sweep's depletion rule never blocked a candidate")
+    assert(sawInactiveCandidate > 0,
+      "the sweep never saw an inactive candidate")
   }
 }

@@ -86,6 +86,13 @@ class WeakSyncPropertySpec extends SparkSpec {
       dgs <- Gen.listOfN(nDg, for {
         (s, d) <- pairGen; pipe <- pipeGen; sub <- subGen
       } yield Rel(s, d, pipe, sub))
+      // status registry (round 16): the D1 candidate fetch is
+      // both-endpoints-ACTIVE (getAllOrthologs), and the D2
+      // reverse-assoc check requires the scoped row's MASTER active
+      // (getAssociationsForMasterRgdId joins rgd_ids on detail)
+      inact <- Gen.sequence[List[Boolean], Boolean](
+        (List(1, 2, 3) ++ List(11, 12, 13) ++ List(21)).map(_ =>
+          Gen.prob(0.2)))
     } yield {
       // distinct (src, dest) ortholog state (DB uniqueness); distinct
       // unique-key association state (DB constraint on the assoc key)
@@ -97,7 +104,14 @@ class WeakSyncPropertySpec extends SparkSpec {
         .zipWithIndex
         .map { case ((typ, sub, m, d, pipe), i) =>
           Assoc(100L + i, typ, sub, m, d, pipe) }
-      (orth, assoc, rels, dgs)
+      val active = (List(1, 2, 3) ++ List(11, 12, 13) ++ List(21))
+        .zip(inact).collect { case (id, false) => id }.toSet
+      // incoming endpoints are ACTIVE only: relations and downgrades are
+      // resolution products, and the resolution maps to active genes
+      // (the operator contract, as in the merge pin)
+      val relsAct = rels.filter(r => active(r.src) && active(r.dest))
+      val dgsAct = dgs.filter(r => active(r.src) && active(r.dest))
+      (orth, assoc, relsAct, dgsAct, active)
     }
 
     // coverage probes: the property only discriminates if the guarded
@@ -106,11 +120,13 @@ class WeakSyncPropertySpec extends SparkSpec {
     var sawManualAsym = 0; var sawD1DetachCancels = 0
     var sawD2Both = 0; var sawD2Detach = 0; var sawD2Mirror = 0
     var sawOutOfScopeSurvivor = 0; var sawNullSubMatch = 0
+    var sawD1ScopedOut = 0; var sawD2InactiveMasterRev = 0
 
     val unmatBefore = ShardedPrefixSum.unmaterializedReleases
 
     def runCase(orth: List[Orth], assoc: List[Assoc],
-                rels: List[Rel], dgs: List[Rel]): Unit = {
+                rels: List[Rel], dgs: List[Rel],
+                active: Set[Int]): Unit = {
       // ---- the model ----
       val strongPairs = orth.map(o => (o.src, o.dest)).toSet
       val incAll = rels.map(r =>
@@ -151,7 +167,13 @@ class WeakSyncPropertySpec extends SparkSpec {
       val weakAssocPairs = assoc.filter(_.typ == "weak_ortholog")
         .map(a => (a.m, a.d)).toSet
       def rep1(sp1: Int, sp2: Int): (Set[Long], List[Assoc], Set[(Int, Int)]) = {
-        val asym = orth.filter(o => spOf(o.src) == sp1 && spOf(o.dest) == sp2 &&
+        // candidates are both-endpoints-ACTIVE (getAllOrthologs, r16);
+        // the reverse-ortholog existence check below stays raw
+        val inDir = orth.filter(o =>
+          spOf(o.src) == sp1 && spOf(o.dest) == sp2)
+        if (inDir.exists(o => !(active(o.src) && active(o.dest)) &&
+          !strongPairs((o.dest, o.src)))) sawD1ScopedOut += 1
+        val asym = inDir.filter(o => active(o.src) && active(o.dest) &&
           !strongPairs((o.dest, o.src)))
         if (asym.exists(_.xsrc == "RGD")) sawManualAsym += 1
         val nonManual = asym.filter(_.xsrc != "RGD")
@@ -180,8 +202,14 @@ class WeakSyncPropertySpec extends SparkSpec {
         val a = assoc.find(_.key == k).get; (a.m, a.d)
       })
       val noRevOrtho = scope.filter(a => !strongPairs((a.d, a.m)))
-      val withRev2 = noRevOrtho.filter(a => weakAssocPairs((a.d, a.m)))
-      val withoutRev2 = noRevOrtho.filterNot(a => weakAssocPairs((a.d, a.m)))
+      // the reverse assoc is VISIBLE only when this row's master (the
+      // reverse's detail) is ACTIVE (r16): an inactive-master row sees
+      // its existing reverse as missing -> mirror insert, not detach
+      def revVisible(a: Assoc) = weakAssocPairs((a.d, a.m)) && active(a.m)
+      if (noRevOrtho.exists(a =>
+        weakAssocPairs((a.d, a.m)) && !active(a.m))) sawD2InactiveMasterRev += 1
+      val withRev2 = noRevOrtho.filter(revVisible)
+      val withoutRev2 = noRevOrtho.filterNot(revVisible)
       val bothQueued = withRev2.filter(a =>
         delPairs((a.m, a.d)) && delPairs((a.d, a.m)))
       if (bothQueued.nonEmpty) sawD2Both += 1
@@ -227,14 +255,18 @@ class WeakSyncPropertySpec extends SparkSpec {
       val dgDf = dgs.map(g => (g.src, g.dest, g.dataSource, g.dataSetName))
         .toDF("srcRgdId", "destRgdId", "xrefDataSrc", "xrefDataSet")
       val rgdIds = ((1 to 3) ++ (11 to 13) ++ Seq(21))
-        .map(id => (id, spOf(id))).toDF("rgdId", "speciesTypeKey")
+        .map(id => (id, spOf(id),
+          if (active(id)) "ACTIVE" else "WITHDRAWN"))
+        .toDF("rgdId", "speciesTypeKey", "objectStatus")
 
       val weakIncoming = WeakSync.dropStrongOrthologs(
         WeakSync.buildIncoming(relDf, dgDf, runTs), orthDf)
       val assocInScope = WeakSync.syncScope(assocDf, rgdIds, spKey)
       val sync = WeakSync.syncDiff(weakIncoming, assocInScope)
-      val r1 = WeakSync.repairOrthologSymmetry(orthDf, assocDf, 1, spKey, runTs)
-      val r2 = WeakSync.repairOrthologSymmetry(orthDf, assocDf, spKey, 1, runTs)
+      val r1 = WeakSync.repairOrthologSymmetry(orthDf, assocDf, 1, spKey, runTs,
+        rgdIds = Some(rgdIds))
+      val r2 = WeakSync.repairOrthologSymmetry(orthDf, assocDf, spKey, 1, runTs,
+        rgdIds = Some(rgdIds))
       val afterOrtho = WeakSync.detach(sync.deletes,
         r1.detachKeys.unionByName(r2.detachKeys))
       val r3 = WeakSync.repairAssocSymmetry(assocDf, orthDf, rgdIds,
@@ -287,9 +319,10 @@ class WeakSyncPropertySpec extends SparkSpec {
 
     var s = Seed(40151L)
     for (_ <- 1 to 14) {
-      val (orth, assoc, rels, dgs) = caseGen.pureApply(Gen.Parameters.default, s)
+      val (orth, assoc, rels, dgs, active) =
+        caseGen.pureApply(Gen.Parameters.default, s)
       s = s.next
-      runCase(orth, assoc, rels, dgs)
+      runCase(orth, assoc, rels, dgs, active)
     }
     // DIRECTED case for the rarest corner the generator seldom hits: a
     // null-subtype MATCH needs the incoming null to be the SOLE candidate
@@ -302,7 +335,8 @@ class WeakSyncPropertySpec extends SparkSpec {
         Assoc(101L, "weak_ortholog", None, 2, 12, "HGNC")),
       rels = List(Rel(1, 11, "NCBI", None),
         Rel(2, 12, "HGNC", None), Rel(2, 12, "HGNC", Some("a"))),
-      dgs = Nil)
+      dgs = Nil,
+      active = ((1 to 3) ++ (11 to 13) ++ Seq(21)).toSet)
 
     assert(ShardedPrefixSum.unmaterializedReleases == unmatBefore,
       "a key pin was swept before its product materialized")
@@ -319,5 +353,9 @@ class WeakSyncPropertySpec extends SparkSpec {
     assert(sawOutOfScopeSurvivor > 0,
       "never saw an out-of-scope state row survive")
     assert(sawNullSubMatch > 0, "never saw a null-subtype match")
+    assert(sawD1ScopedOut > 0,
+      "never scoped an inactive-endpoint D1 candidate out")
+    assert(sawD2InactiveMasterRev > 0,
+      "never saw an inactive-master row with an existing reverse assoc")
   }
 }
