@@ -94,8 +94,9 @@ object Fixtures {
   /** Prior ortholog state: a handful of manual rows (every 50th human
     * gene) so the manual tier and F11 guards are exercised. */
   def orthologs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
-    genes(spark, dir)
+    val derived = genes(spark, dir)
       .filter(col("speciesTypeKey") === Species.HUMAN && col("rgdId") % 50 === 0)
       .select(
         col("rgdId").cast("long").as("key"),
@@ -110,6 +111,36 @@ object Fixtures {
         lit(1).as("lastModifiedBy"), lit(ts).as("lastModifiedDate"),
         lit(null).cast("double").as("percentHomology"),
         lit(null).cast("int").as("groupId"))
+    // planted status-visibility rows (r16 cluster; keys 1-3 sit below
+    // the rgdId-derived key range so max-key insert numbering is
+    // untouched at every SF). All planted ids exist at every SF and
+    // keep their status by the global %17 rule:
+    //  - key 3: a MANUAL row whose dest 1037 (=17*61) is WITHDRAWN -
+    //    invisible to the reconcile, scoped out of the cascade's manual
+    //    tier (src 1002 has live relations, so an unscoped tier-4 would
+    //    steal that pick), and never a D1 candidate; it must ride
+    //    through to the final state byte-identical.
+    //  - keys 1+2: a no-incoming-key duplicate pair in the CLI flows
+    //    ((1010, rat) has no TSV relation): conflict cleanup must NOT
+    //    fire (no incoming), the depleting sweep deletes the LOWER key
+    //    first and blocks at one active row, and the survivor - key 2,
+    //    evidence "C", NOT the W3-best - is what D1 then downgrades,
+    //    so the association subtype records which row survived.
+    val planted = Seq(
+      (1L, 1010, 1011, "NCBI", "A, B"),
+      (2L, 1010, 1013, "NCBI", "C"),
+      (3L, 1002, 1037, "RGD", "curated"))
+      .toDF("key", "srcRgdId", "destRgdId", "xrefDataSrc", "xrefDataSet")
+      .select(col("key"), col("srcRgdId"), col("destRgdId"),
+        lit(Species.HUMAN).as("srcSpeciesTypeKey"),
+        lit(Species.RAT).as("destSpeciesTypeKey"),
+        col("xrefDataSrc"), col("xrefDataSet"),
+        lit(Species.directOrthologTypeKey).as("orthologTypeKey"),
+        lit(1).as("createdBy"), lit(ts).as("createdDate"),
+        lit(1).as("lastModifiedBy"), lit(ts).as("lastModifiedDate"),
+        lit(null).cast("double").as("percentHomology"),
+        lit(null).cast("int").as("groupId"))
+    derived.unionByName(planted)
   }
 
   /** Alliance-combined-TSV-shaped lines pairing each human gene with its
@@ -152,11 +183,21 @@ object Fixtures {
     // unscoped-diff bug class deleted (a) too - the CLI golden locks
     // the distinction in). All ids live in the sf gene dimension
     // (1001..1200 at sf0.001): evens human, odds rat, none withdrawn.
+    // (d) r16 status-visibility plant: a mirrored weak pair whose one
+    // master (1003 = 17*59) is WITHDRAWN. The reverse-assoc existence
+    // check joins the registry on the DETAIL side, so the
+    // inactive-master row sees its existing reverse as MISSING: D2 must
+    // insert a duplicate mirror (master=1002, detail=1003) even though
+    // that row already exists - exactly what the reference does - while
+    // the active-master row sees its reverse and hits the both-queued
+    // rule. A status-blind reverse check would insert nothing.
     Seq(
       (900001L, "weak_ortholog", "OldEvidence", 1002, 1004, "NCBI", ts),
       (900002L, "annotation", "x", 1002, 1003, "NCBI", ts),
       (900003L, "weak_ortholog", "Stale", 1004, 1005, "NCBI", ts),
-      (900004L, "weak_ortholog", "Stale", 1005, 1004, "NCBI", ts)
+      (900004L, "weak_ortholog", "Stale", 1005, 1004, "NCBI", ts),
+      (900005L, "weak_ortholog", "Mirror", 1003, 1002, "NCBI", ts),
+      (900006L, "weak_ortholog", "Mirror", 1002, 1003, "NCBI", ts)
     ).toDF("assocKey", "assocType", "assocSubType", "masterRgdId",
       "detailRgdId", "srcPipeline", "creationDate")
   }
