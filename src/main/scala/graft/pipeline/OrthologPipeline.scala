@@ -23,29 +23,40 @@ object OrthologPipeline {
                    agrOrthologs: DataFrame, xrefs: DataFrame, genes: DataFrame,
                    rgdIds: DataFrame, history: DataFrame)
 
-  /** Pipeline products. Everything except [[associations]] is a plain
-    * lazily-planned frame over phase-store-backed inputs - safe to
-    * compile and execute at any later time, with no dependence on the
-    * run's transient cache state.
+  /** Pipeline products. [[strongPicks]] and [[resolutionAudit]] are
+    * plain frames over phase-store-backed inputs, materialized by the
+    * run itself - safe to compile and execute at any later time, with
+    * no dependence on the run's transient cache state.
     *
-    * [[associations]] is computed ON FIRST ACCESS: the final
-    * association state needs surrogate keys for the insert delta, and
-    * the key assignment pins a shared range exchange for the duration
-    * of its first materialization (see [[graft.operators.Keys]]). The
-    * accessor materializes the state through the run's PhaseStore (in
-    * production the new association state is a state table anyway) and
-    * releases the pin before returning, so callers get a store-backed
-    * frame and the session holds no association pin afterwards. A
-    * picks-only caller (the benched flagship) never pays for the
-    * branch. */
-  final class Result(val orthologs: DataFrame,
-                     associationsThunk: () => DataFrame,
+    * Everything past the picks phase ([[orthologs]], [[associations]],
+    * [[mergeAudit]]) is computed ON FIRST ACCESS, r16: the reconcile /
+    * weak-sync / repair phases cost ~5 s of phase-boundary writes at
+    * bench scale (and a full state rewrite at production scale), and a
+    * picks-only caller - the benched flagship projections - throws that
+    * work away (guide "don't compute things you throw away"). The first
+    * access of ANY post-picks product runs those phases once, through
+    * the run's PhaseStore, inside their own exempt-pin scope: the
+    * reconcile's surrogate-key pin is consumed by its own phase write
+    * and released on scope exit, so no pin outlives the access
+    * (PinLifecycleSpec). [[associations]] additionally defers its own
+    * key-assigning phase write to its own first access, as before. */
+  final class Result(restThunk: () => RestOfRun,
                      val resolutionAudit: DataFrame,
-                     val strongPicks: DataFrame,
-                     val mergeAudit: Map[String, DataFrame]) {
+                     val strongPicks: DataFrame) {
+    private lazy val rest: RestOfRun = restThunk()
+    /** Final ortholog state, phase-materialized at first access. */
+    lazy val orthologs: DataFrame = rest.orthologs
     /** Final association state, phase-materialized at first access. */
-    lazy val associations: DataFrame = associationsThunk()
+    lazy val associations: DataFrame = rest.newAssociations()
+    /** Reconcile/sync audit streams, phase-materialized at first access. */
+    lazy val mergeAudit: Map[String, DataFrame] = rest.mergeAudit
   }
+
+  /** Products of the post-picks phases (reconcile -> dedupe -> weak
+    * sync -> repairs), built lazily by [[Result]]. */
+  private final case class RestOfRun(orthologs: DataFrame,
+                                     newAssociations: () => DataFrame,
+                                     mergeAudit: Map[String, DataFrame])
 
   /** How a phase boundary materializes. The pipeline is a chain of
     * phases that each read the previous phase's full output (and the
@@ -120,6 +131,15 @@ object OrthologPipeline {
       Cascade.run(withComplements, state.orthologs,
         state.agrOrthologs, state.genes, rgdIds = Some(state.rgdIds)))
 
+    // Everything below runs on FIRST ACCESS of a post-picks product
+    // (Result scaladoc): the benched picks-only consumers never pay for
+    // the reconcile/sync/repair phase writes. The block runs inside its
+    // own exempt-pin scope - the reconcile's surrogate-key pin is
+    // consumed by the "inserted" phase write and released on exit,
+    // exactly as it was when the body ran eagerly inside runSpecies'
+    // scope.
+    def restOfRun(): RestOfRun = graft.operators.ShardedPrefixSum.withExemptScope {
+
     // M1/M2: reconcile picks with ortholog state; groupId rides along
     // onto inserted state rows (reference-bean parity)
     val incoming = picks.select(
@@ -192,17 +212,21 @@ object OrthologPipeline {
     val finalOrthologs = dedupedState.join(
       rep1.orthologDeletes.unionByName(rep2.orthologDeletes), Seq("key"), "left_anti")
 
-    new Result(
+    RestOfRun(
       orthologs = finalOrthologs,
-      associationsThunk = () => newAssociations(),
-      resolutionAudit = audit,
-      strongPicks = picks,
+      newAssociations = () => newAssociations(),
       mergeAudit = Map(
         "touched" -> m.touched, "inserted" -> m.inserted,
         "deleted" -> m.deleted, "downgraded" -> m.downgraded,
         "w1Deleted" -> w1Deleted, "syncMatched" -> sync.matched,
         "syncUpdated" -> sync.updates, "syncInserted" -> sync.inserts,
         "syncDeleted" -> finalDeletes))
+    } // end restOfRun / its exempt-pin scope
+
+    new Result(
+      restThunk = () => restOfRun(),
+      resolutionAudit = audit,
+      strongPicks = picks)
   }
 
   /** Deterministic surrogate assoc keys above the current max -

@@ -24,10 +24,24 @@ object StateStore {
 
   /** Write `df` as a bucketed, bucket-sorted table. Bucketed writes go
     * through the catalog (`saveAsTable`) - plain `parquet(path)` cannot
-    * record bucket metadata. */
+    * record bucket metadata.
+    *
+    * The write first shuffles INTO the bucket layout:
+    * `repartition(buckets, keys)` uses the same `pmod(murmur3(keys), n)`
+    * assignment as the bucket spec, so each write task holds exactly one
+    * bucket and emits exactly one file. Without it every upstream map
+    * partition writes its own file per bucket - a 64-partition frame
+    * bucketed 16 ways emitted ~1000 tiny files per phase (measured on
+    * the flagship: the `relations` phase wrote 1022 files, 4.5-8.9 s;
+    * one-file-per-bucket cut it to 16 files). At target scale this
+    * exchange is the documented pattern anyway (incoming batches shuffle
+    * to the bucket layout; buckets are sized ~128 MB so the write tasks
+    * stay balanced). The explicit partition count keeps AQE from
+    * coalescing the exchange away. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     buckets: Int = 64, path: Option[String] = None): Unit = {
-    val w = df.write
+    import org.apache.spark.sql.functions.col
+    val w = df.repartition(buckets, keys.map(col): _*).write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
