@@ -302,16 +302,21 @@ object LmScore {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // r16: one persisted frame carries everything a step needs. `y`
+    // rides the bucket counts (same cardinality, no extra shuffle key
+    // cost) and the per-doc length is SUM(c) over the doc's buckets -
+    // exactly size(ws), since every word lands in exactly one bucket -
+    // so the old second document scan + per-step `lens` join are gone
+    // (guide section 2.3: aggregate before you shuffle, fewer joins).
     val base = df.select(col(idCol), label.cast("int").as("y"),
       TextAnalysis.normalizedWords(col(textCol)).as("ws"))
       .filter(size(col("ws")) > 0)
-    val lens = base.select(col(idCol), col("y"), size(col("ws")).as("len"))
+    val cnts = base.select(col(idCol), col("y"), explode(col("ws")).as("w"))
+      .select(col(idCol), col("y"),
+        substring(md5(col("w")), 1, hexChars).as("bucket"))
+      .groupBy(col(idCol), col("y"), col("bucket")).agg(count(lit(1)).as("c"))
       .persist()
-    val cnts = base.select(col(idCol), explode(col("ws")).as("w"))
-      .select(col(idCol), substring(md5(col("w")), 1, hexChars).as("bucket"))
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
-      .persist()
-    val nDocs = lens.count()
+    val nDocs = cnts.select(col(idCol)).distinct().count()
 
     var bias = 0L
     var w: Map[String, Long] =
@@ -319,29 +324,40 @@ object LmScore {
         .map(_ -> 0L).toMap
     (1 to steps).foreach { _ =>
       val wF = broadcast(w.toSeq.toDF("bucket", "wm"))
-      val zf = cnts.join(wF, Seq("bucket"))
-        .groupBy(col(idCol)).agg(sum(col("c") * col("wm")).as("swm"))
-        .join(lens, Seq(idCol))
+      // left join + coalesce(wm, 0) is value-identical to the old inner
+      // join (w covers every bucket of the training corpus; a missing
+      // bucket would contribute weight 0 either way) but also keeps
+      // len = SUM(c) exact for any caller
+      val zf = cnts.join(wF, Seq("bucket"), "left")
+        .groupBy(col(idCol), col("y"))
+        .agg(sum(col("c") * coalesce(col("wm"), lit(0L))).as("swm"),
+          sum(col("c")).as("len"))
         .withColumn("z",
           col("swm").cast("double") / MicroNats / col("len") +
             lit(bias) / MicroNats)
         .withColumn("sg", lit(1.0) / (lit(1.0) + exp(-col("z"))))
-      val grads = cnts.join(zf.select(col(idCol), col("sg"), col("y"),
-        col("len")), Seq(idCol))
+      // bucket gradients AND the bias gradient in ONE action: the bias
+      // is a pseudo-bucket whose per-doc gradient round((sg-y)*1e6)
+      // matches the old separate gBias aggregate exactly (r16 - was two
+      // actions per step, each replaying the zf subtree)
+      val pd = zf.select(col(idCol), col("sg"), col("y"), col("len"))
+      val bucketG = cnts.select(col(idCol), col("bucket"), col("c"))
+        .join(pd, Seq(idCol))
         .select(col("bucket"),
           round((col("sg") - col("y")) * col("c") / col("len") * MicroNats)
             .cast("long").as("gm"))
+      val biasG = pd.select(lit("__bias__").as("bucket"),
+        round((col("sg") - col("y")) * MicroNats).cast("long").as("gm"))
+      val grads = bucketG.unionByName(biasG)
         .groupBy(col("bucket")).agg(sum(col("gm")).as("g"))
         .as[(String, Long)].collect()
-      val gBias = zf.select(
-        sum(round((col("sg") - col("y")) * MicroNats).cast("long")).as("g"))
-        .as[Long].head()
-      grads.foreach { case (b, g) =>
-        w = w.updated(b, w(b) - roundHalfAway(lr * (g.toDouble / nDocs)))
+      grads.foreach {
+        case ("__bias__", g) => bias -= roundHalfAway(lr * (g.toDouble / nDocs))
+        case (b, g) =>
+          w = w.updated(b, w(b) - roundHalfAway(lr * (g.toDouble / nDocs)))
       }
-      bias -= roundHalfAway(lr * (gBias.toDouble / nDocs))
     }
-    lens.unpersist(); cnts.unpersist()
+    cnts.unpersist()
     w.updated("__bias__", bias)
   }
 
@@ -358,16 +374,23 @@ object LmScore {
     val wF = broadcast(
       weights.view.filterKeys(_ != "__bias__").toSeq.toDF("bucket", "wm"))
 
+    // r16: n_tokens = SUM(c) over the doc's buckets - exactly size(ws),
+    // since every word lands in exactly one bucket - computed in the
+    // same aggregation as the margin, so the old second document scan +
+    // `lens` join are gone. The left join + coalesce(wm, 0) is
+    // value-identical to an inner join for buckets the model covers and
+    // keeps n_tokens exact even for buckets it does not.
     val base = df.select(col(idCol),
       TextAnalysis.normalizedWords(col(textCol)).as("ws"))
       .filter(size(col("ws")) > 0)
-    val lens = base.select(col(idCol), size(col("ws")).as("n_tokens"))
     base.select(col(idCol), explode(col("ws")).as("w"))
       .select(col(idCol), substring(md5(col("w")), 1, hexChars).as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
-      .join(wF, Seq("bucket"))
-      .groupBy(col(idCol)).agg(sum(col("c") * col("wm")).as("swm"))
-      .join(lens, Seq(idCol))
+      .join(wF, Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("c") * coalesce(col("wm"), lit(0L))).as("swm"),
+        // cast back to the old size(ws) type - the schema gate is exact
+        sum(col("c")).cast("int").as("n_tokens"))
       // fold the bias into one exact integer total so score, prob and
       // keep all derive from it: z = total/(1e6*n); the rounded score
       // uses the tie-safe integer half-away division (see
