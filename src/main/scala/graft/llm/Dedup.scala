@@ -647,27 +647,50 @@ object Dedup {
             org.apache.spark.sql.GraftSqlBridge.expression(
               shingles(col(textCol), shingleN)), k)).as("bk"))
       .persist()
+    // persisted (r16): BOTH sides of the candidate self-join read this
+    // frame, and without the pin each side re-ran the bucket-size
+    // window (Exchange+Sort+Window twice per pass, measured ~0.8 s at
+    // sf0.1). Block-hash-sized rows (<= blockHashes per doc), same
+    // lifecycle as `sk` above - the caller/bench sweep releases it.
     val blk = sk.select(col("id"),
       explode(slice(col("bk"), 1, blockHashes)).as("h"))
     val wH = Window.partitionBy(col("h"))
     val bounded = blk.withColumn("bSize", count(lit(1)).over(wH))
       .filter(col("bSize") <= maxBucketSize).drop("bSize")
+      .persist()
     val cand = bounded.select(col("h"), col("id").as("id_a"))
       .join(bounded.select(col("h"), col("id").as("id_b")), Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+    // per-pair overlap counts, evaluated ONCE per row (r16). Two facts:
+    // (a) CollapseProject inlines withColumn aliases into every
+    // consumer, so `mu` (a concat+distinct+sort of 2k strings) used to
+    // be re-evaluated inside each of three filter() lambdas -
+    // interpreted, non-codegen, ~k*k*3 string compares per pair
+    // (measured ~1.4 s over 43k candidate pairs at sf0.1; a first
+    // attempt that captured a DERIVED column inside the lambda
+    // re-evaluated the sort per ELEMENT - 29 s). (b) a Generate is a
+    // collapse barrier: explode(array(...)) materializes `mu` and the
+    // counts exactly once per row. With mu materialized, set sizes come
+    // from array_intersect (hash-set probe, no lambda): mu is distinct,
+    // so |mu n bka| == the old filter(contains) count, and
+    // inter = in_a + in_b - |mu| since every mu element is in bka u bkb.
     val paired = cand
       .join(sk.select(col("id").as("id_a"), col("bk").as("bka")), Seq("id_a"))
       .join(sk.select(col("id").as("id_b"), col("bk").as("bkb")), Seq("id_b"))
-      .withColumn("mu",
-        slice(array_sort(array_distinct(concat(col("bka"), col("bkb")))), 1, k))
-      .withColumn("union_k", size(col("mu")))
-      .withColumn("inter_k", size(filter(col("mu"),
-        h => array_contains(col("bka"), h) && array_contains(col("bkb"), h))))
-      .withColumn("in_a", size(filter(col("mu"),
-        h => array_contains(col("bka"), h))))
-      .withColumn("in_b", size(filter(col("mu"),
-        h => array_contains(col("bkb"), h))))
+      .select(col("id_a"), col("id_b"), col("bka"), col("bkb"),
+        explode(array(
+          slice(array_sort(array_distinct(concat(col("bka"), col("bkb")))), 1, k)))
+          .as("mu"))
+      .select(col("id_a"), col("id_b"),
+        explode(array(struct(
+          size(col("mu")).as("union_k"),
+          size(array_intersect(col("mu"), col("bka"))).as("in_a"),
+          size(array_intersect(col("mu"), col("bkb"))).as("in_b"))))
+          .as("ov"))
+      .select(col("id_a"), col("id_b"), col("ov.union_k").as("union_k"),
+        col("ov.in_a").as("in_a"), col("ov.in_b").as("in_b"))
+      .withColumn("inter_k", col("in_a") + col("in_b") - col("union_k"))
     val contA = when(col("in_a") > 0,
       col("inter_k").cast("double") / col("in_a")).otherwise(0.0)
     val contB = when(col("in_b") > 0,
@@ -847,7 +870,12 @@ object Dedup {
                          textCol: String = "text"): DataFrame = {
     require(n >= 2 && minDocFreq >= 2, s"need n >= 2 (got $n) and " +
       s"minDocFreq >= 2 (got $minDocFreq)")
-    val grams = gramPositions(df, n, idCol, textCol)
+    // persisted (r16): the doc-frequency cut AND the hit join both read
+    // the gram stream, and building it is the operator's dominant map
+    // work (O(n) chars per position; measured ~0.7 s per extra pass at
+    // sf0.1). O(total words) rows, MEMORY_AND_DISK - same lifecycle as
+    // the shingle frames (the caller/bench sweep releases it).
+    val grams = gramPositions(df, n, idCol, textCol).persist()
     val repeated = grams.groupBy(col("gram"))
       .agg(countDistinct(col(idCol)).as("gram_df"))
       .filter(col("gram_df") >= minDocFreq)
@@ -920,7 +948,9 @@ object Dedup {
     val n = minSpanLen
     require(n >= 2 && minDocFreq >= 2, s"need minSpanLen >= 2 (got $n) " +
       s"and minDocFreq >= 2 (got $minDocFreq)")
-    val grams = gramPositions(df, n, idCol, textCol)
+    // persisted - two consumers of the gram stream, see
+    // repeatedNgramSpans
+    val grams = gramPositions(df, n, idCol, textCol).persist()
     val repeated = grams.groupBy(col("gram"))
       .agg(countDistinct(col(idCol)).as("gram_df"))
       .filter(col("gram_df") >= minDocFreq)
