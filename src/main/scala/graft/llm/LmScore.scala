@@ -70,10 +70,17 @@ object LmScore {
     * `sequence(1, 0)` descends, the trap [[Splitting]] documents. */
   def bigramLmScores(df: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
-    val toks = tokenized(df, idCol, textCol)
+    // persisted (r16): toks feeds four branches (unigram counts, the
+    // bigram stream, the first-token join, the length projection) and
+    // uni three (the stats broadcast, first, cond) - unpersisted, every
+    // broadcast build and branch replayed the scan+normalize (toks) or
+    // the full unigram aggregation (uni). toks is O(docs) rows with the
+    // word arrays, uni vocab-sized; caller-sweep lifecycle.
+    val toks = tokenized(df, idCol, textCol).persist()
 
     val uni = toks.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .persist()
     val stats = uni.agg(count(lit(1)).as("v"),
       sum(col("cw")).cast("double").as("n"))
 
@@ -240,11 +247,17 @@ object LmScore {
                          eta: Double = 1.0): DataFrame = {
     val perDoc = bigramLmScores(df, idCol, textCol)
       .select(col(idCol), col("n_tokens"), col("micro_nll"))
+    // persisted (r16): bySrc/excess are stratum-sized (one row per
+    // source) but their upstream is the full per-doc bigram-LM scoring
+    // pass - unpersisted, the grand-total branch, the tilt-sum branch
+    // and the final projection each replayed it (4 evaluations
+    // measured). Model-sized cache, caller-sweep lifecycle.
     val bySrc = df.select(col(idCol), col(strataCol))
       .join(perDoc, Seq(idCol))
       .groupBy(col(strataCol))
       .agg(sum(col("n_tokens")).as("n_tokens"),
         sum(col("micro_nll")).as("micro_nll"))
+      .persist()
     val tot = bySrc.agg(sum(col("n_tokens")).as("tnt"),
       sum(col("micro_nll")).as("tmn"))
     val excess = bySrc.crossJoin(broadcast(tot))
@@ -254,6 +267,7 @@ object LmScore {
         - expr("(tmn * 2 + tnt) DIV (tnt * 2)"))
       .withColumn("e_micro",
         round(exp(lit(eta) * col("excess_micro") / 1e6) * 1e6).cast("long"))
+      .persist() // two consumers: the tilt sum and the final projection
     // Tilts are quantized to integer micro-units BEFORE the normalizing
     // sum, so esum is an exact BIGINT independent of partition /
     // accumulation order (the round-8 determinism contract); the final
@@ -316,12 +330,16 @@ object LmScore {
         substring(md5(col("w")), 1, hexChars).as("bucket"))
       .groupBy(col(idCol), col("y"), col("bucket")).agg(count(lit(1)).as("c"))
       .persist()
-    val nDocs = cnts.select(col(idCol)).distinct().count()
+    // doc count and the initial bucket set in ONE action (r16 - was two
+    // jobs, each scanning the persisted counts); the set is model-sized
+    // (<= 16^hexChars buckets), the repo's collect ceiling
+    val init = cnts.agg(countDistinct(col(idCol)).as("n"),
+      collect_set(col("bucket")).as("bs")).head()
+    val nDocs = init.getLong(0)
 
     var bias = 0L
     var w: Map[String, Long] =
-      cnts.select(col("bucket")).distinct().as[String].collect()
-        .map(_ -> 0L).toMap
+      init.getSeq[String](1).map(_ -> 0L).toMap
     (1 to steps).foreach { _ =>
       val wF = broadcast(w.toSeq.toDF("bucket", "wm"))
       // left join + coalesce(wm, 0) is value-identical to the old inner

@@ -294,6 +294,10 @@ object Sketches {
                      idCol: String = "doc_id", textCol: String = "text",
                      dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT persisted (r16 A/B): both knn legs read the sparse vectors,
+    // but their final exchanges are identical subtrees that Spark's
+    // exchange reuse already deduplicates - a cache here measured +0.6 s
+    // (materialization job + memory write, no recompute avoided).
     val sparse = hashedTfidfSparse(df, idCol, textCol, dim)
     val probes = sparse.join(
       broadcast(df.filter(probe).select(col(idCol).as("id")).distinct()),
