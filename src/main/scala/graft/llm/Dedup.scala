@@ -344,21 +344,22 @@ object Dedup {
         .join(labels.select(col("id").as("v"), col("lbl").as("vLbl")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vLbl")).as("nbrLbl"))
         .withColumnRenamed("u", "id")
+      // carry the pre-iteration label through as `old` (r16): the
+      // convergence check then reads the just-checkpointed frame
+      // directly instead of re-joining the previous labels - one fewer
+      // join per round on a loop that is all fixed overhead
       val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nbrLbl"), col("lbl"))).as("lbl"))
       // pointer jump: also adopt lbl(lbl)
       val parents = prop.select(col("id").as("p"), col("lbl").as("pLbl"))
       val jumped = prop.join(parents, prop("lbl") === parents("p"), "left")
-        .select(prop("id"),
+        .select(prop("id"), col("old"),
           least(prop("lbl"), coalesce(col("pLbl"), prop("lbl"))).as("lbl"))
         .localCheckpoint()
-      val changed = jumped
-        .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-        .filter(col("lbl") =!= col("old"))
-        .limit(1).count()
+      val changed = jumped.filter(col("lbl") =!= col("old")).limit(1).count()
       converged = changed == 0
-      labels = jumped
+      labels = jumped.select(col("id"), col("lbl"))
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
