@@ -994,9 +994,12 @@ object Dedup {
     * (id, pos) - no document ever ships whole. */
   private def trimBySpans(df: DataFrame, spans: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
+    // persisted (r16): the anti-join and the removed-count aggregation
+    // both read the covered-position frame (O(sum of span lengths) rows)
     val covered = spans.select(col(idCol),
         explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
       .distinct()
+      .persist()
     val words = df.select(col(idCol),
       posexplode(TextAnalysis.normalizedWords(col(textCol))).as(Seq("pos", "w")))
     val kept = words.join(covered, Seq(idCol, "pos"), "left_anti")
@@ -1004,14 +1007,20 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("__ps"))
       .select(col(idCol),
         array_join(transform(col("__ps"), p => p("w")), " ").as("text_trimmed"))
-    df.select(col(idCol),
-        size(TextAnalysis.normalizedWords(col(textCol))).as("__n_words"))
+    // n_removed = the doc's covered-position count (r16): every covered
+    // position IS a word position (spans come from gram positions, and
+    // span_end = pos + n <= word count), so words - kept = covered. The
+    // old formulation re-scanned + re-normalized every document just to
+    // count its words; the id projection below prunes the text column
+    // at the parquet scan instead.
+    val removedN = covered.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_removed"))
+    df.select(col(idCol))
       .join(kept, Seq(idCol), "left")
-      .withColumn("text_trimmed", coalesce(col("text_trimmed"), lit("")))
-      .withColumn("n_removed", col("__n_words") -
-        when(col("text_trimmed") === "", 0)
-          .otherwise(size(split(col("text_trimmed"), " ", -1))))
-      .select(col(idCol), col("text_trimmed"), col("n_removed"))
+      .join(removedN, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_trimmed"), lit("")).as("text_trimmed"),
+        coalesce(col("n_removed"), lit(0)).as("n_removed"))
   }
 
   /** (id, pos, gram) positions of word `n`-grams; docs shorter than n
