@@ -17,9 +17,21 @@ object TextAnalysis {
 
   /** Shared tokenization: lowercased, whitespace-split, empties dropped.
     * Single definition - the repetition signals and the contamination
-    * screen (and their DuckDB oracles) must agree on what a "word" is. */
+    * screen (and their DuckDB oracles) must agree on what a "word" is.
+    *
+    * r16: the empty-drop is a CASE WHEN, not a filter() lambda. After
+    * trim, a `\s+` split can produce an empty token ONLY for
+    * empty/whitespace-only input (Java split returns [""] there; `\s`'s
+    * characters are all <= U+0020, all removed by trim, so no leading
+    * empty survives and `\s+` runs leave no interior ones) - and that
+    * one case is an empty array. ArrayFilter is CodegenFallback
+    * (interpreted per row, lambda alloc per element) sitting on the
+    * hottest shared path in the registry (~40 queries tokenize through
+    * here); the CASE WHEN stays inside whole-stage codegen with
+    * subexpression elimination handling the repeated trim. */
   def normalizedWords(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+", -1), w => w =!= "")
+    when(trim(text) === "", array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "\\s+", -1))
 
   /** BPE-ish token estimate: alphanumeric runs count as one token each,
     * every non-alnum non-space character as one more (a cheap
