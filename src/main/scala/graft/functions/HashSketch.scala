@@ -677,3 +677,81 @@ object WinnowSelect {
     new GenericArrayData(out)
   }
 }
+
+/** Positional word n-grams of the lowercased text as
+  * `array<struct<pos:bigint, gram:string>>` - the gram stream of the
+  * repeated/maximal-span dedup operators ([[graft.llm.Dedup]]).
+  *
+  * Tokenization is EXACTLY TextAnalysis.normalizedWords (Unicode
+  * lowercase via UTF8String.toLowerCase - the same call Spark's `lower`
+  * makes - then Java-regex `\s+` splitting, i.e. runs of
+  * space/\t/\n/\x0B/\f/\r delimit; trim is subsumed by the split), and
+  * fewer than n words emit an EMPTY array (the caller's `size(ws) >= n`
+  * filter becomes explode-of-empty). The SQL formulation - transform
+  * over an index sequence with slice + array_join per position - runs
+  * interpreted and allocates a slice array per position; this is one
+  * pass with a rolling join buffer. Equivalence is pinned in
+  * NgramPosSpec and by the span-family DuckDB oracles, which replay the
+  * SQL construction.
+  */
+case class NgramPosArray(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("gram", StringType, nullable = false))), containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramPosArray.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramPosArray.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "ngram_pos_array"
+}
+
+object NgramPosArray {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+              n: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val len = s.length
+    // Java \s token split: words = maximal runs of non-[ \t\n\x0B\f\r]
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+        c == '\r'
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](32)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](32)
+    var i = 0
+    while (i < len) {
+      if (!isWs(s.charAt(i))) {
+        val st = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        starts += st; ends += i
+      } else i += 1
+    }
+    val w = starts.length
+    if (w < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](w - n + 1)
+    var pos = 0
+    val sb = new java.lang.StringBuilder
+    while (pos <= w - n) {
+      sb.setLength(0)
+      var j = pos
+      while (j < pos + n) {
+        if (j > pos) sb.append(' ')
+        sb.append(s, starts(j), ends(j))
+        j += 1
+      }
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      row.setLong(0, pos.toLong)
+      row.update(1,
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+      out(pos) = row
+      pos += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -1024,15 +1024,19 @@ object Dedup {
   }
 
   /** (id, pos, gram) positions of word `n`-grams; docs shorter than n
-    * words emit nothing (there is no full-length gram to repeat). */
+    * words emit nothing (there is no full-length gram to repeat).
+    * Native one-pass [[graft.functions.NgramPosArray]] (r16) - the SQL
+    * formulation (normalizedWords + transform over an index sequence
+    * with slice + array_join per position) ran interpreted and
+    * allocated a slice array per position. Tokenization parity with
+    * normalizedWords is pinned in NgramPosSpec; the span-family oracles
+    * replay the SQL construction, so a divergence fails the compare. */
   private def gramPositions(df: DataFrame, n: Int, idCol: String,
                             textCol: String): DataFrame =
-    df.select(col(idCol), TextAnalysis.normalizedWords(col(textCol)).as("__ws"))
-      .filter(size(col("__ws")) >= n)
-      .select(col(idCol), explode(transform(
-        sequence(lit(0L), size(col("__ws")) - n),
-        i => struct(i.as("pos"),
-          array_join(slice(col("__ws"), (i + 1).cast("int"), lit(n)), " ")
-            .as("gram")))).as("__pg"))
+    df.select(col(idCol), explode(
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.NgramPosArray(
+            org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)), n)))
+        .as("__pg"))
       .select(col(idCol), col("__pg.pos").as("pos"), col("__pg.gram").as("gram"))
 }

@@ -19,19 +19,22 @@ object TextAnalysis {
     * Single definition - the repetition signals and the contamination
     * screen (and their DuckDB oracles) must agree on what a "word" is.
     *
-    * r16: the empty-drop is a CASE WHEN, not a filter() lambda. After
-    * trim, a `\s+` split can produce an empty token ONLY for
-    * empty/whitespace-only input (Java split returns [""] there; `\s`'s
-    * characters are all <= U+0020, all removed by trim, so no leading
-    * empty survives and `\s+` runs leave no interior ones) - and that
-    * one case is an empty array. ArrayFilter is CodegenFallback
-    * (interpreted per row, lambda alloc per element) sitting on the
-    * hottest shared path in the registry (~40 queries tokenize through
-    * here); the CASE WHEN stays inside whole-stage codegen with
-    * subexpression elimination handling the repeated trim. */
-  def normalizedWords(text: Column): Column =
-    when(trim(text) === "", array().cast("array<string>"))
-      .otherwise(split(lower(trim(text)), "\\s+", -1))
+    * r16: the empty-drop is a CASE WHEN, not a filter() lambda. The
+    * input is first trimmed of the EXACT `\s` character set (plain
+    * `trim` strips spaces only - a tab/newline-edged string would leak
+    * leading/trailing empty tokens, caught by NgramPosSpec); after that
+    * a `\s+` split can produce an empty token ONLY for the empty string
+    * (Java split returns [""] there), and that case is an empty array.
+    * ArrayFilter is CodegenFallback (interpreted per row, lambda alloc
+    * per element) sitting on the hottest shared path in the registry
+    * (~40 queries tokenize through here); the CASE WHEN stays inside
+    * whole-stage codegen with subexpression elimination handling the
+    * repeated trim. */
+  def normalizedWords(text: Column): Column = {
+    val t = trim(text, " \t\n\u000B\f\r")
+    when(t === "", array().cast("array<string>"))
+      .otherwise(split(lower(t), "\\s+", -1))
+  }
 
   /** BPE-ish token estimate: alphanumeric runs count as one token each,
     * every non-alnum non-space character as one more (a cheap
